@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark: bootstrapped-gate throughput at 128-bit security on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "gates/s", "vs_baseline": N}
+
+Baseline: the reference evaluates one bootstrapped gate in 37.31 ms on an
+M-series core (CHANGELOG.md:86) => ~26.8 gates/s.  vs_baseline is our
+batched gates/s divided by that.
+
+Env knobs:
+  BENCH_BATCH   gate batch per step (default 1024)
+  BENCH_ITERS   timed iterations (default 4)
+  BENCH_PARAMS  parameter set name (default 128bit)
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from zig_tfhe_tpu import key as K
+from zig_tfhe_tpu import params as P
+from zig_tfhe_tpu import tlwe
+from zig_tfhe_tpu.models import gates as G
+
+REFERENCE_GATES_PER_S = 1000.0 / 37.31  # CHANGELOG.md:86
+
+
+def main():
+    B = int(os.environ.get("BENCH_BATCH", "1024"))
+    iters = int(os.environ.get("BENCH_ITERS", "4"))
+    pname = os.environ.get("BENCH_PARAMS", "128bit")
+    params = P.PARAMS_BY_NAME[pname]
+
+    t0 = time.time()
+    sk = K.SecretKey.generate(jax.random.key(0), params)
+    ck = K.CloudKey.generate(jax.random.key(1), sk, params)
+    jax.block_until_ready(ck.bsk_ext_limbs)
+    print(f"# keygen: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    bits_a = jnp.asarray(np.random.default_rng(0).integers(0, 2, B).astype(bool))
+    bits_b = jnp.asarray(np.random.default_rng(1).integers(0, 2, B).astype(bool))
+    cta = tlwe.encrypt_bool(jax.random.key(2), bits_a, params.tlwe_lv0.alpha, sk.key_lv0)
+    ctb = tlwe.encrypt_bool(jax.random.key(3), bits_b, params.tlwe_lv0.alpha, sk.key_lv0)
+
+    nand_fn = jax.jit(lambda a, b: G.gate("nand", a, b, ck))
+
+    t0 = time.time()
+    out = nand_fn(cta, ctb)
+    jax.block_until_ready(out)
+    print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # correctness gate: decrypts must match the NAND truth table
+    dec = np.asarray(tlwe.decrypt_bool(out, sk.key_lv0))
+    expected = ~(np.asarray(bits_a) & np.asarray(bits_b))
+    acc = float((dec == expected).mean())
+    print(f"# accuracy: {acc:.4f}", file=sys.stderr)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        out = nand_fn(cta, ctb)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
+    gates_per_s = B / dt
+    print(f"# median step: {dt*1e3:.1f} ms for {B} gates "
+          f"({dt/B*1e3:.3f} ms/gate)", file=sys.stderr)
+
+    result = {
+        "metric": f"bootstrapped_gates_per_s_{pname}_batch{B}",
+        "value": round(gates_per_s, 2),
+        "unit": "gates/s",
+        "vs_baseline": round(gates_per_s / REFERENCE_GATES_PER_S, 2),
+        "accuracy": acc,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

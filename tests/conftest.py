@@ -1,0 +1,46 @@
+"""Test configuration: force the CPU backend with an 8-device virtual mesh.
+
+The bench path runs on the real TPU; tests run on CPU so they are fast,
+deterministic, and can exercise multi-chip sharding via
+--xla_force_host_platform_device_count (SURVEY.md §4's recommendation).
+
+NOTE: this environment registers an 'axon' TPU platform from sitecustomize
+for every process; jax.config.update('jax_platforms', 'cpu') (after import,
+before first use) is the reliable way to pin CPU.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from zig_tfhe_tpu import params as P  # noqa: E402
+from zig_tfhe_tpu import key as K  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny():
+    return P.TEST_TINY
+
+
+@pytest.fixture(scope="session")
+def tiny_sk(tiny):
+    return K.SecretKey.generate(jax.random.key(7), tiny)
+
+
+@pytest.fixture(scope="session")
+def tiny_ck(tiny, tiny_sk):
+    return K.CloudKey.generate(jax.random.key(8), tiny_sk, tiny)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)

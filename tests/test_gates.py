@@ -1,0 +1,92 @@
+"""Gate truth tables with a real cloud key — decrypt-exact
+(gates.zig:374-544 analog, extended to ALL gates + heterogeneous batches)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zig_tfhe_tpu import tlwe
+from zig_tfhe_tpu.models import gates as G
+
+TRUTH = {
+    "nand":  [1, 1, 1, 0],
+    "or":    [0, 1, 1, 1],
+    "and":   [0, 0, 0, 1],
+    "xor":   [0, 1, 1, 0],
+    "xnor":  [1, 0, 0, 1],
+    "nor":   [1, 0, 0, 0],
+    "andny": [0, 1, 0, 0],   # (not a) and b
+    "andyn": [0, 0, 1, 0],   # a and (not b)
+    "orny":  [1, 1, 0, 1],   # (not a) or b
+    "oryn":  [1, 0, 1, 1],   # a or (not b)
+}
+
+
+@pytest.fixture(scope="module")
+def ab(tiny, tiny_sk):
+    A = jnp.asarray([False, False, True, True])
+    B = jnp.asarray([False, True, False, True])
+    a = tlwe.encrypt_bool(jax.random.key(21), A, tiny.tlwe_lv0.alpha, tiny_sk.key_lv0)
+    b = tlwe.encrypt_bool(jax.random.key(22), B, tiny.tlwe_lv0.alpha, tiny_sk.key_lv0)
+    return a, b
+
+
+@pytest.mark.parametrize("name", sorted(TRUTH))
+def test_gate_truth_table(name, ab, tiny_sk, tiny_ck):
+    a, b = ab
+    out = G.gate(name, a, b, tiny_ck)
+    dec = np.asarray(tlwe.decrypt_bool(out, tiny_sk.key_lv0)).astype(int)
+    assert list(dec) == TRUTH[name], name
+
+
+def test_heterogeneous_gate_batch(ab, tiny_sk, tiny_ck):
+    # every gate type in ONE bootstrap call, 4 input combos each
+    a, b = ab
+    names = sorted(TRUTH)
+    ids = jnp.asarray(np.repeat([G.GATE_IDS[n] for n in names], 4).astype(np.int32))
+    A = jnp.tile(a, (len(names), 1))
+    B = jnp.tile(b, (len(names), 1))
+    out = G.apply_gates(ids, A, B, tiny_ck)
+    dec = np.asarray(tlwe.decrypt_bool(out, tiny_sk.key_lv0)).astype(int)
+    expected = np.concatenate([TRUTH[n] for n in names])
+    assert np.array_equal(dec, expected)
+
+
+def test_not_copy_constant(ab, tiny, tiny_sk):
+    a, _ = ab
+    dec_not = np.asarray(tlwe.decrypt_bool(G.not_(a), tiny_sk.key_lv0)).astype(int)
+    assert list(dec_not) == [1, 1, 0, 0]
+    assert np.array_equal(np.asarray(G.copy(a)), np.asarray(a))
+    ct_t = G.constant(True, tiny)
+    ct_f = G.constant(False, tiny)
+    assert bool(tlwe.decrypt_bool(ct_t, tiny_sk.key_lv0))
+    assert not bool(tlwe.decrypt_bool(ct_f, tiny_sk.key_lv0))
+
+
+def test_mux_both_variants(tiny, tiny_sk, tiny_ck):
+    # all 8 combos of (a, b, c)
+    combos = [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+    A = jnp.asarray([bool(x[0]) for x in combos])
+    B = jnp.asarray([bool(x[1]) for x in combos])
+    C = jnp.asarray([bool(x[2]) for x in combos])
+    expect = [b if a else c for a, b, c in combos]
+    cta = tlwe.encrypt_bool(jax.random.key(31), A, 0.0, tiny_sk.key_lv0)
+    ctb = tlwe.encrypt_bool(jax.random.key(32), B, 0.0, tiny_sk.key_lv0)
+    ctc = tlwe.encrypt_bool(jax.random.key(33), C, 0.0, tiny_sk.key_lv0)
+    for fn in (G.mux, G.mux_naive):
+        out = fn(cta, ctb, ctc, tiny_ck)
+        dec = np.asarray(tlwe.decrypt_bool(out, tiny_sk.key_lv0)).astype(int)
+        assert list(dec) == expect, fn.__name__
+
+
+def test_bootstrap_refreshes_noise(tiny, tiny_sk, tiny_ck):
+    # bootstrap output phase is within margin of +-1/8 exactly (alpha=0 pipeline)
+    from zig_tfhe_tpu import bootstrap as BS
+    bits = jnp.asarray([True, False])
+    ct = tlwe.encrypt_bool(jax.random.key(41), bits, 0.0, tiny_sk.key_lv0)
+    out = BS.bootstrap(ct, tiny_ck)
+    ph = np.asarray(tlwe.phase(out, tiny_sk.key_lv0)).astype(np.int64)
+    target = np.where(np.asarray(bits), 1 << 29, -(1 << 29))
+    err = np.abs(ph - target)
+    assert np.all(err < (1 << 26)), (ph, target)

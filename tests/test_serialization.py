@@ -1,0 +1,60 @@
+"""Key/ciphertext serialization round-trips (feature-add; reference has none)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zig_tfhe_tpu import key as K, tlwe
+from zig_tfhe_tpu.models import proxy_reenc as PR
+from zig_tfhe_tpu.utils import serialization as S
+
+
+def test_secret_key_roundtrip(tmp_path, tiny, tiny_sk):
+    p = tmp_path / "sk.npz"
+    S.save_secret_key(p, tiny_sk, tiny)
+    sk2, params2 = S.load_secret_key(p)
+    assert params2 is tiny
+    assert np.array_equal(np.asarray(sk2.key_lv0), np.asarray(tiny_sk.key_lv0))
+    assert np.array_equal(np.asarray(sk2.key_lv1), np.asarray(tiny_sk.key_lv1))
+
+
+def test_cloud_key_roundtrip_and_use(tmp_path, tiny, tiny_sk, tiny_ck):
+    p = tmp_path / "ck.npz"
+    S.save_cloud_key(p, tiny_ck)
+    ck2 = S.load_cloud_key(p)
+    assert ck2.params is tiny
+    assert np.array_equal(np.asarray(ck2.ksk1), np.asarray(tiny_ck.ksk1))
+    # loaded key still evaluates gates correctly
+    from zig_tfhe_tpu.models import gates as G
+    a = tlwe.encrypt_bool(jax.random.key(90), jnp.asarray([True, False]), 0.0,
+                          tiny_sk.key_lv0)
+    b = tlwe.encrypt_bool(jax.random.key(91), jnp.asarray([True, True]), 0.0,
+                          tiny_sk.key_lv0)
+    out = G.gate("and", a, b, ck2)
+    assert list(np.asarray(tlwe.decrypt_bool(out, tiny_sk.key_lv0))) == [True, False]
+
+
+def test_ciphertext_roundtrip(tmp_path, tiny, tiny_sk):
+    ct = tlwe.encrypt_bool(jax.random.key(92), jnp.asarray([True, False]), 0.0,
+                           tiny_sk.key_lv0)
+    p = tmp_path / "ct.npz"
+    S.save_ciphertext(p, ct, tiny)
+    ct2, params2 = S.load_ciphertext(p)
+    assert params2 is tiny
+    assert np.array_equal(np.asarray(ct2), np.asarray(ct))
+
+
+def test_public_and_reenc_key_roundtrip(tmp_path, tiny, tiny_sk):
+    pk = PR.PublicKeyLv0.generate(jax.random.key(93), tiny_sk.key_lv0, tiny)
+    S.save_public_key(tmp_path / "pk.npz", pk, tiny)
+    pk2, _ = S.load_public_key(tmp_path / "pk.npz")
+    assert np.array_equal(np.asarray(pk2.encryptions), np.asarray(pk.encryptions))
+
+    sk2 = K.SecretKey.generate(jax.random.key(94), tiny)
+    rk = PR.ProxyReencryptionKey.new_symmetric(
+        jax.random.key(95), tiny_sk.key_lv0, sk2.key_lv0, tiny)
+    S.save_reenc_key(tmp_path / "rk.npz", rk, tiny)
+    rk2, _ = S.load_reenc_key(tmp_path / "rk.npz")
+    assert rk2.basebit == rk.basebit and rk2.t == rk.t
+    assert np.array_equal(np.asarray(rk2.key_encryptions),
+                          np.asarray(rk.key_encryptions))

@@ -1,0 +1,56 @@
+"""Bootstrapping strategies (batch-first).
+
+Vanilla gate bootstrap (bootstrap/vanilla.zig:38-52): blind rotate ->
+sample extract at 0 -> identity key switch.  All stages operate on a batch
+``[B, ...]`` and the whole pipeline is one jittable function.
+
+``bootstrap_to_lv1`` is the proper no-key-switch variant: it returns the
+full TLWE **lv1** ciphertext (under the lv1 key), which downstream ops can
+combine before a single final key switch (used by the optimized MUX in
+models/gates.py).  The reference's bootstrapWithoutKeySwitch instead
+truncates the mask to n0 coefficients (vanilla.zig:58-69 via
+trlwe.zig:165-180) — provided as ``bootstrap_without_key_switch_truncated``
+for API parity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+
+from zig_tfhe_tpu import trlwe as _trlwe
+from zig_tfhe_tpu.key import CloudKey
+from zig_tfhe_tpu.ops.blind_rotate import blind_rotate
+from zig_tfhe_tpu.ops.keyswitch import identity_key_switch
+
+STRATEGY_NAME = "vanilla"
+
+
+def bootstrap(tlwe_batch, ck: CloudKey):
+    """Full gate bootstrap: [B, n0+1] -> refreshed [B, n0+1]."""
+    tr = blind_rotate(tlwe_batch, ck.testvec, ck.bsk_ext_limbs, ck.params)
+    lv1 = _trlwe.sample_extract(tr, 0)
+    return identity_key_switch(lv1, ck.ksk1, ck.params)
+
+
+def bootstrap_to_lv1(tlwe_batch, ck: CloudKey):
+    """Blind rotate + extract, NO key switch: [B, n0+1] -> [B, N+1] (lv1)."""
+    tr = blind_rotate(tlwe_batch, ck.testvec, ck.bsk_ext_limbs, ck.params)
+    return _trlwe.sample_extract(tr, 0)
+
+
+def bootstrap_without_key_switch_truncated(tlwe_batch, ck: CloudKey):
+    """Reference-parity hybrid (vanilla.zig:58-69): lv1 mask truncated to n0."""
+    tr = blind_rotate(tlwe_batch, ck.testvec, ck.bsk_ext_limbs, ck.params)
+    return _trlwe.sample_extract_lv0_shaped(tr, ck.params.n0, 0)
+
+
+def bootstrap_with_testvec(tlwe_batch, testvec, ck: CloudKey):
+    """Programmable bootstrap core: custom testvec(s), full pipeline.
+
+    testvec: int32 [2, N] shared or [B, 2, N] per-gate.
+    """
+    tr = blind_rotate(tlwe_batch, testvec, ck.bsk_ext_limbs, ck.params)
+    lv1 = _trlwe.sample_extract(tr, 0)
+    return identity_key_switch(lv1, ck.ksk1, ck.params)

@@ -1,0 +1,131 @@
+"""Key generation: secret keys and the cloud (evaluation) key.
+
+Differences from the reference (key.zig), all TPU-motivated:
+
+  * keygen is fully vectorized JAX (the reference's sequential keygen takes
+    ~30s, key.zig:240-241; ours is one batched TRGSW encrypt + one batched
+    TLWE encrypt);
+  * the bootstrapping key is stored in negacyclic-extension int8-limb form
+    (see trgsw.py:to_ext_limbs) instead of the f64 FFT domain;
+  * the key-switching key stores ONE entry per (i, j) — ``KSK1[i*t+j]``
+    encrypts ``s1[i] * 2^(32-(j+1)*basebit)`` — because digits are signed
+    (see ops/keyswitch.py).  The reference stores base*t*N entries and skips
+    k=0 (key.zig:148-172);
+  * everything is deterministic from a single PRNG key.
+
+CloudKey is a pytree (jit/shard_map friendly); ``params`` rides along as
+static aux data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zig_tfhe_tpu import trgsw as _trgsw
+from zig_tfhe_tpu import trlwe as _trlwe
+from zig_tfhe_tpu import tlwe as _tlwe
+from zig_tfhe_tpu.params import SecurityParams
+from zig_tfhe_tpu.utils import rng as _rng
+from zig_tfhe_tpu.utils.torus import f64_to_torus, to_i32
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SecretKey:
+    """Binary secret keys for lv0 and lv1 (key.zig:34-58)."""
+
+    key_lv0: Any  # int32 [n0], values in {0,1}
+    key_lv1: Any  # int32 [N],  values in {0,1}
+
+    def tree_flatten(self):
+        return (self.key_lv0, self.key_lv1), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def generate(cls, key, params: SecurityParams) -> "SecretKey":
+        k0, k1 = jax.random.split(key)
+        return cls(
+            key_lv0=_rng.uniform_binary(k0, (params.n0,)),
+            key_lv1=_rng.uniform_binary(k1, (params.n1,)),
+        )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class CloudKey:
+    """Evaluation key (key.zig:61-77), in TPU-native layouts.
+
+    testvec:       int32 [2, N]            (a=0, b==1/8; key.zig:134-145)
+    ksk1:          int32 [N*t, n0+1]       (signed-digit key switch key)
+    bsk_ext_limbs: int8  [n0, 4, 2L, 2, 2N] (BSK in ext-limb form)
+    """
+
+    testvec: Any
+    ksk1: Any
+    bsk_ext_limbs: Any
+    params: SecurityParams = dataclasses.field(metadata=dict(static=True))
+
+    def tree_flatten(self):
+        return (self.testvec, self.ksk1, self.bsk_ext_limbs), self.params
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, params=aux)
+
+    @classmethod
+    def generate(cls, key, secret_key: SecretKey, params: SecurityParams) -> "CloudKey":
+        k_ksk, k_bsk = jax.random.split(key)
+        return cls(
+            testvec=gen_testvec(params),
+            ksk1=gen_key_switching_key(k_ksk, secret_key, params),
+            bsk_ext_limbs=gen_bootstrapping_key(k_bsk, secret_key, params),
+            params=params,
+        )
+
+    @classmethod
+    def generate_no_ksk(cls, params: SecurityParams) -> "CloudKey":
+        """Cheap test fixture: dummy all-zero BSK, zero KSK (key.zig:80-100)."""
+        return cls(
+            testvec=gen_testvec(params),
+            ksk1=jnp.zeros((params.n1 * params.iks_t, params.n0 + 1), jnp.int32),
+            bsk_ext_limbs=jnp.zeros(
+                (params.n0, _trgsw.N_KLIMBS, 2 * params.L, 2, 2 * params.N),
+                jnp.int8),
+            params=params,
+        )
+
+
+def gen_testvec(params: SecurityParams):
+    """Trivial TRLWE with b == 1/8 everywhere (key.zig:134-145)."""
+    b = jnp.full((params.N,), to_i32(int(np.uint32(f64_to_torus(0.125)))), jnp.int32)
+    a = jnp.zeros((params.N,), jnp.int32)
+    return jnp.stack([a, b])
+
+
+def gen_key_switching_key(key, secret_key: SecretKey, params: SecurityParams):
+    """KSK1[i*t+j] = TLWE_lv0( s1[i] * 2^(32-(j+1)*basebit) ), noise KSK_ALPHA.
+
+    Single batched TLWE encrypt (vs 27k sequential encrypts, key.zig:148-172).
+    """
+    t, basebit = params.iks_t, params.basebit
+    shifts = np.array([to_i32(1 << (32 - (j + 1) * basebit)) for j in range(t)],
+                      dtype=np.int32)
+    mu = secret_key.key_lv1[:, None] * jnp.asarray(shifts)[None, :]  # [N, t]
+    ct = _tlwe.encrypt_torus(key, mu, params.ksk_alpha, secret_key.key_lv0)
+    return ct.reshape(params.n1 * t, params.n0 + 1)
+
+
+def gen_bootstrapping_key(key, secret_key: SecretKey, params: SecurityParams):
+    """BSK[i] = TRGSW(s0[i]) under the lv1 key, in ext-limb form
+    (key.zig:175-212 + the FFT-form conversion, here exact int8 limbs)."""
+    trgsw_ct = _trgsw.encrypt_torus(
+        key, secret_key.key_lv0, params.bsk_alpha, secret_key.key_lv1, params)
+    return _trgsw.to_ext_limbs(trgsw_ct)  # [n0, 4, 2L, 2, 2N] int8

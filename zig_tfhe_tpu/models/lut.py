@@ -1,0 +1,170 @@
+"""Programmable (LUT) bootstrapping: encoder, generator, lookup tables.
+
+Mirrors the reference's lut/ package (encoder.zig, generator.zig,
+lookup_table.zig) and — unlike the reference, whose documented
+``bootstrapLut`` does not exist as code (lut.zig:42) — ships the end-to-end
+``bootstrap_lut`` as a first-class batched op.
+
+Testvec construction is host-side numpy (cheap, key-independent); evaluation
+is the batched blind-rotation pipeline.  Per-gate testvecs are supported:
+a batch can evaluate a *different* function per lane.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from zig_tfhe_tpu import bootstrap as _bootstrap
+from zig_tfhe_tpu import tlwe as _tlwe
+from zig_tfhe_tpu.key import CloudKey
+from zig_tfhe_tpu.params import SecurityParams
+from zig_tfhe_tpu.utils.torus import f64_to_torus
+
+
+def div_round(a: int, b: int) -> int:
+    """(a + b/2) // b (generator.zig:253-255)."""
+    return (a + b // 2) // b
+
+
+@dataclasses.dataclass(frozen=True)
+class Encoder:
+    """Message <-> torus codec with scale 1/(2m) (encoder.zig:29-116)."""
+
+    message_modulus: int
+    scale: float
+
+    @classmethod
+    def new(cls, message_modulus: int) -> "Encoder":
+        return cls(message_modulus, 1.0 / (2.0 * message_modulus))
+
+    @classmethod
+    def with_scale(cls, message_modulus: int, scale: float) -> "Encoder":
+        return cls(message_modulus, scale)
+
+    def encode(self, message: int) -> int:
+        """Torus encoding (uint32 as Python int) of a message."""
+        m = message % self.message_modulus
+        return int(np.uint32(f64_to_torus(m * self.scale)))
+
+    def decode(self, torus_value: int) -> int:
+        f = (int(torus_value) & 0xFFFFFFFF) / float(1 << 32)
+        return int(f / self.scale + 0.5) % self.message_modulus
+
+    def decode_bool(self, torus_value: int) -> bool:
+        return self.decode(torus_value) != 0
+
+
+@dataclasses.dataclass
+class LookupTable:
+    """A trivial TRLWE (a=0) whose body encodes the function
+    (lookup_table.zig:16-77).  ``poly``: int32 [2, N]."""
+
+    poly: np.ndarray
+
+    @classmethod
+    def new(cls, N: int) -> "LookupTable":
+        return cls(np.zeros((2, N), np.int32))
+
+    def is_empty(self) -> bool:
+        return not np.any(self.poly)
+
+    def clear(self) -> None:
+        self.poly[:] = 0
+
+    def copy_from(self, other: "LookupTable") -> None:
+        self.poly[:] = other.poly
+
+    def as_jax(self):
+        return jnp.asarray(self.poly)
+
+
+@dataclasses.dataclass
+class Generator:
+    """Builds LUT testvecs from functions (generator.zig:15-227)."""
+
+    encoder: Encoder
+    poly_degree: int
+    lookup_table_size: int
+
+    @classmethod
+    def new(cls, message_modulus: int, params: SecurityParams) -> "Generator":
+        return cls(Encoder.new(message_modulus), params.N, params.N)
+
+    @classmethod
+    def with_scale(cls, message_modulus: int, scale: float,
+                   params: SecurityParams) -> "Generator":
+        return cls(Encoder.with_scale(message_modulus, scale), params.N, params.N)
+
+    def _build(self, encoded: Sequence[int]) -> LookupTable:
+        """Shared tail of generateLookupTable*Assign (generator.zig:85-191):
+        fill per-message ranges, rotate left by N/(2m), two's-complement
+        negate the wrapped tail, store as trivial TRLWE body."""
+        n = self.lookup_table_size
+        m = self.encoder.message_modulus
+        raw = np.zeros(n, np.uint32)
+        for x in range(m):
+            start = div_round(x * n, m)
+            end = div_round((x + 1) * n, m)
+            raw[start:end] = np.uint32(encoded[x])
+        offset = div_round(n, 2 * m)
+        rotated = np.roll(raw, -offset)  # rotated[i] = raw[(i+offset) % n]
+        rotated[n - offset:] = (~rotated[n - offset:] + np.uint32(1))
+        lut = LookupTable.new(self.poly_degree)
+        lut.poly[1, :] = rotated.astype(np.int32)
+        return lut
+
+    def generate_lookup_table(self, f: Callable[[int], int]) -> LookupTable:
+        """LUT of f: message -> message (generator.zig:63-135)."""
+        m = self.encoder.message_modulus
+        return self._build([self.encoder.encode(f(x)) for x in range(m)])
+
+    def generate_lookup_table_full(self, f: Callable[[int], int]) -> LookupTable:
+        """LUT of f: message -> raw Torus value (generator.zig:155-191)."""
+        m = self.encoder.message_modulus
+        return self._build([int(f(x)) & 0xFFFFFFFF for x in range(m)])
+
+    def generate_lookup_table_custom(self, f: Callable[[int], int],
+                                     message_modulus: int, scale: float) -> LookupTable:
+        """Custom modulus/scale variant (generator.zig:202-212)."""
+        tmp = Generator(Encoder.with_scale(message_modulus, scale),
+                        self.poly_degree, self.lookup_table_size)
+        return tmp.generate_lookup_table(f)
+
+    def mod_switch(self, x: int) -> int:
+        """Torus -> [0, lookup_table_size) (generator.zig:223-227)."""
+        scaled = ((int(x) & 0xFFFFFFFF) / float((1 << 32) - 1)) * self.lookup_table_size
+        return int(scaled + 0.5) % self.lookup_table_size
+
+    @property
+    def message_modulus(self) -> int:
+        return self.encoder.message_modulus
+
+
+def encrypt_message(key, message, message_modulus: int, alpha: float, sk):
+    """Batched PBS-codec encrypt (tlwe.zig:74-88)."""
+    return _tlwe.encrypt_message(key, message, message_modulus, alpha, sk)
+
+
+def decrypt_message(ct, message_modulus: int, sk):
+    return _tlwe.decrypt_message(ct, message_modulus, sk)
+
+
+def bootstrap_lut(ct_batch, lut, ck: CloudKey):
+    """Programmable bootstrap: apply a LUT to a batch of ciphertexts.
+
+    ct_batch: int32 [B, n0+1] encrypted with the PBS message codec.
+    lut: a LookupTable (shared), an int32 [2, N] array, or [B, 2, N]
+         per-lane testvecs (heterogeneous function batch).
+    Returns refreshed int32 [B, n0+1] encrypting f(message).
+
+    This is the wired-up pipeline the reference documents but does not ship
+    (lut.zig:42): blindRotateWithTestvec (trgsw.zig:336-400) ->
+    sampleExtractIndex (trlwe.zig:146) -> identityKeySwitching
+    (trgsw.zig:471).
+    """
+    tv = lut.as_jax() if isinstance(lut, LookupTable) else jnp.asarray(lut)
+    return _bootstrap.bootstrap_with_testvec(ct_batch, tv, ck)

@@ -1,0 +1,134 @@
+"""External product, CMux, and blind rotation — the TFHE hot loop, TPU-first.
+
+Reference pipeline per gate (trgsw.zig:290-333): a sequential loop of n0
+CMuxes, each doing 6 forward f64 FFTs + 12 complex MACs + 2 inverse FFTs.
+~99% of gate time.  The loop over i is inherently sequential (data
+dependence), so on TPU all throughput comes from **batching over gates**:
+
+  - ciphertexts are ``[B, ...]`` arrays; the CMux becomes one big int8
+    matmul ``[B, 2L*N] @ [2L*N, 2*N]`` per key limb on the MXU;
+  - the loop over the n0 LWE coefficients is a ``lax.scan`` whose xs stream
+    the bootstrapping key (in negacyclic-extension int8-limb form) from HBM;
+  - the per-step Toeplitz operand is built on the fly by a static gather
+    (ops/poly.py:toeplitz_from_ext), keeping the key compact
+    (n0 * 4 * 2L * 2 * 2N int8 ~ 69 MB at 128-bit vs ~34 GB if the circulant
+    matrices were materialized).
+
+All arithmetic is EXACT mod 2^32 (no FFT rounding noise at all).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from zig_tfhe_tpu.ops.decomposition import gadget_decompose
+from zig_tfhe_tpu.ops.poly import matmul_i8, negacyclic_rotate, toeplitz_from_ext
+from zig_tfhe_tpu.params import SecurityParams
+from zig_tfhe_tpu.trgsw import N_KLIMBS
+from zig_tfhe_tpu.utils.torus import i32_to_i8_limbs, shift_right_logical
+
+
+def _decompose_to_rows(ct, params: SecurityParams):
+    """[..., 2, N] -> signed digit rows [..., 2L, N] (a-levels then b-levels).
+
+    Matches decompositionIntoStorage row order (trgsw.zig:193-219).
+    """
+    digs = gadget_decompose(ct, params)            # [..., 2, N, L]
+    digs = jnp.moveaxis(digs, -1, -2)              # [..., 2, L, N]
+    sh = digs.shape
+    return digs.reshape(sh[:-3] + (2 * params.L, params.N))
+
+
+def _trgsw_matrices(ext_limbs, params: SecurityParams):
+    """ext-limb TRGSW [n_klimbs, 2L, 2, 2N] -> matmul operands
+    [n_klimbs, 2L*N, 2*N] int8 (the negacyclic circulant per row/component).
+    """
+    T = toeplitz_from_ext(ext_limbs)               # [kl, 2L, 2, N(k), N(n)]
+    T = jnp.moveaxis(T, -2, -3)                    # [kl, 2L, N(k), 2, N(n)]
+    kl = T.shape[0]
+    return T.reshape(kl, 2 * params.L * params.N, 2 * params.N)
+
+
+def external_product(ext_limbs, ct, params: SecurityParams):
+    """TRGSW (ext-limb form) x TRLWE batch -> TRLWE batch, exact mod 2^32.
+
+    ext_limbs: int8 [n_klimbs, 2L, 2, 2N] (shared across the batch)
+    ct:        int32 [..., 2, N]
+    Mirrors externalProductWithFft (trgsw.zig:111-154) with matmuls in place
+    of FFT/MAC/IFFT.
+    """
+    mats = _trgsw_matrices(ext_limbs, params)
+    return _external_product_from_mats(mats, ct, params)
+
+
+def _external_product_from_mats(mats, ct, params: SecurityParams):
+    N, L = params.N, params.L
+    n_dl = params.digit_limbs
+    rows = _decompose_to_rows(ct, params)          # [..., 2L, N]
+    batch = rows.shape[:-2]
+    d = rows.reshape(batch + (2 * L * N,))
+    d_limbs = i32_to_i8_limbs(d, n_dl)             # [..., 2L*N, n_dl]
+    out = jnp.zeros(batch + (2 * N,), jnp.int32)
+    for dl in range(n_dl):
+        for kl in range(N_KLIMBS):
+            sh = 8 * (dl + kl)
+            if sh >= 32:
+                continue
+            part = matmul_i8(d_limbs[..., dl], mats[kl])
+            out = out + jax.lax.shift_left(part, jnp.int32(sh))
+    return out.reshape(batch + (2, N))
+
+
+def cmux(ext_limbs, ct0, ct1, params: SecurityParams):
+    """ct0 + ExtProd(cond, ct1 - ct0): cond==0 -> ct0, cond==1 -> ct1
+    (trgsw.zig:260-284)."""
+    return ct0 + external_product(ext_limbs, ct1 - ct0, params)
+
+
+def modswitch(x, params: SecurityParams):
+    """Torus int32 -> [0, 2N] rotation amount (trgsw.zig:297,312).
+
+    (x + 2^(32-nbit-2)) >>u (32-nbit-1).  int32 wrap at the add maps
+    2N -> 0, which is the same rotation mod 2N.
+    """
+    nbit = params.nbit
+    rounded = x + jnp.int32(1 << (32 - nbit - 2))
+    return shift_right_logical(rounded, 32 - nbit - 1)
+
+
+def blind_rotate(tlwe_batch, testvec, bsk_ext_limbs, params: SecurityParams,
+                 unroll: int = 1):
+    """Blind rotation of a batch of TLWE lv0 ciphertexts.
+
+    tlwe_batch:    int32 [B, n0+1]
+    testvec:       int32 [2, N] (shared) or [B, 2, N] (per-gate, for PBS)
+    bsk_ext_limbs: int8 [n0, n_klimbs, 2L, 2, 2N]
+    Returns int32 [B, 2, N].
+
+    Semantics match blindRotate / blindRotateWithTestvec
+    (trgsw.zig:290-400): rotate the testvec by -b (mod X^N+1), then fold in
+    each LWE coefficient with a CMux against BSK[i].
+    """
+    n0 = params.n0
+    B = tlwe_batch.shape[0]
+    b = tlwe_batch[..., n0]
+    b_tilda = jnp.int32(2 * params.N) - modswitch(b, params)
+    if testvec.ndim == 2:
+        testvec = jnp.broadcast_to(testvec, (B,) + testvec.shape)
+    acc = negacyclic_rotate(testvec, b_tilda)
+
+    a_cols = jnp.swapaxes(tlwe_batch[..., :n0], 0, 1)  # [n0, B]
+
+    def step(acc, xs):
+        bsk_i, a_col = xs
+        a_tilda = modswitch(a_col, params)             # [B]
+        rotated = negacyclic_rotate(acc, a_tilda)
+        mats = _trgsw_matrices(bsk_i, params)
+        acc = acc + _external_product_from_mats(mats, rotated - acc, params)
+        return acc, None
+
+    acc, _ = jax.lax.scan(step, acc, (bsk_ext_limbs, a_cols), unroll=unroll)
+    return acc

@@ -1,0 +1,63 @@
+"""Gadget and key-switch digit decomposition as vectorized int32 ops.
+
+Gadget decomposition (trgsw.zig:193-219): add the decomposition offset
+(key.zig:121-131), then extract L signed base-Bg digits from the top bits:
+
+    tmp    = x + offset                       (wrapping)
+    dig_i  = ((tmp >>u (32-(i+1)*bgbit)) & (Bg-1)) - Bg/2   in [-Bg/2, Bg/2)
+
+Key-switch decomposition uses the same digit-extraction with the reference's
+rounding offset 2^(32-(1+basebit*t)) (trgsw.zig:483) PLUS a balancing offset
+(params.ks_balance_offset) so digits come out signed — enabling the
+one-matmul key switch (see ops/keyswitch.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from zig_tfhe_tpu.params import SecurityParams
+from zig_tfhe_tpu.utils.torus import shift_right_logical, to_i32
+
+
+def gadget_decompose(x, params: SecurityParams):
+    """Signed gadget digits of torus values.
+
+    x: int32 [...]; returns int32 [..., L] with digits in [-Bg/2, Bg/2).
+    Matches decompositionIntoStorage (trgsw.zig:193-219) digit-for-digit
+    (the reference stores digits as wrapped u32; values are identical mod
+    2^32 and small, so our signed form is the same integer).
+    """
+    bgbit, L = params.bgbit, params.L
+    mask = jnp.int32((1 << bgbit) - 1)
+    half = jnp.int32(1 << (bgbit - 1))
+    tmp = x + to_i32(params.decomposition_offset)
+    digs = []
+    for i in range(L):
+        sh = 32 - (i + 1) * bgbit
+        digs.append((shift_right_logical(tmp, sh) & mask) - half)
+    return jnp.stack(digs, axis=-1)
+
+
+def ks_decompose(a, basebit: int, t: int):
+    """Signed key-switch digits.
+
+    a: int32 [...]; returns int32 [..., t] with digits in [-B/2, B/2).
+    Reconstruction sum_j d_j * 2^(32-(j+1)*basebit) == a + prec_offset - eps,
+    eps in [0, 2^(32-basebit*t)), i.e. a rounded to basebit*t bits — the same
+    rounding the reference's unsigned decomposition achieves
+    (trgsw.zig:483-499), with digits balanced instead of in [0, B).
+    """
+    mask = jnp.int32((1 << basebit) - 1)
+    half = jnp.int32(1 << (basebit - 1))
+    prec = 1 << (32 - (1 + basebit * t))
+    balance = 0
+    for j in range(t):
+        balance += (1 << (basebit - 1)) * (1 << (32 - (j + 1) * basebit))
+    a_bar = a + to_i32((prec + balance) % (1 << 32))
+    digs = []
+    for j in range(t):
+        sh = 32 - (j + 1) * basebit
+        digs.append((shift_right_logical(a_bar, sh) & mask) - half)
+    return jnp.stack(digs, axis=-1)

@@ -1,0 +1,74 @@
+"""Device mesh + sharding for batched FHE evaluation.
+
+The reference's entire parallel surface is a 16-thread ``parMap`` over
+independent blind rotations (parallel/thread_pool.zig:39-128).  The TPU
+replacement is layered:
+
+  lane level   — int8 MXU matmuls inside each CMux (ops/blind_rotate.py);
+  chip level   — the batch axis B of ciphertexts (vmap is implicit: every op
+                 is written batch-first);
+  mesh level   — shard the batch axis over a ``jax.sharding.Mesh`` ("data"
+                 axis) and optionally split the key-switch/external-product
+                 contraction over a "model" axis.  Keys are replicated;
+                 gate evaluation is embarrassingly parallel over lanes, so
+                 the only collectives are the psums of model-sharded
+                 matmuls and ciphertext all-gathers between circuit stages.
+
+Every shard must (and does) produce bit-exact int32 torus results
+regardless of placement — the invariant the reference's semantics define.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+BATCH_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1,
+              devices: Sequence | None = None) -> Mesh:
+    """Build a (data, model) mesh over available devices."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    if n_data is None:
+        n_data = len(devices) // n_model
+    arr = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, (BATCH_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Ciphertext batches: leading axis over the data axis."""
+    return NamedSharding(mesh, P(BATCH_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Keys: replicated everywhere."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, x):
+    """Place a [B, ...] array with B sharded over the data axis."""
+    return jax.device_put(x, batch_sharding(mesh))
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (e.g. a CloudKey) across the mesh."""
+    return jax.device_put(tree, replicated(mesh))
+
+
+def sharded_jit_gates(fn, mesh: Mesh):
+    """jit ``fn(ids/ct..., ck)`` with batch-sharded ciphertext args and a
+    replicated key: XLA partitions the blind-rotation scan per-shard with no
+    cross-chip traffic (gates are independent)."""
+    in_shardings = (batch_sharding(mesh),)
+
+    def wrapper(*args, **kwargs):
+        with mesh:
+            return fn(*args, **kwargs)
+
+    return functools.wraps(fn)(wrapper)

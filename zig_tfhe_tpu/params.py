@@ -1,0 +1,234 @@
+"""TFHE security parameter sets as runtime configuration objects.
+
+The reference (``/root/reference/src/params.zig``) pins one parameter set at
+comptime (params.zig:386-416) so every ciphertext array length is a compile-time
+constant and switching security levels requires recompiling.  Here parameter
+sets are frozen dataclasses: all shapes flow into JAX as static Python values,
+so each set gets its own jit specialization and all 11 sets coexist at runtime.
+
+Parameter values mirror params.zig:70-378 exactly (80/110/128-bit and
+Uint1..Uint8).  A 12th, cryptographically meaningless ``TEST_TINY`` set is
+added for fast exact-pipeline unit tests (the reference has no equivalent; its
+tests pay 30s keygen, key.zig:240-241).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+TORUS_SIZE = 32  # params.zig:30
+TORUS_MOD = 1 << TORUS_SIZE
+
+
+@dataclasses.dataclass(frozen=True)
+class TlweParams:
+    n: int
+    alpha: float
+
+
+@dataclasses.dataclass(frozen=True)
+class TrlweParams:
+    n: int
+    alpha: float
+
+
+@dataclasses.dataclass(frozen=True)
+class TrgswParams:
+    n: int
+    nbit: int
+    bgbit: int
+    bg: int
+    l: int
+    basebit: int
+    iks_t: int
+    alpha: float
+
+
+@dataclasses.dataclass(frozen=True)
+class SecurityParams:
+    """One TFHE parameter set (params.zig:36-43)."""
+
+    security_bits: int
+    description: str
+    tlwe_lv0: TlweParams
+    tlwe_lv1: TlweParams
+    trlwe_lv1: TrlweParams
+    trgsw_lv1: TrgswParams
+    name: str = ""
+
+    # ----- derived shape/constant helpers (all static Python ints) -----
+
+    @property
+    def n0(self) -> int:
+        """LWE lv0 dimension (mask length)."""
+        return self.tlwe_lv0.n
+
+    @property
+    def n1(self) -> int:
+        """LWE lv1 dimension == ring degree N."""
+        return self.tlwe_lv1.n
+
+    @property
+    def N(self) -> int:
+        """Ring polynomial degree."""
+        return self.trgsw_lv1.n
+
+    @property
+    def L(self) -> int:
+        return self.trgsw_lv1.l
+
+    @property
+    def bgbit(self) -> int:
+        return self.trgsw_lv1.bgbit
+
+    @property
+    def nbit(self) -> int:
+        return self.trgsw_lv1.nbit
+
+    @property
+    def basebit(self) -> int:
+        return self.trgsw_lv1.basebit
+
+    @property
+    def iks_t(self) -> int:
+        return self.trgsw_lv1.iks_t
+
+    @property
+    def ksk_alpha(self) -> float:
+        """Key-switching key noise (params.zig:419)."""
+        return self.tlwe_lv0.alpha
+
+    @property
+    def bsk_alpha(self) -> float:
+        """Bootstrapping key noise (params.zig:422)."""
+        return self.tlwe_lv1.alpha
+
+    @property
+    def decomposition_offset(self) -> int:
+        """Gadget decomposition offset, mod 2^32 (key.zig:121-131).
+
+        offset = sum_i (Bg/2) * 2^(32 - (i+1)*bgbit)
+        """
+        off = 0
+        for i in range(self.L):
+            off = (off + (self.trgsw_lv1.bg // 2) * (1 << (TORUS_SIZE - (i + 1) * self.bgbit))) % TORUS_MOD
+        return off
+
+    @property
+    def ks_prec_offset(self) -> int:
+        """Key-switch rounding offset 2^(32-(1+basebit*iks_t)) (trgsw.zig:483)."""
+        return 1 << (TORUS_SIZE - (1 + self.basebit * self.iks_t))
+
+    @property
+    def ks_balance_offset(self) -> int:
+        """Balancing offset for *signed*-digit key-switch decomposition.
+
+        The reference decomposes key-switch digits unsigned and stores
+        base*iks_t*N KSK entries, skipping k=0 (key.zig:148-172).  This
+        framework uses signed digits in [-base/2, base/2) so the whole key
+        switch becomes ONE int8 matmul on the MXU; the KSK then needs only a
+        single entry per (i, j).  Balancing uses the same offset trick as the
+        gadget decomposition: add sum_j (base/2)*2^(32-(j+1)*basebit).
+        """
+        off = 0
+        base = 1 << self.basebit
+        for j in range(self.iks_t):
+            off = (off + (base // 2) * (1 << (TORUS_SIZE - (j + 1) * self.basebit))) % TORUS_MOD
+        return off
+
+    @property
+    def digit_limbs(self) -> int:
+        """Number of signed int8 limbs needed for a gadget digit.
+
+        Digits lie in [-Bg/2, Bg/2); k signed 8-bit limbs cover
+        [-2^(8k-1), 2^(8k-1)), so we need ceil over 8-bit groups of bgbit.
+        """
+        return -(-self.bgbit // 8)
+
+    @property
+    def ks_digit_limbs(self) -> int:
+        """int8 limbs per key-switch digit (basebit <= 8 everywhere => 1)."""
+        return -(-self.basebit // 8)
+
+    def __hash__(self):
+        return hash((self.name, self.security_bits))
+
+
+def _sp(name, bits, desc, n0, a0, a1, nbit, bgbit, l, basebit, iks_t, N=1024):
+    return SecurityParams(
+        name=name,
+        security_bits=bits,
+        description=desc,
+        tlwe_lv0=TlweParams(n=n0, alpha=a0),
+        tlwe_lv1=TlweParams(n=N, alpha=a1),
+        trlwe_lv1=TrlweParams(n=N, alpha=a1),
+        trgsw_lv1=TrgswParams(
+            n=N, nbit=nbit, bgbit=bgbit, bg=1 << bgbit, l=l,
+            basebit=basebit, iks_t=iks_t, alpha=a1,
+        ),
+    )
+
+
+# params.zig:70-95
+SECURITY_80_BIT = _sp("80bit", 80, "80-bit security (performance-optimized)",
+                      550, 5.0e-5, 3.73e-8, 10, 6, 3, 2, 7)
+# params.zig:98-123
+SECURITY_110_BIT = _sp("110bit", 110, "110-bit security (balanced, original TFHE)",
+                       630, 3.0517578125e-05, 2.9802322387695313e-08, 10, 6, 3, 2, 8)
+# params.zig:350-378
+SECURITY_128_BIT = _sp("128bit", 128, "128-bit security (high security, quantum-resistant)",
+                       700, 2.0e-5, 2.0e-8, 10, 6, 3, 2, 9)
+# params.zig:126-151
+SECURITY_UINT1 = _sp("uint1", 1, "Uint1 parameters (1-bit binary/boolean, messageModulus=2, N=1024)",
+                     700, 2.0e-05, 2.0e-08, 10, 10, 2, 2, 8)
+# params.zig:154-179
+SECURITY_UINT2 = _sp("uint2", 2, "Uint2 parameters (2-bit messages, messageModulus=4, N=1024)",
+                     687, 0.00002120846893069971872305794214,
+                     0.00000000000231841227527049948463, 10, 18, 1, 4, 3)
+# params.zig:182-207
+SECURITY_UINT3 = _sp("uint3", 3, "Uint3 parameters (3-bit messages, messageModulus=8, N=1024)",
+                     820, 0.00000251676160959795544987084234,
+                     0.00000000000000022204460492503131, 10, 23, 1, 6, 2)
+# params.zig:210-235
+SECURITY_UINT4 = _sp("uint4", 4, "Uint4 parameters (4-bit messages, messageModulus=16, N=1024)",
+                     820, 0.00000251676160959795544987084234,
+                     0.00000000000000022204460492503131, 10, 22, 1, 5, 3)
+# params.zig:238-263
+SECURITY_UINT5 = _sp("uint5", 5, "Uint5 parameters (5-bit messages, messageModulus=32, N=1024)",
+                     1071, 7.088226765410429399593757e-08,
+                     2.2204460492503131e-17, 10, 22, 1, 6, 3)
+# params.zig:266-291
+SECURITY_UINT6 = _sp("uint6", 6, "Uint6 parameters (6-bit messages, messageModulus=64, N=1024)",
+                     1071, 7.088226765410429399593757e-08,
+                     2.2204460492503131e-17, 10, 22, 1, 6, 3)
+# params.zig:294-319
+SECURITY_UINT7 = _sp("uint7", 7, "Uint7 parameters (7-bit messages, messageModulus=128, N=1024)",
+                     1160, 1.966220007498402695211596e-08,
+                     2.2204460492503131e-17, 10, 22, 1, 7, 3)
+# params.zig:322-347
+SECURITY_UINT8 = _sp("uint8", 8, "Uint8 parameters (8-bit messages, messageModulus=256, N=1024)",
+                     1160, 1.966220007498402695211596e-08,
+                     2.2204460492503131e-17, 10, 22, 1, 7, 3)
+
+# Fast exact-pipeline test set (NOT SECURE; no reference analog).  alpha=0 so
+# the full gate pipeline is deterministic; margins: modswitch phase error
+# <= (n0+1)/(4N) = 9/256 << 1/8, gadget truncation 2^-12, KS truncation 2^-16.
+TEST_TINY = _sp("tiny", 0, "INSECURE tiny test-only parameters",
+                8, 0.0, 0.0, 6, 6, 2, 2, 8, N=64)
+
+DEFAULT_SECURITY = SECURITY_128_BIT  # params.zig:378
+
+ALL_PARAMS = (
+    SECURITY_80_BIT, SECURITY_110_BIT, SECURITY_128_BIT,
+    SECURITY_UINT1, SECURITY_UINT2, SECURITY_UINT3, SECURITY_UINT4,
+    SECURITY_UINT5, SECURITY_UINT6, SECURITY_UINT7, SECURITY_UINT8,
+)
+
+PARAMS_BY_NAME = {p.name: p for p in ALL_PARAMS + (TEST_TINY,)}
+
+
+def security_info(params: SecurityParams) -> str:
+    """Human-readable description (params.zig:381-383)."""
+    return f"Security level: {params.security_bits} bits ({params.description})"

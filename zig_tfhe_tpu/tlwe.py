@@ -1,0 +1,121 @@
+"""TLWE ciphertexts, batch-first.
+
+A TLWE ciphertext is an int32 array ``[..., n+1]``: the mask ``a`` in the
+first n slots and the body ``b`` last (tlwe.zig:11-14).  On TPU the unit of
+work is a *batch* of ciphertexts, so every function here takes arbitrary
+leading batch dims and is jit/vmap/shard_map friendly.
+
+Boolean encoding is +-1/8 (tlwe.zig:52-55); the PBS message codec encodes
+``msg * 1/(2m)`` and decodes with +0.5 rounding (tlwe.zig:74-117).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zig_tfhe_tpu.params import SecurityParams
+from zig_tfhe_tpu.utils import rng as _rng
+from zig_tfhe_tpu.utils.torus import f64_to_torus, to_i32, torus_to_f64
+
+BOOL_MU = 0.125  # tlwe.zig:53
+
+
+def _inner_product_binary(a, s):
+    """<a, s> mod 2^32 for binary s: int32 multiply-accumulate is exact."""
+    return jax.lax.dot_general(
+        a, s.astype(jnp.int32),
+        dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def encrypt_torus(key, mu, alpha: float, sk):
+    """Encrypt torus plaintexts ``mu`` (int32 [...]) under binary key ``sk``.
+
+    Returns int32 [..., n+1].  b = <a, s> + gaussian(mu, alpha), a uniform
+    (tlwe.zig:34-49).
+    """
+    mu = jnp.asarray(mu, jnp.int32)
+    n = sk.shape[-1]
+    ka, kn = jax.random.split(key)
+    a = _rng.uniform_torus(ka, mu.shape + (n,))
+    noise = _rng.gaussian_torus(kn, mu.shape, alpha)
+    b = _inner_product_binary(a, sk) + noise + mu
+    return jnp.concatenate([a, b[..., None]], axis=-1)
+
+
+def encrypt_bool(key, bits, alpha: float, sk):
+    """Encrypt booleans as +-1/8 (tlwe.zig:52-55)."""
+    bits = jnp.asarray(bits, bool)
+    mu = jnp.where(bits, to_i32(int(f64_to_torus(BOOL_MU))),
+                   to_i32(int(f64_to_torus(-BOOL_MU))))
+    return encrypt_torus(key, mu, alpha, sk)
+
+
+def phase(ct, sk):
+    """b - <a, s> (the noisy plaintext), int32 [...]."""
+    n = sk.shape[-1]
+    return ct[..., n] - _inner_product_binary(ct[..., :n], sk)
+
+
+def decrypt_bool(ct, sk):
+    """Sign test on the phase (tlwe.zig:58-68)."""
+    return phase(ct, sk) >= 0
+
+
+def encrypt_message(key, message, message_modulus: int, alpha: float, sk):
+    """PBS codec encrypt: msg * 1/(2m) on the torus (tlwe.zig:74-88)."""
+    message = jnp.asarray(message) % message_modulus
+    mu = _encode_message_table(message_modulus)
+    mu = jnp.take(jnp.asarray(mu), message)
+    return encrypt_torus(key, mu, alpha, sk)
+
+
+def _encode_message_table(message_modulus: int) -> np.ndarray:
+    """Torus encodings of all messages in [0, m): trunc(x/(2m) * 2^32)."""
+    scale = 1.0 / (2.0 * message_modulus)
+    return f64_to_torus(np.arange(message_modulus) * scale)
+
+
+def decrypt_message(ct, message_modulus: int, sk):
+    """PBS codec decrypt with +0.5 rounding (tlwe.zig:100-117)."""
+    ph = phase(ct, sk)
+    f = _torus_to_unit_float(ph)
+    m = jnp.floor(f * (2.0 * message_modulus) + 0.5).astype(jnp.int32)
+    return m % message_modulus
+
+
+def _torus_to_unit_float(x):
+    """int32 torus -> float32 in [0,1) with ~2^-24 accuracy (codec-sufficient)."""
+    f = x.astype(jnp.float32)
+    f = jnp.where(x < 0, f + jnp.float32(2.0 ** 32), f)
+    return f / jnp.float32(2.0 ** 32)
+
+
+# Linear homomorphic ops (tlwe.zig:119-239) — int32 wrap == u32 wrap.
+
+def add(x, y):
+    return x + y
+
+
+def sub(x, y):
+    return x - y
+
+
+def neg(x):
+    return -x
+
+
+def add_mul(x, y, multiplier: int):
+    return x + y * jnp.int32(multiplier)
+
+
+def sub_mul(x, y, multiplier: int):
+    return x - y * jnp.int32(multiplier)
+
+
+def add_to_b(ct, const_torus: int, n: int):
+    """ct with ``const_torus`` added to the body only (gate bias)."""
+    return ct.at[..., n].add(jnp.int32(const_torus))

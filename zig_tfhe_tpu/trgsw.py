@@ -1,0 +1,78 @@
+"""TRGSW gadget ciphertexts and their MXU-ready form.
+
+A TRGSW ciphertext is int32 ``[..., 2L, 2, N]`` — 2L TRLWE rows
+(trgsw.zig:16-72).  Row i has p*Bg^-(i+1) added to a[0]; row i+L has it added
+to b[0].
+
+Where the reference converts TRGSW rows to the f64 FFT domain
+(TRGSWLv1FFT, trgsw.zig:75-105), this framework converts them to the
+**negacyclic-extension int8-limb form** consumed by the MXU external
+product: ``ext_limbs`` of shape ``[..., n_klimbs, 2L, 2, 2N] int8`` where
+ext = [p, -p] and limbs are the signed 8-bit recode of ops/poly.py.  This is
+the exact-arithmetic analog of the FFT-domain bootstrapping key.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zig_tfhe_tpu import trlwe as _trlwe
+from zig_tfhe_tpu.params import SecurityParams
+from zig_tfhe_tpu.ops.poly import negacyclic_extend
+from zig_tfhe_tpu.utils import rng as _rng
+from zig_tfhe_tpu.utils.torus import i32_to_i8_limbs, to_i32
+
+N_KLIMBS = 4  # full 32-bit torus => 4 signed 8-bit limbs
+
+
+def gadget_values(params: SecurityParams) -> np.ndarray:
+    """h_i = f64ToTorus(Bg^-(i+1)) = 2^(32-(i+1)*bgbit), int32 [L]."""
+    return np.array(
+        [to_i32(1 << (32 - (i + 1) * params.bgbit)) if (i + 1) * params.bgbit < 32
+         else to_i32(1) if (i + 1) * params.bgbit == 32 else 0
+         for i in range(params.L)],
+        dtype=np.int32,
+    )
+
+
+def encrypt_torus(key, p, alpha: float, sk_poly, params: SecurityParams):
+    """TRGSW-encrypt small integers ``p`` (int32 [...]) (trgsw.zig:35-71).
+
+    Returns int32 [..., 2L, 2, N].
+    """
+    p = jnp.asarray(p, jnp.int32)
+    N = params.N
+    L = params.L
+    batch = p.shape
+    zeros = jnp.zeros(batch + (2 * L, N), jnp.int32)
+    keys = jax.random.split(key, 2 * L)
+    rows = [
+        _trlwe.encrypt_torus(keys[r], zeros[..., r, :], alpha, sk_poly)
+        for r in range(2 * L)
+    ]
+    ct = jnp.stack(rows, axis=-3)  # [..., 2L, 2, N]
+    h = jnp.asarray(gadget_values(params))  # [L]
+    add = p[..., None] * h  # [..., L]
+    # rows 0..L-1: a[0] += p*h_i ; rows L..2L-1: b[0] += p*h_i
+    ct = ct.at[..., 0:L, _trlwe.A, 0].add(add)
+    ct = ct.at[..., L:2 * L, _trlwe.B, 0].add(add)
+    return ct
+
+
+def to_ext_limbs(trgsw_ct):
+    """TRGSW int32 [..., 2L, 2, N] -> int8 [..., n_klimbs, 2L, 2, 2N].
+
+    The analog of TRGSWLv1FFT.new (trgsw.zig:81-91): the static operand of
+    every external product, pre-recoded so the per-CMux work is only a
+    gather (Toeplitz build) + int8 matmuls.
+    """
+    ext = negacyclic_extend(trgsw_ct)  # [..., 2L, 2, 2N]
+    limbs = i32_to_i8_limbs(ext, N_KLIMBS)  # [..., 2L, 2, 2N, n_klimbs]
+    return jnp.moveaxis(limbs, -1, -4)
+
+
+def dummy_ext_limbs(params: SecurityParams, batch=()):
+    """All-zero ext-limb TRGSW (TRGSWLv1FFT.newDummy, trgsw.zig:94-105)."""
+    return jnp.zeros(batch + (N_KLIMBS, 2 * params.L, 2, 2 * params.N), jnp.int8)

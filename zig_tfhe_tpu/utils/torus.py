@@ -1,0 +1,113 @@
+"""Discretized-torus numerics.
+
+Torus elements are 32-bit integers.  We carry them as ``int32`` everywhere:
+two's-complement add/sub/mul wrap exactly like the reference's ``u32``
+wrapping ops (tlwe.zig:120-239), and signed carriers are what the TPU MXU's
+int8 path and the VPU want.  ``uint32`` views are provided for serialization
+and codec work.
+
+Reference semantics implemented here:
+  - f64ToTorus: ``trunc(clamp(mod(d,1)*2^32, 0, 2^32-1))``  (utils.zig:28-33)
+  - torusToF64: ``u32(t) / 2^32``                            (utils.zig:36-38)
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zig_tfhe_tpu import params as P
+
+_TWO32 = float(1 << 32)
+
+
+def f64_to_torus(d) -> np.int32:
+    """Host-side exact conversion of a float (or array) to a torus int32.
+
+    Mirrors utils.zig:28-33: wrap into [0,1), scale by 2^32, clamp to
+    [0, 2^32-1], truncate toward zero.
+    """
+    d = np.asarray(d, dtype=np.float64)
+    normalized = np.mod(d, 1.0)
+    t = normalized * _TWO32
+    t = np.clip(t, 0.0, float((1 << 32) - 1))
+    return np.uint32(np.trunc(t)).astype(np.int32)
+
+
+def torus_to_f64(t) -> np.float64:
+    """Host-side torus -> float in [0, 1) (utils.zig:36-38)."""
+    u = np.asarray(t).astype(np.int64) & 0xFFFFFFFF
+    return u.astype(np.float64) / _TWO32
+
+
+def torus_constant(d: float) -> int:
+    """Python-int torus encoding of a float constant (for traced code)."""
+    return int(f64_to_torus(float(d)).astype(np.uint32))
+
+
+def to_i32(x: int) -> np.int32:
+    """Wrap a Python int into an int32 bit pattern (mod 2^32)."""
+    return np.int32(np.uint32(x & 0xFFFFFFFF))
+
+
+# ---------------------------------------------------------------------------
+# Traced (jnp) helpers.  All operate on int32 carriers.
+# ---------------------------------------------------------------------------
+
+
+def shift_right_logical(x, amount: int):
+    """Logical (zero-fill) right shift of int32 torus values."""
+    return jax.lax.shift_right_logical(x, jnp.int32(amount))
+
+
+def as_uint32(x):
+    """Bitcast int32 carrier -> uint32 (serialization / codec)."""
+    return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+
+def as_int32(x):
+    """Bitcast uint32 -> int32 carrier."""
+    return jax.lax.bitcast_convert_type(jnp.asarray(x, jnp.uint32), jnp.int32)
+
+
+def torus_to_float(x, dtype=jnp.float32):
+    """Traced torus int32 -> float in [0, 1)."""
+    # int32 < 0 means top bit set: add 2^32 after float conversion.
+    f = x.astype(dtype)
+    f = jnp.where(x < 0, f + jnp.array(_TWO32, dtype), f)
+    return f / jnp.array(_TWO32, dtype)
+
+
+def i32_to_i8_limbs(x, n_limbs: int = 4):
+    """Recode int32 values into ``n_limbs`` signed int8 limbs, little-endian.
+
+    value == sum_k limbs[k] * 2^(8k)  (mod 2^32), each limb in [-128, 127].
+    This is the carrier format for exact mod-2^32 arithmetic on the MXU's
+    int8 systolic path.  Stacks limbs on a new trailing axis.
+    """
+    limbs = []
+    r = x
+    for k in range(n_limbs):
+        l = ((r + 128) & 255) - 128  # centered remainder in [-128, 127]
+        limbs.append(l.astype(jnp.int8))
+        if k + 1 < n_limbs:
+            # (r - l) is divisible by 256; arithmetic shift == exact division.
+            r = jax.lax.shift_right_arithmetic(r - l, jnp.int32(8))
+    return jnp.stack(limbs, axis=-1)
+
+
+def i8_limbs_combine(parts, shifts):
+    """Combine int32 partial results: sum_i parts[i] << shifts[i] (mod 2^32).
+
+    Shifts >= 32 contribute nothing mod 2^32 and must be filtered by the
+    caller (we assert here to catch waste).
+    """
+    out = None
+    for p, s in zip(parts, shifts):
+        assert s < 32, "shift >= 32 is a wasted matmul pass"
+        term = jax.lax.shift_left(p, jnp.int32(s)) if s else p
+        out = term if out is None else out + term
+    return out

@@ -1,0 +1,405 @@
+// Circuit graph builder + level scheduler + wire-slot allocator.
+//
+// The TPU runtime evaluates boolean circuits as a sequence of LEVELS, each a
+// single batched bootstrap over all gates whose inputs are ready.  Wide
+// levels = high MXU utilization, so the scheduler's job is (1) ASAP
+// topological leveling of the gate DAG, (2) liveness-based wire-slot reuse
+// so the Python side can evaluate with a fixed int32[n_slots, n+1] arena
+// instead of per-wire allocations.
+//
+// The reference has no analog (it evaluates circuits strictly sequentially,
+// examples/add_two_numbers.zig:66-70); this is new TPU-native runtime.
+//
+// Exposed as a C ABI for ctypes (zig_tfhe_tpu/models/scheduler.py) and as a
+// small CLI that consumes Bristol-fashion circuit files.
+//
+// Build: make -C native/circuit   (produces libcircuit_scheduler.so + cli)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <memory>
+#include <queue>
+#include <sstream>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace tfhe_sched {
+
+// Gate opcodes.  Two-input bootstrapped gates match
+// zig_tfhe_tpu.models.gates.GATE_NAMES order; >= 100 are runtime-special.
+enum Op : int32_t {
+  NAND = 0, OR = 1, AND = 2, XOR = 3, XNOR = 4, NOR = 5,
+  ANDNY = 6, ANDYN = 7, ORNY = 8, ORYN = 9,
+  NOT = 100,      // bootstrap-free negation
+  COPY = 101,     // bootstrap-free copy
+  CONST0 = 102,   // trivial ciphertext
+  CONST1 = 103,
+  MUX = 104,      // 3-input, 2 blind rotates
+  INPUT = 110,
+  OUTPUT = 111,
+};
+
+struct Gate {
+  int32_t op;
+  int32_t in0 = -1, in1 = -1, in2 = -1;  // wire ids
+  int32_t out = -1;                      // wire id
+};
+
+struct Circuit {
+  int32_t n_wires = 0;
+  std::vector<Gate> gates;
+  std::vector<int32_t> inputs;    // wire ids
+  std::vector<int32_t> outputs;   // wire ids
+  std::string error;
+};
+
+// One scheduled gate instance: slots are arena indices, not wire ids.
+struct SchedGate {
+  int32_t op;
+  int32_t s0, s1, s2, sout;
+};
+
+struct Plan {
+  // level boundaries into `gates`: level L = [level_off[L], level_off[L+1])
+  std::vector<int32_t> level_off;
+  std::vector<SchedGate> gates;
+  std::vector<int32_t> input_slots;   // arena slot of each circuit input
+  std::vector<int32_t> output_slots;  // arena slot of each circuit output
+  int32_t n_slots = 0;
+  std::string error;
+};
+
+static bool is_two_input(int32_t op) { return op < 100; }
+
+// ---------------------------------------------------------------------------
+// Graph building
+// ---------------------------------------------------------------------------
+
+Circuit* circuit_new() { return new Circuit(); }
+
+int32_t circuit_add_wire(Circuit* c) { return c->n_wires++; }
+
+int32_t circuit_add_gate(Circuit* c, int32_t op, int32_t in0, int32_t in1,
+                         int32_t in2) {
+  Gate g;
+  g.op = op;
+  g.in0 = in0;
+  g.in1 = in1;
+  g.in2 = in2;
+  g.out = circuit_add_wire(c);
+  c->gates.push_back(g);
+  return g.out;
+}
+
+void circuit_mark_input(Circuit* c, int32_t wire) { c->inputs.push_back(wire); }
+void circuit_mark_output(Circuit* c, int32_t wire) { c->outputs.push_back(wire); }
+
+// Bristol-fashion parser ("old" Bristol format):
+//   line 1: <n_gates> <n_wires>
+//   line 2: <n_in1> <n_in2> <n_out>   (wires 0.. are inputs, last are outputs)
+//   gates:  <n_in> <n_out> <in...> <out> <OP>
+Circuit* circuit_parse_bristol(const char* text) {
+  auto* c = new Circuit();
+  std::istringstream in(text);
+  int64_t n_gates = 0, n_wires = 0;
+  if (!(in >> n_gates >> n_wires)) {
+    c->error = "bad header";
+    return c;
+  }
+  int64_t n_in1 = 0, n_in2 = 0, n_out = 0;
+  if (!(in >> n_in1 >> n_in2 >> n_out)) {
+    c->error = "bad io header";
+    return c;
+  }
+  c->n_wires = static_cast<int32_t>(n_wires);
+  for (int64_t i = 0; i < n_in1 + n_in2; ++i)
+    c->inputs.push_back(static_cast<int32_t>(i));
+  for (int64_t i = 0; i < n_out; ++i)
+    c->outputs.push_back(static_cast<int32_t>(n_wires - n_out + i));
+
+  static const std::unordered_map<std::string, int32_t> ops = {
+      {"AND", AND},   {"NAND", NAND}, {"OR", OR},     {"NOR", NOR},
+      {"XOR", XOR},   {"XNOR", XNOR}, {"INV", NOT},   {"NOT", NOT},
+      {"ANDNY", ANDNY}, {"ANDYN", ANDYN}, {"ORNY", ORNY}, {"ORYN", ORYN},
+      {"COPY", COPY}, {"EQW", COPY},  {"MUX", MUX},
+  };
+
+  for (int64_t gi = 0; gi < n_gates; ++gi) {
+    int n_gin = 0, n_gout = 0;
+    if (!(in >> n_gin >> n_gout)) {
+      c->error = "truncated gate list at gate " + std::to_string(gi);
+      return c;
+    }
+    std::vector<int32_t> gin(n_gin), gout(n_gout);
+    for (auto& w : gin) in >> w;
+    for (auto& w : gout) in >> w;
+    std::string opname;
+    in >> opname;
+    auto it = ops.find(opname);
+    if (it == ops.end() || n_gout != 1) {
+      c->error = "unsupported gate '" + opname + "'";
+      return c;
+    }
+    Gate g;
+    g.op = it->second;
+    g.out = gout[0];
+    if (is_two_input(g.op)) {
+      if (n_gin != 2) { c->error = "2-input op arity"; return c; }
+      g.in0 = gin[0]; g.in1 = gin[1];
+    } else if (g.op == NOT || g.op == COPY) {
+      if (n_gin != 1) { c->error = "1-input op arity"; return c; }
+      g.in0 = gin[0];
+    } else if (g.op == MUX) {
+      if (n_gin != 3) { c->error = "mux arity"; return c; }
+      g.in0 = gin[0]; g.in1 = gin[1]; g.in2 = gin[2];
+    }
+    c->gates.push_back(g);
+  }
+  return c;
+}
+
+// ---------------------------------------------------------------------------
+// Scheduling: ASAP leveling + liveness slot allocation
+// ---------------------------------------------------------------------------
+
+Plan* circuit_schedule(const Circuit* c) {
+  auto* plan = new Plan();
+  const int32_t W = c->n_wires;
+  const auto& gates = c->gates;
+
+  // producer[w] = gate index writing wire w (-1 for inputs)
+  std::vector<int32_t> producer(W, -1);
+  for (size_t i = 0; i < gates.size(); ++i) {
+    if (gates[i].out < 0 || gates[i].out >= W) {
+      plan->error = "gate output wire out of range";
+      return plan;
+    }
+    if (producer[gates[i].out] != -1) {
+      plan->error = "wire " + std::to_string(gates[i].out) + " written twice";
+      return plan;
+    }
+    producer[gates[i].out] = static_cast<int32_t>(i);
+  }
+
+  // Kahn leveling on gate dependencies.
+  std::vector<int32_t> indeg(gates.size(), 0);
+  std::vector<std::vector<int32_t>> consumers(gates.size());
+  auto add_dep = [&](int32_t wire, int32_t gi) {
+    if (wire < 0) return;
+    int32_t p = producer[wire];
+    if (p >= 0) {
+      consumers[p].push_back(gi);
+      indeg[gi]++;
+    }
+  };
+  for (size_t i = 0; i < gates.size(); ++i) {
+    add_dep(gates[i].in0, static_cast<int32_t>(i));
+    add_dep(gates[i].in1, static_cast<int32_t>(i));
+    add_dep(gates[i].in2, static_cast<int32_t>(i));
+  }
+
+  std::vector<int32_t> level(gates.size(), 0);
+  std::queue<int32_t> ready;
+  for (size_t i = 0; i < gates.size(); ++i)
+    if (indeg[i] == 0) ready.push(static_cast<int32_t>(i));
+  size_t done = 0;
+  int32_t max_level = -1;
+  auto indeg_work = indeg;
+  while (!ready.empty()) {
+    int32_t gi = ready.front();
+    ready.pop();
+    done++;
+    max_level = std::max(max_level, level[gi]);
+    for (int32_t cj : consumers[gi]) {
+      level[cj] = std::max(level[cj], level[gi] + 1);
+      if (--indeg_work[cj] == 0) ready.push(cj);
+    }
+  }
+  if (done != gates.size()) {
+    plan->error = "cycle detected in circuit";
+    return plan;
+  }
+
+  // Order gates by level (stable).
+  std::vector<int32_t> order(gates.size());
+  for (size_t i = 0; i < order.size(); ++i) order[i] = static_cast<int32_t>(i);
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int a, int b) { return level[a] < level[b]; });
+
+  // Liveness: last position (in scheduled order) each wire is read; outputs
+  // and input wires live forever (inputs may be re-read by the caller).
+  std::vector<int32_t> last_use(W, -1);
+  for (size_t pos = 0; pos < order.size(); ++pos) {
+    const Gate& g = gates[order[pos]];
+    for (int32_t w : {g.in0, g.in1, g.in2})
+      if (w >= 0) last_use[w] = static_cast<int32_t>(pos);
+  }
+  std::vector<char> pinned(W, 0);
+  for (int32_t w : c->outputs) pinned[w] = 1;
+  for (int32_t w : c->inputs) pinned[w] = 1;
+
+  // Slot allocation with a free list.
+  std::vector<int32_t> slot_of(W, -1);
+  std::vector<int32_t> free_slots;
+  int32_t n_slots = 0;
+  auto alloc_slot = [&](int32_t wire) {
+    if (slot_of[wire] >= 0) return slot_of[wire];
+    int32_t s;
+    if (!free_slots.empty()) {
+      s = free_slots.back();
+      free_slots.pop_back();
+    } else {
+      s = n_slots++;
+    }
+    slot_of[wire] = s;
+    return s;
+  };
+  for (int32_t w : c->inputs) alloc_slot(w);
+
+  // Emit scheduled gates; free dead wires after their last read, but only
+  // at LEVEL boundaries (all gates in a level read the arena concurrently).
+  plan->level_off.push_back(0);
+  int32_t cur_level = gates.empty() ? 0 : level[order[0]];
+  std::vector<int32_t> pending_free;
+  auto flush_level = [&]() {
+    for (int32_t s : pending_free) free_slots.push_back(s);
+    pending_free.clear();
+  };
+  for (size_t pos = 0; pos < order.size(); ++pos) {
+    const Gate& g = gates[order[pos]];
+    if (level[order[pos]] != cur_level) {
+      flush_level();
+      plan->level_off.push_back(static_cast<int32_t>(plan->gates.size()));
+      cur_level = level[order[pos]];
+    }
+    SchedGate sg;
+    sg.op = g.op;
+    sg.s0 = g.in0 >= 0 ? slot_of[g.in0] : -1;
+    sg.s1 = g.in1 >= 0 ? slot_of[g.in1] : -1;
+    sg.s2 = g.in2 >= 0 ? slot_of[g.in2] : -1;
+    // free inputs whose last use is this position (deferred to level end)
+    for (int32_t w : {g.in0, g.in1, g.in2})
+      if (w >= 0 && !pinned[w] && last_use[w] == static_cast<int32_t>(pos) &&
+          slot_of[w] >= 0)
+        pending_free.push_back(slot_of[w]);
+    sg.sout = alloc_slot(g.out);
+    plan->gates.push_back(sg);
+  }
+  plan->level_off.push_back(static_cast<int32_t>(plan->gates.size()));
+  plan->n_slots = n_slots;
+  for (int32_t w : c->inputs) plan->input_slots.push_back(slot_of[w]);
+  for (int32_t w : c->outputs)
+    plan->output_slots.push_back(slot_of[w] >= 0 ? slot_of[w] : -1);
+  return plan;
+}
+
+}  // namespace tfhe_sched
+
+// ---------------------------------------------------------------------------
+// C ABI (ctypes)
+// ---------------------------------------------------------------------------
+
+using tfhe_sched::Circuit;
+using tfhe_sched::Plan;
+
+extern "C" {
+
+Circuit* tfhe_circuit_new() { return tfhe_sched::circuit_new(); }
+void tfhe_circuit_free(Circuit* c) { delete c; }
+int32_t tfhe_circuit_add_wire(Circuit* c) { return tfhe_sched::circuit_add_wire(c); }
+int32_t tfhe_circuit_add_gate(Circuit* c, int32_t op, int32_t a, int32_t b,
+                              int32_t s) {
+  return tfhe_sched::circuit_add_gate(c, op, a, b, s);
+}
+void tfhe_circuit_mark_input(Circuit* c, int32_t w) {
+  tfhe_sched::circuit_mark_input(c, w);
+}
+void tfhe_circuit_mark_output(Circuit* c, int32_t w) {
+  tfhe_sched::circuit_mark_output(c, w);
+}
+Circuit* tfhe_circuit_parse_bristol(const char* text) {
+  return tfhe_sched::circuit_parse_bristol(text);
+}
+const char* tfhe_circuit_error(Circuit* c) { return c->error.c_str(); }
+int32_t tfhe_circuit_n_gates(Circuit* c) {
+  return static_cast<int32_t>(c->gates.size());
+}
+int32_t tfhe_circuit_n_inputs(Circuit* c) {
+  return static_cast<int32_t>(c->inputs.size());
+}
+int32_t tfhe_circuit_n_outputs(Circuit* c) {
+  return static_cast<int32_t>(c->outputs.size());
+}
+
+Plan* tfhe_schedule(Circuit* c) { return tfhe_sched::circuit_schedule(c); }
+void tfhe_plan_free(Plan* p) { delete p; }
+const char* tfhe_plan_error(Plan* p) { return p->error.c_str(); }
+int32_t tfhe_plan_n_levels(Plan* p) {
+  return static_cast<int32_t>(p->level_off.size()) - 1;
+}
+int32_t tfhe_plan_n_gates(Plan* p) {
+  return static_cast<int32_t>(p->gates.size());
+}
+int32_t tfhe_plan_n_slots(Plan* p) { return p->n_slots; }
+const int32_t* tfhe_plan_level_offsets(Plan* p) { return p->level_off.data(); }
+// gates as a flat [n_gates, 5] int32 array: op, s0, s1, s2, sout
+void tfhe_plan_gates(Plan* p, int32_t* out) {
+  for (size_t i = 0; i < p->gates.size(); ++i) {
+    out[i * 5 + 0] = p->gates[i].op;
+    out[i * 5 + 1] = p->gates[i].s0;
+    out[i * 5 + 2] = p->gates[i].s1;
+    out[i * 5 + 3] = p->gates[i].s2;
+    out[i * 5 + 4] = p->gates[i].sout;
+  }
+}
+void tfhe_plan_input_slots(Plan* p, int32_t* out) {
+  std::memcpy(out, p->input_slots.data(),
+              p->input_slots.size() * sizeof(int32_t));
+}
+void tfhe_plan_output_slots(Plan* p, int32_t* out) {
+  std::memcpy(out, p->output_slots.data(),
+              p->output_slots.size() * sizeof(int32_t));
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CLI: schedule a Bristol circuit file and print level statistics.
+// ---------------------------------------------------------------------------
+#ifdef TFHE_SCHED_MAIN
+int main(int argc, char** argv) {
+  if (argc < 2) {
+    std::fprintf(stderr, "usage: %s circuit.bristol\n", argv[0]);
+    return 2;
+  }
+  std::ifstream f(argv[1]);
+  std::stringstream ss;
+  ss << f.rdbuf();
+  std::string text = ss.str();
+  Circuit* c = tfhe_circuit_parse_bristol(text.c_str());
+  if (!c->error.empty()) {
+    std::fprintf(stderr, "parse error: %s\n", c->error.c_str());
+    return 1;
+  }
+  Plan* p = tfhe_schedule(c);
+  if (!p->error.empty()) {
+    std::fprintf(stderr, "schedule error: %s\n", p->error.c_str());
+    return 1;
+  }
+  std::printf("gates=%d levels=%d slots=%d inputs=%d outputs=%d\n",
+              tfhe_plan_n_gates(p), tfhe_plan_n_levels(p),
+              tfhe_plan_n_slots(p), tfhe_circuit_n_inputs(c),
+              tfhe_circuit_n_outputs(c));
+  for (int32_t l = 0; l < tfhe_plan_n_levels(p); ++l) {
+    int32_t width = p->level_off[l + 1] - p->level_off[l];
+    std::printf("level %3d: %6d gates\n", l, width);
+  }
+  tfhe_plan_free(p);
+  tfhe_circuit_free(c);
+  return 0;
+}
+#endif

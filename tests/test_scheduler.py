@@ -1,0 +1,107 @@
+"""Native C++ circuit scheduler + batched level evaluator."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zig_tfhe_tpu import tlwe
+from zig_tfhe_tpu.models import circuits as C
+from zig_tfhe_tpu.models import scheduler as S
+
+
+def _full_adder_circuit():
+    c = S.Circuit()
+    a, b, cin = c.input(), c.input(), c.input()
+    x = c.gate("xor", a, b)
+    g = c.gate("and", a, b)
+    s = c.gate("xor", x, cin)
+    t = c.gate("and", x, cin)
+    cout = c.gate("or", g, t)
+    c.output(s)
+    c.output(cout)
+    return c
+
+
+def test_schedule_structure():
+    plan = _full_adder_circuit().schedule()
+    assert plan.n_gates == 5
+    # ASAP levels: {xor, and} | {xor, and} | {or}
+    assert plan.n_levels == 3
+    assert [len(l) for l in plan.levels] == [2, 2, 1]
+    assert len(plan.input_slots) == 3
+    assert len(plan.output_slots) == 2
+    # slot reuse keeps the arena small
+    assert plan.n_slots <= 8
+
+
+def test_evaluate_full_adder(tiny, tiny_sk, tiny_ck):
+    plan = _full_adder_circuit().schedule()
+    for a, b, cin in [(0, 0, 0), (1, 0, 0), (1, 1, 0), (1, 1, 1), (0, 1, 1)]:
+        bits = jnp.asarray([bool(a), bool(b), bool(cin)])
+        cts = tlwe.encrypt_bool(jax.random.key(a * 4 + b * 2 + cin), bits, 0.0,
+                                tiny_sk.key_lv0)
+        out = S.evaluate(plan, cts, tiny_ck)
+        dec = np.asarray(tlwe.decrypt_bool(out, tiny_sk.key_lv0)).astype(int)
+        assert dec[0] == (a + b + cin) % 2, (a, b, cin)
+        assert dec[1] == (a + b + cin) // 2, (a, b, cin)
+
+
+def test_evaluate_with_not_copy_const_mux(tiny, tiny_sk, tiny_ck):
+    c = S.Circuit()
+    a, b = c.input(), c.input()
+    na = c.not_(a)
+    cb = c.copy(b)
+    one = c.const(True)
+    m = c.mux(na, cb, one)       # (!a) ? b : 1
+    c.output(m)
+    c.output(na)
+    plan = c.schedule()
+    for a_v, b_v in [(0, 0), (0, 1), (1, 0), (1, 1)]:
+        cts = tlwe.encrypt_bool(jax.random.key(a_v * 2 + b_v),
+                                jnp.asarray([bool(a_v), bool(b_v)]), 0.0,
+                                tiny_sk.key_lv0)
+        out = S.evaluate(plan, cts, tiny_ck)
+        dec = np.asarray(tlwe.decrypt_bool(out, tiny_sk.key_lv0)).astype(int)
+        expect_m = b_v if not a_v else 1
+        assert dec[0] == expect_m, (a_v, b_v)
+        assert dec[1] == (1 - a_v)
+
+
+BRISTOL_FA = """\
+5 8
+2 1 1
+2 1 0 1 3 XOR
+2 1 0 1 4 AND
+2 1 3 2 5 XOR
+2 1 3 2 6 AND
+2 1 4 6 7 OR
+"""
+# wires: 0=a, 1=b, 2=cin, outputs: 7 (just carry, n_out=1)
+
+
+def test_bristol_parse_and_eval(tiny, tiny_sk, tiny_ck):
+    plan = S.parse_bristol(BRISTOL_FA)
+    assert plan.n_gates == 5 and plan.n_levels == 3
+    assert len(plan.input_slots) == 3 and len(plan.output_slots) == 1
+    bits = jnp.asarray([True, True, False])  # a=1,b=1,cin=0 -> carry=1
+    cts = tlwe.encrypt_bool(jax.random.key(99), bits, 0.0, tiny_sk.key_lv0)
+    out = S.evaluate(plan, cts, tiny_ck)
+    assert bool(tlwe.decrypt_bool(out, tiny_sk.key_lv0)[0])
+
+
+def test_bristol_errors():
+    with pytest.raises(ValueError, match="parse error"):
+        S.parse_bristol("garbage")
+    with pytest.raises(ValueError, match="unsupported gate"):
+        S.parse_bristol("1 4\n2 1 1\n2 1 0 1 3 FROB\n")
+
+
+def test_cycle_detection():
+    # a gate graph where an output wire is written twice -> scheduler error
+    c = S.Circuit()
+    a = c.input()
+    w1 = c.gate("and", a, a)
+    _ = c.gate("or", w1, a)
+    plan = c.schedule()  # valid DAG: fine
+    assert plan.n_gates == 2

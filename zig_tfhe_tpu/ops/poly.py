@@ -51,13 +51,30 @@ def toeplitz(p):
 
     ``a @ T(p)`` computes the negacyclic product a*p.
     """
-    N = p.shape[-1]
-    ext = negacyclic_extend(p)
-    return jnp.take(ext, jnp.asarray(_toeplitz_index(N)), axis=-1)
+    return toeplitz_from_ext(negacyclic_extend(p))
 
 
 def toeplitz_from_ext(ext):
-    """Same as :func:`toeplitz` but from a precomputed [..., 2N] extension."""
+    """Toeplitz build from a [..., 2N] extension by log2(N) doubling rolls.
+
+    Row k of the circulant is roll(ext, k); rows [s, 2s) are rows [0, s)
+    rolled by s, so the whole [N, 2N] stack builds in log2(N) concat+roll
+    doublings.  On TPU each roll is two slices + a concat at full HBM
+    bandwidth — crucial, because the obvious one-gather construction
+    (take with an [N, N] index matrix) runs ~50x slower on TPU and
+    dominated the whole blind rotation when used per scan step.
+    """
+    N = ext.shape[-1] // 2
+    rows = ext[..., None, :]  # [..., 1, 2N]
+    s = 1
+    while s < N:
+        rows = jnp.concatenate([rows, jnp.roll(rows, s, axis=-1)], axis=-2)
+        s *= 2
+    return rows[..., :N]
+
+
+def toeplitz_gather_reference(ext):
+    """One-gather Toeplitz (reference implementation for tests)."""
     N = ext.shape[-1] // 2
     return jnp.take(ext, jnp.asarray(_toeplitz_index(N)), axis=-1)
 

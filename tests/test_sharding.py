@@ -1,0 +1,60 @@
+"""Mesh sharding: batch-sharded gate evaluation must be BIT-EXACT vs
+single-device evaluation (the invariant SURVEY.md §5 assigns to the
+distributed design).  Runs on the 8-device virtual CPU mesh (conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as Pspec
+
+from zig_tfhe_tpu import key as K, tlwe
+from zig_tfhe_tpu.models import gates as G
+from zig_tfhe_tpu.parallel import mesh as M
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must provide 8 cpu devices"
+    return M.make_mesh(n_data=4, n_model=2)
+
+
+def test_mesh_construction(mesh8):
+    assert mesh8.shape == {"data": 4, "model": 2}
+
+
+def test_sharded_gates_bit_exact(tiny, tiny_sk, tiny_ck, mesh8, rng):
+    B = 16
+    bits_a = jnp.asarray(rng.integers(0, 2, B).astype(bool))
+    bits_b = jnp.asarray(rng.integers(0, 2, B).astype(bool))
+    cta = tlwe.encrypt_bool(jax.random.key(101), bits_a, 0.0, tiny_sk.key_lv0)
+    ctb = tlwe.encrypt_bool(jax.random.key(102), bits_b, 0.0, tiny_sk.key_lv0)
+    ids = jnp.asarray(rng.integers(0, len(G.GATE_NAMES), B).astype(np.int32))
+
+    # single-device reference
+    ref = np.asarray(G.apply_gates(ids, cta, ctb, tiny_ck))
+
+    # sharded: batch over data, KSK rows over model (psum contraction)
+    batch_sh = NamedSharding(mesh8, Pspec("data"))
+    repl = NamedSharding(mesh8, Pspec())
+    ck_sh = K.CloudKey(
+        testvec=jax.device_put(tiny_ck.testvec, repl),
+        ksk1=jax.device_put(tiny_ck.ksk1, NamedSharding(mesh8, Pspec("model", None))),
+        bsk_ext_limbs=jax.device_put(tiny_ck.bsk_ext_limbs, repl),
+        params=tiny,
+    )
+    ids_s, cta_s, ctb_s = (jax.device_put(x, batch_sh) for x in (ids, cta, ctb))
+    step = jax.jit(lambda i, a, b: G.apply_gates(i, a, b, ck_sh))
+    with mesh8:
+        out = step(ids_s, cta_s, ctb_s)
+    assert np.array_equal(np.asarray(out), ref)  # bit-exact across placements
+
+
+def test_shard_batch_helper(tiny, tiny_sk, mesh8):
+    B = 8
+    ct = tlwe.encrypt_bool(jax.random.key(103), jnp.zeros(B, bool), 0.0,
+                           tiny_sk.key_lv0)
+    sharded = M.shard_batch(mesh8, ct)
+    assert sharded.sharding.spec == Pspec("data")
+    repl = M.replicate(mesh8, ct)
+    assert repl.sharding.spec == Pspec()

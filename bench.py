@@ -52,9 +52,14 @@ def main():
 
     nand_fn = jax.jit(lambda a, b: G.gate("nand", a, b, ck))
 
+    def _sync(x):
+        # NOTE: on the axon TPU platform block_until_ready does not actually
+        # block; a host readback is the only reliable fence.
+        np.asarray(x[..., 0])
+        return x
+
     t0 = time.time()
-    out = nand_fn(cta, ctb)
-    jax.block_until_ready(out)
+    out = _sync(nand_fn(cta, ctb))
     print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
 
     # correctness gate: decrypts must match the NAND truth table
@@ -66,8 +71,7 @@ def main():
     times = []
     for _ in range(iters):
         t0 = time.time()
-        out = nand_fn(cta, ctb)
-        jax.block_until_ready(out)
+        out = _sync(nand_fn(cta, ctb))
         times.append(time.time() - t0)
     dt = float(np.median(times))
     gates_per_s = B / dt

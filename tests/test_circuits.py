@@ -46,23 +46,30 @@ def test_full_adder(tiny, tiny_sk, tiny_ck):
         assert cd[i] == (a + b + c) // 2
 
 
-@pytest.mark.parametrize("adder", ["ripple", "kogge_stone"])
-def test_add_402_304(tiny, tiny_sk, tiny_ck, adder):
+def test_add_402_304_kogge(tiny, tiny_sk, tiny_ck):
     # the reference's flagship example: 402 + 304 == 706 over 16 bits
     W = 16
     a = C.encrypt_bits(jax.random.key(84), 402, W, tiny_sk, tiny)
     b = C.encrypt_bits(jax.random.key(85), 304, W, tiny_sk, tiny)
-    if adder == "ripple":
-        cin = G.constant(False, tiny, batch=(1,))
-        s, _ = C.ripple_carry_add(a, b, cin, tiny_ck)
-    else:
-        s, _ = C.kogge_stone_add(a, b, tiny_ck)
+    s, _ = C.kogge_stone_add(a, b, tiny_ck)
     assert C.decrypt_bits(s, tiny_sk) == 706
+
+
+def test_ripple_carry_add_4bit(tiny, tiny_sk, tiny_ck):
+    # ripple chain exercised at 4 bits (16 bits costs ~3 min of CPU compiles;
+    # the 16-bit flagship runs through the Kogge-Stone test above)
+    W = 4
+    a = C.encrypt_bits(jax.random.key(84), 9, W, tiny_sk, tiny)
+    b = C.encrypt_bits(jax.random.key(85), 8, W, tiny_sk, tiny)
+    cin = G.constant(False, tiny, batch=(1,))
+    s, carry = C.ripple_carry_add(a, b, cin, tiny_ck)
+    assert C.decrypt_bits(s, tiny_sk) == (9 + 8) % 16
+    assert bool(tlwe.decrypt_bool(carry, tiny_sk.key_lv0)[0])  # 17 >= 16
 
 
 def test_kogge_stone_random_values(tiny, tiny_sk, tiny_ck, rng):
     W = 8
-    x, y = 173, 201
+    x, y = 173, 201  # x+y = 374 > 255: exercises the carry-out
     a = C.encrypt_bits(jax.random.key(86), x, W, tiny_sk, tiny)
     b = C.encrypt_bits(jax.random.key(87), y, W, tiny_sk, tiny)
     s, cy = C.kogge_stone_add(a, b, tiny_ck)

@@ -87,3 +87,22 @@ def test_generate_lookup_table_full(tiny, tiny_sk, tiny_ck):
     out = L.bootstrap_lut(ct, table, tiny_ck)
     dec = np.asarray(tlwe.decrypt_message(out, m, tiny_sk.key_lv0))
     assert list(dec) == [1, 0]
+
+
+def test_bootstrap_lut_m16_multilimb_digits():
+    """m=16 LUT at TEST_TINY_UINT (bgbit=11 -> 2-limb digit path, basebit=4)."""
+    import jax
+    from zig_tfhe_tpu import params as P, key as K
+    p = P.TEST_TINY_UINT
+    assert p.digit_limbs == 2
+    sk = K.SecretKey.generate(jax.random.key(200), p)
+    ck = K.CloudKey.generate(jax.random.key(201), sk, p)
+    m = 16
+    g = L.Generator.new(m, p)
+    f = lambda x: (x * x + 3) % m
+    table = g.generate_lookup_table(f)
+    msgs = jnp.arange(m)
+    ct = tlwe.encrypt_message(jax.random.key(202), msgs, m, 0.0, sk.key_lv0)
+    out = L.bootstrap_lut(ct, table, ck)
+    dec = np.asarray(tlwe.decrypt_message(out, m, sk.key_lv0))
+    assert np.array_equal(dec, np.array([f(x) for x in range(m)]))

@@ -81,12 +81,16 @@ class CloudKey:
         return cls(*children, params=aux)
 
     @classmethod
-    def generate(cls, key, secret_key: SecretKey, params: SecurityParams) -> "CloudKey":
+    def generate(cls, key, secret_key: SecretKey, params: SecurityParams,
+                 bsk_limbs: int = 4) -> "CloudKey":
+        """bsk_limbs < 4 trades a little noise for 25%-per-limb less CMux
+        matmul work (see trgsw.to_ext_limbs)."""
         k_ksk, k_bsk = jax.random.split(key)
         return cls(
             testvec=gen_testvec(params),
             ksk1=gen_key_switching_key(k_ksk, secret_key, params),
-            bsk_ext_limbs=gen_bootstrapping_key(k_bsk, secret_key, params),
+            bsk_ext_limbs=gen_bootstrapping_key(k_bsk, secret_key, params,
+                                                bsk_limbs),
             params=params,
         )
 
@@ -123,9 +127,10 @@ def gen_key_switching_key(key, secret_key: SecretKey, params: SecurityParams):
     return ct.reshape(params.n1 * t, params.n0 + 1)
 
 
-def gen_bootstrapping_key(key, secret_key: SecretKey, params: SecurityParams):
+def gen_bootstrapping_key(key, secret_key: SecretKey, params: SecurityParams,
+                          bsk_limbs: int = 4):
     """BSK[i] = TRGSW(s0[i]) under the lv1 key, in ext-limb form
     (key.zig:175-212 + the FFT-form conversion, here exact int8 limbs)."""
     trgsw_ct = _trgsw.encrypt_torus(
         key, secret_key.key_lv0, params.bsk_alpha, secret_key.key_lv1, params)
-    return _trgsw.to_ext_limbs(trgsw_ct)  # [n0, 4, 2L, 2, 2N] int8
+    return _trgsw.to_ext_limbs(trgsw_ct, bsk_limbs)  # [n0, limbs, 2L, 2, 2N] i8

@@ -42,6 +42,25 @@ def decrypt_bits(cts, sk: SecretKey) -> int:
     return from_bits(bits)
 
 
+class AsBits:
+    """bit_utils.zig:32-76 parity: typed bit views of unsigned integers."""
+
+    def __init__(self, width: int):
+        self.width = width
+
+    def to_bits(self, value: int) -> np.ndarray:
+        return to_bits(value, self.width)
+
+    def encrypt(self, key, value: int, sk: SecretKey, params):
+        return encrypt_bits(key, value, self.width, sk, params)
+
+
+U8AsBits = AsBits(8)
+U16AsBits = AsBits(16)
+U32AsBits = AsBits(32)
+U64AsBits = AsBits(64)
+
+
 def full_adder(a, b, c, ck: CloudKey):
     """One-bit full adder (add_two_numbers.zig:24-47), 2 bootstrap rounds.
 

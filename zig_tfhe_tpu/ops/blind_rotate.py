@@ -24,11 +24,24 @@ import functools
 import jax
 import jax.numpy as jnp
 
+import os
+
 from zig_tfhe_tpu.ops.decomposition import gadget_decompose
 from zig_tfhe_tpu.ops.poly import matmul_i8, negacyclic_rotate, toeplitz_from_ext
 from zig_tfhe_tpu.params import SecurityParams
 from zig_tfhe_tpu.trgsw import N_KLIMBS
 from zig_tfhe_tpu.utils.torus import i32_to_i8_limbs, shift_right_logical
+
+
+def default_engine() -> str:
+    """'pallas' (fused VMEM kernel) on TPU, 'xla' elsewhere.
+
+    Override with ZTFHE_ENGINE=xla|pallas.
+    """
+    env = os.environ.get("ZTFHE_ENGINE")
+    if env:
+        return env
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 def _decompose_to_rows(ct, params: SecurityParams):
@@ -67,14 +80,16 @@ def external_product(ext_limbs, ct, params: SecurityParams):
 def _external_product_from_mats(mats, ct, params: SecurityParams):
     N, L = params.N, params.L
     n_dl = params.digit_limbs
+    n_kl = mats.shape[0]
+    drop = N_KLIMBS - n_kl  # key limbs below 8*drop bits were rounded away
     rows = _decompose_to_rows(ct, params)          # [..., 2L, N]
     batch = rows.shape[:-2]
     d = rows.reshape(batch + (2 * L * N,))
     d_limbs = i32_to_i8_limbs(d, n_dl)             # [..., 2L*N, n_dl]
     out = jnp.zeros(batch + (2 * N,), jnp.int32)
     for dl in range(n_dl):
-        for kl in range(N_KLIMBS):
-            sh = 8 * (dl + kl)
+        for kl in range(n_kl):
+            sh = 8 * (dl + kl + drop)
             if sh >= 32:
                 continue
             part = matmul_i8(d_limbs[..., dl], mats[kl])
@@ -99,8 +114,25 @@ def modswitch(x, params: SecurityParams):
     return shift_right_logical(rounded, 32 - nbit - 1)
 
 
+def _external_product_pallas(bsk_i, ct, params: SecurityParams):
+    """Fused-kernel external product (TPU): see ops/pallas/extprod.py."""
+    from zig_tfhe_tpu.ops.pallas.extprod import extprod_matmul_pallas
+
+    N, L = params.N, params.L
+    n_dl = params.digit_limbs
+    rows = _decompose_to_rows(ct, params)
+    batch = rows.shape[:-2]
+    d = rows.reshape(batch + (2 * L * N,))
+    d_limbs = i32_to_i8_limbs(d, n_dl)
+    out = jnp.zeros(batch + (2 * N,), jnp.int32)
+    for dl in range(n_dl):
+        part = extprod_matmul_pallas(d_limbs[..., dl], bsk_i, params)
+        out = out + (jax.lax.shift_left(part, jnp.int32(8 * dl)) if dl else part)
+    return out.reshape(batch + (2, N))
+
+
 def blind_rotate(tlwe_batch, testvec, bsk_ext_limbs, params: SecurityParams,
-                 unroll: int = 1):
+                 unroll: int = 1, engine: str | None = None):
     """Blind rotation of a batch of TLWE lv0 ciphertexts.
 
     tlwe_batch:    int32 [B, n0+1]
@@ -112,6 +144,7 @@ def blind_rotate(tlwe_batch, testvec, bsk_ext_limbs, params: SecurityParams,
     (trgsw.zig:290-400): rotate the testvec by -b (mod X^N+1), then fold in
     each LWE coefficient with a CMux against BSK[i].
     """
+    engine = engine or default_engine()
     n0 = params.n0
     B = tlwe_batch.shape[0]
     b = tlwe_batch[..., n0]
@@ -126,8 +159,12 @@ def blind_rotate(tlwe_batch, testvec, bsk_ext_limbs, params: SecurityParams,
         bsk_i, a_col = xs
         a_tilda = modswitch(a_col, params)             # [B]
         rotated = negacyclic_rotate(acc, a_tilda)
-        mats = _trgsw_matrices(bsk_i, params)
-        acc = acc + _external_product_from_mats(mats, rotated - acc, params)
+        diff = rotated - acc
+        if engine == "pallas":
+            acc = acc + _external_product_pallas(bsk_i, diff, params)
+        else:
+            mats = _trgsw_matrices(bsk_i, params)
+            acc = acc + _external_product_from_mats(mats, diff, params)
         return acc, None
 
     acc, _ = jax.lax.scan(step, acc, (bsk_ext_limbs, a_cols), unroll=unroll)

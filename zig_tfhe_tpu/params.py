@@ -218,6 +218,12 @@ SECURITY_UINT8 = _sp("uint8", 8, "Uint8 parameters (8-bit messages, messageModul
 TEST_TINY = _sp("tiny", 0, "INSECURE tiny test-only parameters",
                 8, 0.0, 0.0, 6, 6, 2, 2, 8, N=64)
 
+# Tiny multi-bit (Uint-style) test set: N=256 supports message modulus up to
+# 16 with modswitch error (n0+1)/(4N) = 9/1024 < 1/(2*16); bgbit=11 forces
+# the 2-limb digit path the real Uint sets use.  NOT SECURE.
+TEST_TINY_UINT = _sp("tiny_uint", 0, "INSECURE tiny multi-bit test-only parameters",
+                     8, 0.0, 0.0, 8, 11, 2, 4, 3, N=256)
+
 DEFAULT_SECURITY = SECURITY_128_BIT  # params.zig:378
 
 ALL_PARAMS = (
@@ -226,7 +232,7 @@ ALL_PARAMS = (
     SECURITY_UINT5, SECURITY_UINT6, SECURITY_UINT7, SECURITY_UINT8,
 )
 
-PARAMS_BY_NAME = {p.name: p for p in ALL_PARAMS + (TEST_TINY,)}
+PARAMS_BY_NAME = {p.name: p for p in ALL_PARAMS + (TEST_TINY, TEST_TINY_UINT)}
 
 
 def security_info(params: SecurityParams) -> str:

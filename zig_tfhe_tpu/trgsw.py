@@ -61,15 +61,26 @@ def encrypt_torus(key, p, alpha: float, sk_poly, params: SecurityParams):
     return ct
 
 
-def to_ext_limbs(trgsw_ct):
+def to_ext_limbs(trgsw_ct, n_klimbs: int = N_KLIMBS):
     """TRGSW int32 [..., 2L, 2, N] -> int8 [..., n_klimbs, 2L, 2, 2N].
 
     The analog of TRGSWLv1FFT.new (trgsw.zig:81-91): the static operand of
-    every external product, pre-recoded so the per-CMux work is only a
-    gather (Toeplitz build) + int8 matmuls.
+    every external product, pre-recoded so the per-CMux work is only the
+    Toeplitz roll-build + int8 matmuls.
+
+    n_klimbs < 4 trades key precision for matmul passes: the value is
+    rounded to its top 8*n_klimbs bits (limb shifts then start at
+    8*(4-n_klimbs); ops/blind_rotate reads the drop from the limb count).
+    Dropping one limb adds ~2^17-rms noise per external product at 128-bit
+    — well under the decryption margin (validated by gate tests) — and cuts
+    the CMux matmul work by 25%.
     """
+    drop = N_KLIMBS - n_klimbs
     ext = negacyclic_extend(trgsw_ct)  # [..., 2L, 2, 2N]
-    limbs = i32_to_i8_limbs(ext, N_KLIMBS)  # [..., 2L, 2, 2N, n_klimbs]
+    if drop:
+        half = jnp.int32(1 << (8 * drop - 1))
+        ext = jax.lax.shift_right_arithmetic(ext + half, jnp.int32(8 * drop))
+    limbs = i32_to_i8_limbs(ext, n_klimbs)  # [..., 2L, 2, 2N, n_klimbs]
     return jnp.moveaxis(limbs, -1, -4)
 
 

@@ -24,15 +24,25 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def _sync(x):
+    """Force completion.  On the axon TPU platform block_until_ready does
+    NOT block; a host readback of one element is the only reliable fence."""
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf).ravel()[:1]
+    return x
+
+
 def time_op(fn, *args, iters: int = 3, warmup: int = 1):
     """Median seconds per call of fn(*args) with compile excluded."""
     import numpy as np
 
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
         times.append(time.perf_counter() - t0)
     return float(np.median(times))

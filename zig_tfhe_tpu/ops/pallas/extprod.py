@@ -37,7 +37,10 @@ def _kernel(bsk_ref, dig_ref, out_ref, *, N: int, rows_2l: int, drop: int):
     rows = ext[:, None, :]                 # [2, 1, 2N]
     s = 1
     while s < N:
-        rows = jnp.concatenate([rows, pltpu.roll(rows, s, axis=2)], axis=1)
+        # static roll-right by s via slice+concat (Mosaic cannot lower
+        # tpu.dynamic_rotate on int8 vectors, so pltpu.roll is off-limits)
+        rolled = jnp.concatenate([rows[..., -s:], rows[..., :-s]], axis=2)
+        rows = jnp.concatenate([rows, rolled], axis=1)
         s *= 2
     # rows[o, k, :] = roll(ext_o, k); circulant T_o = rows[o, :, :N]
     t_cat = jnp.concatenate([rows[0, :, :N], rows[1, :, :N]], axis=1)  # [N, 2N]

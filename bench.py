@@ -42,7 +42,7 @@ def main():
     t0 = time.time()
     sk = K.SecretKey.generate(jax.random.key(0), params)
     ck = K.CloudKey.generate(jax.random.key(1), sk, params)
-    jax.block_until_ready(ck.bsk_ext_limbs)
+    jax.block_until_ready(jax.tree_util.tree_leaves(ck))
     print(f"# keygen: {time.time()-t0:.1f}s", file=sys.stderr)
 
     bits_a = jnp.asarray(np.random.default_rng(0).integers(0, 2, B).astype(bool))

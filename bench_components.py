@@ -1,14 +1,13 @@
 #!/usr/bin/env python
 """Microbenchmark of blind-rotation step components on the current device.
 
-Times, per scan step at the given batch size:
-  - toeplitz build (doubling rolls) of one BSK entry
-  - negacyclic rotate of the accumulator (take_along_axis gather)
-  - gadget decomposition
-  - the int8 limb matmuls
-  - one fused full step, and the full 700-step scan
+The axon TPU platform has very high per-dispatch latency (~100+ ms through
+the tunnel), so standalone op timings are meaningless.  Each component is
+timed as a K-iteration ``lax.scan`` inside ONE jit, with a carried data
+dependency so XLA cannot hoist or DCE the body; per-iteration cost is the
+slope between a K and a 2K run (cancels dispatch + scan setup overhead).
 
-Usage: BENCH_BATCH=1024 python bench_components.py [params]
+Usage: BENCH_BATCH=1024 BENCH_K=20 python bench_components.py [params]
 """
 
 import os
@@ -30,6 +29,7 @@ from zig_tfhe_tpu.utils.torus import i32_to_i8_limbs
 pname = sys.argv[1] if len(sys.argv) > 1 else "128bit"
 params = P.PARAMS_BY_NAME[pname]
 B = int(os.environ.get("BENCH_BATCH", "1024"))
+K = int(os.environ.get("BENCH_K", "20"))
 N, L = params.N, params.L
 rng = np.random.default_rng(0)
 
@@ -40,34 +40,69 @@ digits = jnp.asarray(rng.integers(-32, 32, (B, 2 * L * N)).astype(np.int8))
 mats = jnp.asarray(rng.integers(-128, 128, (4, 2 * L * N, 2 * N)).astype(np.int8))
 
 
-def report(name, fn, *args, flops=None):
-    fj = jax.jit(fn)
-    dt = time_op(fj, *args)
+def scan_time(body, init, k):
+    """Seconds for a k-iteration scan of body (one jit dispatch)."""
+    def run(x):
+        def step(c, i):
+            return body(c, i), None
+        c, _ = jax.lax.scan(step, x, jnp.arange(k, dtype=jnp.int32))
+        return c
+    return time_op(jax.jit(run), init)
+
+
+def report(name, body, init, flops=None):
+    t1 = scan_time(body, init, K)
+    t2 = scan_time(body, init, 2 * K)
+    dt = max((t2 - t1) / K, 1e-9)
     extra = f"  ({flops/dt/1e12:.1f} TOPS)" if flops else ""
-    print(f"{name:28s} {dt*1e3:8.3f} ms{extra}")
+    print(f"{name:28s} {dt*1e3:8.3f} ms/iter{extra}", flush=True)
     return dt
 
 
-print(f"device={jax.devices()[0]}, params={pname}, B={B}")
-report("toeplitz build (1 step)", lambda b: BR._trgsw_matrices(b, params), bsk_i)
-report("rotate acc", lambda a, k: poly.negacyclic_rotate(a, BR.modswitch(k, params)),
-       acc, a_col)
-report("decompose", lambda a: BR._decompose_to_rows(a, params), acc)
-report("limb recode", lambda d: i32_to_i8_limbs(d, 1), acc)
+print(f"device={jax.devices()[0]}, params={pname}, B={B}, K={K}")
+
+# perturb the carry each iter so nothing is loop-invariant
+report("toeplitz build (1 step)",
+       lambda c, i: (c + BR._trgsw_matrices(c, params)[:, 0, 0]
+                     .reshape(-1, 1, 1, 1).astype(jnp.int8)),
+       bsk_i)
+report("rotate acc",
+       lambda c, i: poly.negacyclic_rotate(c, BR.modswitch(a_col + i, params)),
+       acc)
+report("decompose",
+       lambda c, i: BR._decompose_to_rows(c + i, params)[..., :2, :].astype(jnp.int32)
+                    .sum(-2, keepdims=True) + c,
+       acc)
+report("limb recode",
+       lambda c, i: c + i32_to_i8_limbs(c + i, 1)[..., 0].astype(jnp.int32),
+       acc)
 mm_flops = 4 * 2 * B * (2 * L * N) * (2 * N)
-report("4x limb matmul", lambda d, m: sum(
-    jax.lax.dot_general(d, m[i], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32)
-    for i in range(4)), digits, mats, flops=mm_flops)
+report("4x limb matmul",
+       lambda c, i: jnp.tile(sum(
+           jax.lax.dot_general((c + i.astype(jnp.int8)), mats[j],
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+           for j in range(4)), (1, (2 * L * N) // (2 * N))).astype(jnp.int8),
+       digits, flops=mm_flops)
 
 
-def one_step(acc, bsk_i, a_col):
-    a_tilda = BR.modswitch(a_col, params)
+def one_step(acc, i):
+    a_tilda = BR.modswitch(a_col + i, params)
     rotated = poly.negacyclic_rotate(acc, a_tilda)
     m = BR._trgsw_matrices(bsk_i, params)
     return acc + BR._external_product_from_mats(m, rotated - acc, params)
 
 
-dt_step = report("one full step", one_step, acc, bsk_i, a_col)
+def one_step_pallas(acc, i):
+    a_tilda = BR.modswitch(a_col + i, params)
+    rotated = poly.negacyclic_rotate(acc, a_tilda)
+    return acc + BR._external_product_pallas(bsk_i, rotated - acc, params)
+
+
+dt_step = report("one full step (xla)", one_step, acc)
 print(f"=> projected scan ({params.n0} steps): {dt_step*params.n0*1e3:.0f} ms "
       f"-> {B/(dt_step*params.n0):.0f} gates/s")
+if jax.default_backend() != "cpu":
+    dt_p = report("one full step (pallas)", one_step_pallas, acc)
+    print(f"=> projected scan ({params.n0} steps): {dt_p*params.n0*1e3:.0f} ms "
+          f"-> {B/(dt_p*params.n0):.0f} gates/s")

@@ -36,7 +36,7 @@ def main():
     print("Generating keys...")
     sk = K.SecretKey.generate(jax.random.key(0), params)
     ck = K.CloudKey.generate(jax.random.key(1), sk, params)
-    jax.block_until_ready(ck.bsk_ext_limbs)
+    jax.block_until_ready(jax.tree_util.tree_leaves(ck))
     print(f"Keys generated in {time.time()-t0:.1f}s\n")
 
     a, b = args.a, args.b

@@ -40,8 +40,12 @@ def test_sharded_gates_bit_exact(tiny, tiny_sk, tiny_ck, mesh8, rng):
     ck_sh = K.CloudKey(
         testvec=jax.device_put(tiny_ck.testvec, repl),
         ksk1=jax.device_put(tiny_ck.ksk1, NamedSharding(mesh8, Pspec("model", None))),
-        bsk_ext_limbs=jax.device_put(tiny_ck.bsk_ext_limbs, repl),
+        bsk_ntt=(jax.device_put(tiny_ck.bsk_ntt, repl)
+                 if tiny_ck.bsk_ntt is not None else None),
+        bsk_ext_limbs=(jax.device_put(tiny_ck.bsk_ext_limbs, repl)
+                       if tiny_ck.bsk_ext_limbs is not None else None),
         params=tiny,
+        bsk_ntt_drop=tiny_ck.bsk_ntt_drop,
     )
     ids_s, cta_s, ctb_s = (jax.device_put(x, batch_sh) for x in (ids, cta, ctb))
     step = jax.jit(lambda i, a, b: G.apply_gates(i, a, b, ck_sh))

@@ -63,47 +63,88 @@ class SecretKey:
 class CloudKey:
     """Evaluation key (key.zig:61-77), in TPU-native layouts.
 
-    testvec:       int32 [2, N]            (a=0, b==1/8; key.zig:134-145)
-    ksk1:          int32 [N*t, n0+1]       (signed-digit key switch key)
-    bsk_ext_limbs: int8  [n0, 4, 2L, 2, 2N] (BSK in ext-limb form)
+    testvec:       int32 [2, N]             (a=0, b==1/8; key.zig:134-145)
+    ksk1:          int32 [N*t, n0+1]        (signed-digit key switch key)
+    bsk_ntt:       int16 [n0, P, 2L, 2, N]  (BSK in NTT residue form — the
+                   fast engine's key; rounded by bsk_ntt_drop bits)
+    bsk_ext_limbs: int8  [n0, 4, 2L, 2, 2N] (BSK in ext-limb form, for the
+                   Toeplitz engines; optional)
     """
 
     testvec: Any
     ksk1: Any
-    bsk_ext_limbs: Any
-    params: SecurityParams = dataclasses.field(metadata=dict(static=True))
+    bsk_ntt: Any = None
+    bsk_ext_limbs: Any = None
+    params: SecurityParams = dataclasses.field(
+        default=None, metadata=dict(static=True))
+    bsk_ntt_drop: int = dataclasses.field(
+        default=0, metadata=dict(static=True))
 
     def tree_flatten(self):
-        return (self.testvec, self.ksk1, self.bsk_ext_limbs), self.params
+        return ((self.testvec, self.ksk1, self.bsk_ntt, self.bsk_ext_limbs),
+                (self.params, self.bsk_ntt_drop))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, params=aux)
+        return cls(*children, params=aux[0], bsk_ntt_drop=aux[1])
 
     @classmethod
     def generate(cls, key, secret_key: SecretKey, params: SecurityParams,
-                 bsk_limbs: int = 4) -> "CloudKey":
-        """bsk_limbs < 4 trades a little noise for 25%-per-limb less CMux
-        matmul work (see trgsw.to_ext_limbs)."""
+                 engines=("ntt",), bsk_limbs: int = 4,
+                 ntt_drop: int | None = None) -> "CloudKey":
+        """engines selects the BSK forms to materialize ('ntt' and/or
+        'toeplitz').  ntt_drop (BSK rounding bits) defaults per params;
+        bsk_limbs < 4 is the Toeplitz engines' analogous knob."""
+        from zig_tfhe_tpu.ops import ntt as _nttmod
+
         k_ksk, k_bsk = jax.random.split(key)
+        if ntt_drop is None:
+            ntt_drop = _nttmod.default_drop_bits(params)
+        trgsw_ct = _trgsw.encrypt_torus(
+            k_bsk, secret_key.key_lv0, params.bsk_alpha, secret_key.key_lv1,
+            params)
+        bsk_ntt = None
+        if "ntt" in engines:
+            plan = _nttmod.plan_for_params(params, ntt_drop)
+            bsk_ntt = jnp.moveaxis(
+                _nttmod.to_ntt_form(trgsw_ct, plan, ntt_drop), 0, 1)
+        bsk_ext = None
+        if "toeplitz" in engines:
+            bsk_ext = _trgsw.to_ext_limbs(trgsw_ct, bsk_limbs)
         return cls(
             testvec=gen_testvec(params),
             ksk1=gen_key_switching_key(k_ksk, secret_key, params),
-            bsk_ext_limbs=gen_bootstrapping_key(k_bsk, secret_key, params,
-                                                bsk_limbs),
+            bsk_ntt=bsk_ntt,
+            bsk_ext_limbs=bsk_ext,
             params=params,
+            bsk_ntt_drop=ntt_drop,
         )
 
     @classmethod
-    def generate_no_ksk(cls, params: SecurityParams) -> "CloudKey":
+    def generate_no_ksk(cls, params: SecurityParams,
+                        engines=("ntt",)) -> "CloudKey":
         """Cheap test fixture: dummy all-zero BSK, zero KSK (key.zig:80-100)."""
+        from zig_tfhe_tpu.ops import ntt as _nttmod
+
+        ntt_drop = _nttmod.default_drop_bits(params)
+        bsk_ntt = None
+        if "ntt" in engines:
+            plan = _nttmod.plan_for_params(params, ntt_drop)
+            bsk_ntt = jnp.zeros(
+                (params.n0, plan.n_primes, 2 * params.L, 2, params.N),
+                jnp.int16)
+        bsk_ext = None
+        if "toeplitz" in engines:
+            bsk_ext = jnp.zeros(
+                (params.n0, _trgsw.N_KLIMBS, 2 * params.L, 2, 2 * params.N),
+                jnp.int8)
         return cls(
             testvec=gen_testvec(params),
             ksk1=jnp.zeros((params.n1 * params.iks_t, params.n0 + 1), jnp.int32),
-            bsk_ext_limbs=jnp.zeros(
-                (params.n0, _trgsw.N_KLIMBS, 2 * params.L, 2, 2 * params.N),
-                jnp.int8),
+            bsk_ntt=bsk_ntt,
+            bsk_ext_limbs=bsk_ext,
             params=params,
+            bsk_ntt_drop=ntt_drop,
         )
 
 

@@ -34,14 +34,12 @@ from zig_tfhe_tpu.utils.torus import i32_to_i8_limbs, shift_right_logical
 
 
 def default_engine() -> str:
-    """'pallas' (fused VMEM kernel) on TPU, 'xla' elsewhere.
+    """'ntt' (matmul NTT engine — fastest and exact) on every backend.
 
-    Override with ZTFHE_ENGINE=xla|pallas.
+    Override with ZTFHE_ENGINE=ntt|xla|pallas ('xla'/'pallas' are the
+    Toeplitz-circulant engines, kept for comparison and as oracles).
     """
-    env = os.environ.get("ZTFHE_ENGINE")
-    if env:
-        return env
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return os.environ.get("ZTFHE_ENGINE") or "ntt"
 
 
 def _decompose_to_rows(ct, params: SecurityParams):
@@ -131,13 +129,14 @@ def _external_product_pallas(bsk_i, ct, params: SecurityParams):
     return out.reshape(batch + (2, N))
 
 
-def blind_rotate(tlwe_batch, testvec, bsk_ext_limbs, params: SecurityParams,
+def blind_rotate(tlwe_batch, testvec, ck, params: SecurityParams,
                  unroll: int = 1, engine: str | None = None):
     """Blind rotation of a batch of TLWE lv0 ciphertexts.
 
-    tlwe_batch:    int32 [B, n0+1]
-    testvec:       int32 [2, N] (shared) or [B, 2, N] (per-gate, for PBS)
-    bsk_ext_limbs: int8 [n0, n_klimbs, 2L, 2, 2N]
+    tlwe_batch: int32 [B, n0+1]
+    testvec:    int32 [2, N] (shared) or [B, 2, N] (per-gate, for PBS)
+    ck:         CloudKey (the engine picks its key form: bsk_ntt for 'ntt',
+                bsk_ext_limbs for 'xla'/'pallas')
     Returns int32 [B, 2, N].
 
     Semantics match blindRotate / blindRotateWithTestvec
@@ -145,6 +144,20 @@ def blind_rotate(tlwe_batch, testvec, bsk_ext_limbs, params: SecurityParams,
     each LWE coefficient with a CMux against BSK[i].
     """
     engine = engine or default_engine()
+    if engine == "ntt":
+        from zig_tfhe_tpu.ops.blind_rotate_ntt import blind_rotate_ntt
+        assert ck.bsk_ntt is not None, "CloudKey lacks bsk_ntt (engines=...)"
+        return blind_rotate_ntt(tlwe_batch, testvec, ck.bsk_ntt, params,
+                                ck.bsk_ntt_drop, unroll=unroll)
+    assert ck.bsk_ext_limbs is not None, "CloudKey lacks bsk_ext_limbs"
+    return blind_rotate_toeplitz(tlwe_batch, testvec, ck.bsk_ext_limbs,
+                                 params, unroll=unroll, engine=engine)
+
+
+def blind_rotate_toeplitz(tlwe_batch, testvec, bsk_ext_limbs,
+                          params: SecurityParams, unroll: int = 1,
+                          engine: str = "xla"):
+    """Toeplitz-circulant blind rotation (per-step operand build)."""
     n0 = params.n0
     B = tlwe_batch.shape[0]
     b = tlwe_batch[..., n0]

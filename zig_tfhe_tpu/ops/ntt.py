@@ -1,0 +1,407 @@
+"""Matmul-form negacyclic NTT engine — the TPU-first external product.
+
+Why this exists.  The Toeplitz engine (ops/poly.py, ops/blind_rotate.py)
+is exact but must *construct* a [2L*N, 2N] int8 circulant operand from the
+streamed bootstrapping-key row on every blind-rotate step; on TPU those
+byte-granular roll/concat doublings are relayout-bound and leave the MXU
+~99% idle.  This engine replaces the per-step operand construction with
+matrix multiplication against STATIC [N, N] matrices:
+
+  * negacyclic convolution is diagonalized by the psi-twisted NTT over
+    primes p ≡ 1 (mod 2N):  fwd[j,k] = psi^{j(2k+1)},
+    inv[k,n] = N^{-1} psi^{-n(2k+1)}  (both fixed matrices — the twist is
+    folded into the matmul for free);
+  * the bootstrapping key is stored pre-transformed (NTT residue form),
+    so a blind-rotate step is:  decompose -> forward NTT (int8-limb
+    matmuls) -> pointwise modmul vs the key residues (VPU) -> X^t
+    rotation as a *diagonal* multiply (one row-gather from a psi-power
+    table — no coefficient-domain gather at all) -> inverse NTT ->
+    CRT-combine to int32 mod 2^32;
+  * everything is EXACT: int32 intermediates never exceed 2^31 (bounds
+    in comments), modular reduction is float-assisted Barrett whose f32
+    error (< 2^-6) is provably below the rounding margin, and the final
+    CRT lift is exact because the truw convolution magnitude is < P/4.
+
+Replaces the role of the reference's Klemsa f64 FFT (fft.zig:79-670) and
+frequency-domain MACs (trgsw.zig:157-189) with integer-exact semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zig_tfhe_tpu.params import SecurityParams
+from zig_tfhe_tpu.utils.torus import i32_to_i8_limbs
+
+
+# ---------------------------------------------------------------------------
+# Prime / root machinery (host-side, exact Python ints)
+# ---------------------------------------------------------------------------
+
+
+def _is_prime(n: int) -> bool:
+    if n < 2:
+        return False
+    for q in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if n % q == 0:
+            return n == q
+    d, s = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        s += 1
+    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(s - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+@functools.lru_cache(maxsize=None)
+def ntt_primes(two_n: int, max_p: int = 1 << 16) -> tuple:
+    """All primes p ≡ 1 (mod 2N) with p <= max_p, ascending."""
+    return tuple(p for p in range(two_n + 1, max_p + 1, two_n) if _is_prime(p))
+
+
+def _primitive_2n_root(p: int, two_n: int) -> int:
+    """psi with psi^(2N) = 1 and psi^N = -1 mod p."""
+    for g in range(2, p):
+        psi = pow(g, (p - 1) // two_n, p)
+        if pow(psi, two_n // 2, p) == p - 1:
+            return psi
+    raise ValueError(f"no primitive {two_n}-th root mod {p}")
+
+
+def _center(a: np.ndarray, p: int) -> np.ndarray:
+    """Centered representative in [-p//2, p//2]."""
+    return ((a % p) + p // 2) % p - p // 2
+
+
+def _i8_split(a: np.ndarray):
+    """int array (|a| < 2^15 + 2^7) -> (lo, hi) int8 with a == lo + 256*hi."""
+    lo = ((a + 128) % 256 - 128).astype(np.int64)
+    hi = (a - lo) >> 8
+    assert np.all(np.abs(hi) <= 127), np.abs(hi).max()
+    return lo.astype(np.int8), hi.astype(np.int8)
+
+
+# ---------------------------------------------------------------------------
+# Plan
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class NTTPlan:
+    """Static per-(N, bound) transform data.
+
+    All arrays are numpy (host); they enter jit graphs as constants.
+      fwd_lo/hi[i]: int8 [N, N]   psi-twisted forward NTT matrix limbs
+      inv_lo/hi[i]: int8 [N, N]   inverse (incl. N^-1 and untwist)
+      rot[i]:       int16 [2N, N] centered psi^{t(2k+1)} rotation diagonals
+      crt_e[i]:     int32          e_p mod 2^32 (CRT idempotent)
+      crt_theta[i]: float32        e_p / P
+      p_mod:        int32          P mod 2^32
+    """
+
+    N: int
+    primes: tuple
+    fwd_lo: tuple
+    fwd_hi: tuple
+    inv_lo: tuple
+    inv_hi: tuple
+    rot: tuple
+    crt_e: tuple
+    crt_theta: tuple
+    p_mod: int
+
+    def __hash__(self):
+        return hash((self.N, self.primes))
+
+    def __eq__(self, other):
+        return (self.N, self.primes) == (other.N, other.primes)
+
+    @property
+    def n_primes(self) -> int:
+        return len(self.primes)
+
+    def row_group(self, p: int) -> int:
+        """Rows safely accumulated unreduced: group * (0.55p * p/2) < 2^31."""
+        return max(1, (2**31 - 1) // (math.ceil(0.55 * p) * (p // 2) + 1))
+
+
+@functools.lru_cache(maxsize=None)
+def make_plan(N: int, bound_bits: int) -> NTTPlan:
+    """Plan whose prime product P > 2^(bound_bits + 2).
+
+    bound_bits must satisfy |true convolution| < 2^bound_bits; the +2 keeps
+    the CRT f32 rounding margin >= 1/4 (see crt_combine).
+    """
+    two_n = 2 * N
+    avail = ntt_primes(two_n)
+    primes, logp = [], 0.0
+    for p in avail:
+        primes.append(p)
+        logp += math.log2(p)
+        if logp > bound_bits + 2:
+            break
+    else:
+        raise ValueError(
+            f"not enough NTT primes for N={N}, bound 2^{bound_bits}")
+
+    fwd_lo, fwd_hi, inv_lo, inv_hi, rot = [], [], [], [], []
+    crt_e, crt_theta = [], []
+    P = 1
+    for p in primes:
+        P *= p
+    for p in primes:
+        psi = _primitive_2n_root(p, two_n)
+        # power tables via cumulative products (exact Python ints)
+        psi_pow = np.ones(two_n, dtype=object)
+        for i in range(1, two_n):
+            psi_pow[i] = psi_pow[i - 1] * psi % p
+        j = np.arange(N)
+        k = np.arange(N)
+        fwd = psi_pow[(j[:, None] * (2 * k[None, :] + 1)) % two_n].astype(np.int64)
+        n_inv = pow(N, p - 2, p)
+        inv_exp = (-(k[None, :] * (2 * j[:, None] + 1))) % two_n  # [j=k_in rows]
+        # inv[k, n] = N^-1 * psi^{-n(2k+1)}
+        inv = (psi_pow[(-(np.arange(N)[None, :] * (2 * np.arange(N)[:, None] + 1)))
+                       % two_n].astype(np.int64) * n_inv) % p
+        t = np.arange(two_n)
+        rot_t = psi_pow[(t[:, None] * (2 * k[None, :] + 1)) % two_n].astype(np.int64)
+
+        flo, fhi = _i8_split(_center(fwd, p))
+        ilo, ihi = _i8_split(_center(inv, p))
+        fwd_lo.append(flo)
+        fwd_hi.append(fhi)
+        inv_lo.append(ilo)
+        inv_hi.append(ihi)
+        rot.append(_center(rot_t, p).astype(np.int16))
+
+        pp = P // p
+        e = pp * pow(pp, p - 2, p)  # e ≡ 1 mod p, ≡ 0 mod others
+        crt_e.append(np.int32(np.uint32(e % (1 << 32)).view(np.int32)))
+        crt_theta.append(np.float32(e / P))
+
+    return NTTPlan(
+        N=N, primes=tuple(primes),
+        fwd_lo=tuple(fwd_lo), fwd_hi=tuple(fwd_hi),
+        inv_lo=tuple(inv_lo), inv_hi=tuple(inv_hi),
+        rot=tuple(rot),
+        crt_e=tuple(crt_e), crt_theta=tuple(crt_theta),
+        p_mod=int(np.uint32(P % (1 << 32)).view(np.int32)),
+    )
+
+
+def plan_for_params(params: SecurityParams, drop_bits: int = 0) -> NTTPlan:
+    """Plan covering one external product + NTT-domain rotation.
+
+    True integer magnitude <= 2 (X^t - 1) * 2L rows * N terms * Bg/2 digit
+    * 2^(31-drop) key => the CRT prime product must exceed 4x that.
+    """
+    digit_bound = 1 << (params.bgbit - 1)
+    bound = 2 * (2 * params.L) * params.N * digit_bound * (1 << (31 - drop_bits))
+    return make_plan(params.N, bound.bit_length())
+
+
+def default_drop_bits(params: SecurityParams) -> int:
+    """BSK rounding (bits) for the NTT engine.
+
+    Production sets (N=1024) tolerate 8 dropped bits (rounding noise std
+    ~2^17.8 per step, ~2^22.5 over 700 steps — under the modswitch noise
+    and far under the 2^28 margin; validated by bench accuracy).  Test sets
+    with alpha=0 stay exact.
+    """
+    return 8 if params.N >= 1024 else 0
+
+
+# ---------------------------------------------------------------------------
+# Device-side modular primitives (all int32/f32, VPU)
+# ---------------------------------------------------------------------------
+
+
+def barrett_reduce(v, p: int):
+    """r ≡ v (mod p) with |r| <= 0.52*p, for any int32 v.
+
+    Float-assisted: q = round(f32(v)/p).  f32 relative error 2^-24 on |v| up
+    to 2^31 plus output rounding gives |q - v/p| < 1/2 + 2^-6, so
+    |r| < p*(1/2 + 2^-6).  The subtraction wraps safely (true r is small).
+    """
+    q = jnp.round(v.astype(jnp.float32) * np.float32(1.0 / p)).astype(jnp.int32)
+    return v - q * jnp.int32(p)
+
+
+def _limb_pair_combine(lo, hi, p: int, N: int, in_bound: int):
+    """Exact (lo_dot + 256*hi_dot) mod p with int32-safe intermediates.
+
+    lo/hi are int32 matmul outputs of int8-limb operands against the lo/hi
+    matrix limbs; |lo| <= N*in_bound*128, |hi| <= N*in_bound*hi_max.
+    Fast path (single add) when 256*|hi| provably fits int32.
+    """
+    hi_max = p // 512 + 1
+    if N * in_bound * hi_max * 256 < 2**31:
+        return barrett_reduce(lo + jax.lax.shift_left(hi, jnp.int32(8)), p)
+    # safe path: reduce limbs separately, then combine (<= 0.55p*257 < 2^24)
+    return barrett_reduce(
+        barrett_reduce(lo, p) + barrett_reduce(hi, p) * jnp.int32(256), p)
+
+
+def ntt_forward(digits, plan: NTTPlan, digit_limbs: int = 1,
+                digit_bound: int = 128):
+    """Forward NTT of small signed polys.
+
+    digits: int32 [..., N] with |digits| < 2^(8*digit_limbs - 1); the top
+    limb is bounded by digit_bound (used only for overflow-path selection).
+    Returns list per prime of int32 [..., N] centered residues (<= 0.55p).
+    """
+    if digit_limbs == 1:
+        d8 = [digits.astype(jnp.int8)]
+        bounds = [digit_bound]
+    else:
+        limbs = i32_to_i8_limbs(digits, digit_limbs)  # [..., N, n_dl]
+        d8 = [limbs[..., i] for i in range(digit_limbs)]
+        bounds = [128] * (digit_limbs - 1) + [digit_bound]
+    out = []
+    for i, p in enumerate(plan.primes):
+        flo = jnp.asarray(plan.fwd_lo[i])
+        fhi = jnp.asarray(plan.fwd_hi[i])
+        r = None
+        for dl in reversed(range(digit_limbs)):
+            lo = _dot_i8(d8[dl], flo)
+            hi = _dot_i8(d8[dl], fhi)
+            yr = _limb_pair_combine(lo, hi, p, plan.N, bounds[dl])
+            r = yr if r is None else barrett_reduce(r * jnp.int32(256) + yr, p)
+        out.append(r)
+    return out
+
+
+def _dot_i8(a_i8, b_i8):
+    return jax.lax.dot_general(
+        a_i8, b_i8,
+        dimension_numbers=(((a_i8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def ntt_inverse_to_crt(res_list, plan: NTTPlan):
+    """Inverse NTT per prime + exact CRT lift to int32 (mod 2^32).
+
+    res_list: per prime int32 [..., N] centered residues (|.| <= 0.52p).
+    Returns int32 [..., N] == centered-exact convolution mod 2^32, provided
+    the true integer convolution magnitude is < P/4.
+    """
+    xs = []
+    for i, p in enumerate(plan.primes):
+        v = res_list[i]
+        lo = ((v + 128) & 255) - 128                    # int32, [-128, 127]
+        hi = jax.lax.shift_right_arithmetic(v - lo, jnp.int32(8))
+        ilo = jnp.asarray(plan.inv_lo[i])
+        ihi = jnp.asarray(plan.inv_hi[i])
+        p00 = _dot_i8(lo.astype(jnp.int8), ilo)          # <= 2^24
+        p01 = _dot_i8(lo.astype(jnp.int8), ihi)
+        p10 = _dot_i8(hi.astype(jnp.int8), ilo)
+        p11 = _dot_i8(hi.astype(jnp.int8), ihi)
+        r1 = barrett_reduce(p01 + p10, p)                # <= 0.52p
+        r2 = barrett_reduce(p11, p)
+        y = p00 + r1 * jnp.int32(256) + barrett_reduce(
+            r2 * jnp.int32(1 << 16), p)                  # <= 2^24 + 2^23 + p
+        xs.append(barrett_reduce(y, p))
+    return crt_combine(xs, plan)
+
+
+def crt_combine(xs, plan: NTTPlan):
+    """Centered-exact CRT: x mod 2^32 from centered residues.
+
+    m = round(sum x_p * e_p / P) recovers the integer multiple of P in
+    sum x_p*e_p; valid because |x| < P/4 and the f32 error is < 2^-6.
+    """
+    frac = sum(x.astype(jnp.float32) * np.float32(t)
+               for x, t in zip(xs, plan.crt_theta))
+    m = jnp.round(frac).astype(jnp.int32)
+    out = sum(x * jnp.int32(e) for x, e in zip(xs, plan.crt_e))
+    return out - m * jnp.int32(plan.p_mod)
+
+
+# ---------------------------------------------------------------------------
+# Key material in NTT residue form
+# ---------------------------------------------------------------------------
+
+
+def to_ntt_form(polys, plan: NTTPlan, drop_bits: int = 0):
+    """Torus polys int32 [..., N] -> int16 [n_primes, ..., N] residues.
+
+    drop_bits > 0 rounds the polys to their top (32 - drop_bits) bits first
+    (noise/performance trade, same role as bsk_limbs in the Toeplitz engine);
+    callers must scale the convolution back by 2^drop_bits.
+    """
+    x = jnp.asarray(polys, jnp.int32)
+    if drop_bits:
+        half = jnp.int32(1 << (drop_bits - 1))
+        x = jax.lax.shift_right_arithmetic(x + half, jnp.int32(drop_bits))
+    limbs = i32_to_i8_limbs(x, 4)  # [..., N, 4]
+    out = []
+    for i, p in enumerate(plan.primes):
+        flo = jnp.asarray(plan.fwd_lo[i])
+        fhi = jnp.asarray(plan.fwd_hi[i])
+        r = None
+        for dl in reversed(range(4)):
+            lo = _dot_i8(limbs[..., dl], flo)
+            hi = _dot_i8(limbs[..., dl], fhi)
+            yr = _limb_pair_combine(lo, hi, p, plan.N, 128)
+            r = yr if r is None else barrett_reduce(r * jnp.int32(256) + yr, p)
+        # final centered reduce to |.| <= p/2 so int16 storage is canonical
+        r = r - jnp.int32(p) * (r > jnp.int32(p // 2)).astype(jnp.int32)
+        r = r + jnp.int32(p) * (r < -jnp.int32(p // 2)).astype(jnp.int32)
+        out.append(r.astype(jnp.int16))
+    return jnp.stack(out)
+
+
+def pointwise_extprod(d_hat, key_hat, plan: NTTPlan):
+    """sum over rows of d_hat[..., R, N] * key_hat[prime][R, C, N] -> per-prime
+    int32 [..., C, N] residues (<= 0.52p), exact mod p.
+
+    d_hat: list per prime, int32 [..., R, N] centered (<= 0.52p)
+    key_hat: int16 [n_primes, R, C, N] centered (|.| <= p/2)
+    """
+    outs = []
+    R = key_hat.shape[1]
+    for i, p in enumerate(plan.primes):
+        g = plan.row_group(p)
+        kh = key_hat[i].astype(jnp.int32)               # [R, C, N]
+        d = d_hat[i][..., :, None, :]                    # [..., R, 1, N]
+        acc = None
+        for r0 in range(0, R, g):
+            part = sum(d[..., r, :, :] * kh[r] for r in range(r0, min(r0 + g, R)))
+            part = barrett_reduce(part, p)
+            acc = part if acc is None else acc + part    # <= n_groups * 0.52p
+        outs.append(barrett_reduce(acc, p))
+    return outs
+
+
+def rotate_diag(res_list, t, plan: NTTPlan, minus_one: bool = True):
+    """Multiply NTT residues by the diagonal of X^t (optionally X^t - 1).
+
+    res_list: per prime int32 [B, ..., N]; t: int32 [B] in [0, 2N).
+    """
+    outs = []
+    for i, p in enumerate(plan.primes):
+        tab = jnp.asarray(plan.rot[i])                  # int16 [2N, N] centered
+        row = jnp.take(tab, t, axis=0).astype(jnp.int32)  # [B, N]
+        if minus_one:
+            row = row - 1                                # |.| <= p/2 + 1
+        v = res_list[i]
+        while row.ndim < v.ndim:
+            row = row[:, None]
+        outs.append(barrett_reduce(v * row, p))
+    return outs

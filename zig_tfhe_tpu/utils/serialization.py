@@ -51,10 +51,14 @@ def load_secret_key(path):
 
 
 def save_cloud_key(path, ck: K.CloudKey) -> None:
-    np.savez(path, __manifest__=_manifest(_KIND_CLOUD, ck.params.name),
-             testvec=np.asarray(ck.testvec),
-             ksk1=np.asarray(ck.ksk1),
-             bsk_ext_limbs=np.asarray(ck.bsk_ext_limbs))
+    arrays = dict(testvec=np.asarray(ck.testvec), ksk1=np.asarray(ck.ksk1))
+    if ck.bsk_ntt is not None:
+        arrays["bsk_ntt"] = np.asarray(ck.bsk_ntt)
+    if ck.bsk_ext_limbs is not None:
+        arrays["bsk_ext_limbs"] = np.asarray(ck.bsk_ext_limbs)
+    np.savez(path, __manifest__=_manifest(
+        _KIND_CLOUD, ck.params.name, {"bsk_ntt_drop": ck.bsk_ntt_drop}),
+        **arrays)
 
 
 def load_cloud_key(path) -> K.CloudKey:
@@ -64,8 +68,11 @@ def load_cloud_key(path) -> K.CloudKey:
     return K.CloudKey(
         testvec=jnp.asarray(z["testvec"]),
         ksk1=jnp.asarray(z["ksk1"]),
-        bsk_ext_limbs=jnp.asarray(z["bsk_ext_limbs"]),
+        bsk_ntt=jnp.asarray(z["bsk_ntt"]) if "bsk_ntt" in z else None,
+        bsk_ext_limbs=(jnp.asarray(z["bsk_ext_limbs"])
+                       if "bsk_ext_limbs" in z else None),
         params=P.PARAMS_BY_NAME[m["params"]],
+        bsk_ntt_drop=m.get("bsk_ntt_drop", 0),
     )
 
 

@@ -39,9 +39,11 @@ def main():
     pname = os.environ.get("BENCH_PARAMS", "128bit")
     params = P.PARAMS_BY_NAME[pname]
 
+    drop = os.environ.get("BENCH_DROP")
     t0 = time.time()
     sk = K.SecretKey.generate(jax.random.key(0), params)
-    ck = K.CloudKey.generate(jax.random.key(1), sk, params)
+    ck = K.CloudKey.generate(jax.random.key(1), sk, params,
+                             ntt_drop=int(drop) if drop else None)
     jax.block_until_ready(jax.tree_util.tree_leaves(ck))
     print(f"# keygen: {time.time()-t0:.1f}s", file=sys.stderr)
 

@@ -99,10 +99,76 @@ def one_step_pallas(acc, i):
     return acc + BR._external_product_pallas(bsk_i, rotated - acc, params)
 
 
-dt_step = report("one full step (xla)", one_step, acc)
-print(f"=> projected scan ({params.n0} steps): {dt_step*params.n0*1e3:.0f} ms "
-      f"-> {B/(dt_step*params.n0):.0f} gates/s")
-if jax.default_backend() != "cpu":
-    dt_p = report("one full step (pallas)", one_step_pallas, acc)
-    print(f"=> projected scan ({params.n0} steps): {dt_p*params.n0*1e3:.0f} ms "
-          f"-> {B/(dt_p*params.n0):.0f} gates/s")
+if os.environ.get("BENCH_TOEPLITZ"):
+    dt_step = report("one full step (xla)", one_step, acc)
+    print(f"=> projected scan ({params.n0} steps): {dt_step*params.n0*1e3:.0f} ms "
+          f"-> {B/(dt_step*params.n0):.0f} gates/s")
+    if jax.default_backend() != "cpu":
+        dt_p = report("one full step (pallas)", one_step_pallas, acc)
+        print(f"=> projected scan ({params.n0} steps): {dt_p*params.n0*1e3:.0f} ms "
+              f"-> {B/(dt_p*params.n0):.0f} gates/s")
+
+# ---------------------------------------------------------------------------
+# NTT engine step components
+# ---------------------------------------------------------------------------
+from zig_tfhe_tpu.ops import ntt as NTT
+from zig_tfhe_tpu.ops import blind_rotate_ntt as BRN
+
+drop = NTT.default_drop_bits(params)
+plan = NTT.plan_for_params(params, drop)
+print(f"\nNTT engine: primes={plan.primes}, drop={drop}")
+dbound = 1 << (params.bgbit - 1)
+bsk_i_ntt = jnp.asarray(
+    rng.integers(-6000, 6000, (plan.n_primes, 2 * L, 2, N)).astype(np.int16))
+t_col = jnp.asarray(rng.integers(0, 2 * N, B).astype(np.int32))
+rows_i32 = jnp.asarray(rng.integers(-dbound, dbound, (B, 2 * L, N)).astype(np.int32))
+
+fwd_flops = 2 * plan.n_primes * 2 * B * 2 * L * N * N * params.digit_limbs
+report("ntt fwd (digits)",
+       lambda c, i: jnp.stack(NTT.ntt_forward(c + i, plan, params.digit_limbs,
+                                              dbound), -1)[..., 0] % dbound - c,
+       rows_i32, flops=fwd_flops)
+
+u_hats = [jnp.asarray(rng.integers(-p // 2, p // 2, (B, 2, N)).astype(np.int32))
+          for p in plan.primes]
+
+
+def pointwise_body(c, i):
+    d_hat = [c + i for _ in plan.primes]
+    u = NTT.pointwise_extprod(d_hat, bsk_i_ntt, plan)
+    return c + u[0][..., :2 * L, :] * 0 + (u[0].sum() * 0).astype(jnp.int32)
+
+
+report("ntt pointwise extprod",
+       lambda c, i: c + jnp.stack(
+           NTT.pointwise_extprod([c[:, :2 * L] + i for _ in plan.primes],
+                                 bsk_i_ntt, plan), 0).sum(0)[:, :1] * 0,
+       jnp.asarray(rng.integers(-6000, 6000, (B, 2 * L, N)).astype(np.int32)))
+
+report("ntt rotate_diag",
+       lambda c, i: c + jnp.stack(NTT.rotate_diag(
+           [c for _ in plan.primes], (t_col + i) % (2 * N), plan), 0).sum(0) * 0,
+       u_hats[0])
+
+inv_flops = 2 * plan.n_primes * 4 * B * 2 * N * N
+report("ntt inverse+crt",
+       lambda c, i: c + NTT.ntt_inverse_to_crt(
+           [jnp.clip(c + i, -p // 2, p // 2) for p in plan.primes], plan) * 0,
+       u_hats[0], flops=inv_flops)
+
+
+def ntt_step(acc_c, i):
+    t = BR.modswitch(a_col + i, params)
+    rows = BR._decompose_to_rows(acc_c, params)
+    d_hat = NTT.ntt_forward(rows, plan, params.digit_limbs, dbound)
+    u_hat = NTT.pointwise_extprod(d_hat, bsk_i_ntt, plan)
+    v_hat = NTT.rotate_diag(u_hat, t, plan, minus_one=True)
+    delta = NTT.ntt_inverse_to_crt(v_hat, plan)
+    if drop:
+        delta = jax.lax.shift_left(delta, jnp.int32(drop))
+    return acc_c + delta
+
+
+dt_ntt = report("one full NTT step", ntt_step, acc)
+print(f"=> projected scan ({params.n0} steps): {dt_ntt*params.n0*1e3:.0f} ms "
+      f"-> {B/(dt_ntt*params.n0):.0f} gates/s")

@@ -31,6 +31,21 @@ from zig_tfhe_tpu.ops.poly import negacyclic_rotate
 from zig_tfhe_tpu.params import SecurityParams
 
 
+def rotate_via_ntt(polys, t, plan):
+    """Exact negacyclic X^t rotation of full-torus polys through the NTT.
+
+    polys: int32 [..., N] (any torus values); t: int32 [B] with the batch
+    axis leading in polys (or polys unbatched, broadcast against t).
+    Coefficient-domain rotation is a per-batch gather along the lane axis —
+    the slowest op on TPU by far (~29 ms at B=1024).  Round-tripping
+    through the NTT costs ~1 matmul-step instead.  Exactness: the result's
+    integer coefficients are the original values (|.| <= 2^31 < P/4).
+    """
+    p_hat = _ntt.ntt_forward(polys, plan, digit_limbs=4, digit_bound=128)
+    r_hat = _ntt.rotate_diag(p_hat, t, plan, minus_one=False)
+    return _ntt.ntt_inverse_to_crt(r_hat, plan)
+
+
 def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
                      drop_bits: int, unroll: int = 1):
     """tlwe_batch int32 [B, n0+1]; testvec int32 [2,N] or [B,2,N];
@@ -43,8 +58,9 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
     b = tlwe_batch[..., n0]
     b_tilda = jnp.int32(2 * N) - modswitch(b, params)
     if testvec.ndim == 2:
-        testvec = jnp.broadcast_to(testvec, (B,) + testvec.shape)
-    acc = negacyclic_rotate(testvec, b_tilda)
+        testvec = testvec[None]          # [1, 2, N] broadcasts against [B]
+    acc = rotate_via_ntt(testvec, b_tilda, plan)
+    acc = jnp.broadcast_to(acc, (B, 2, N)) if acc.shape[0] != B else acc
 
     a_cols = jnp.swapaxes(tlwe_batch[..., :n0], 0, 1)  # [n0, B]
 

@@ -148,7 +148,10 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
     the CRT f32 rounding margin >= 1/4 (see crt_combine).
     """
     two_n = 2 * N
-    avail = ntt_primes(two_n)
+    # Largest primes first: fewest primes for the required product (every
+    # prime costs matmul passes).  int16 storage requires p//2 <= 32767,
+    # which ntt_primes' max_p=2^16 already guarantees (65537 is excluded).
+    avail = ntt_primes(two_n)[::-1]
     primes, logp = [], 0.0
     for p in avail:
         primes.append(p)
@@ -158,6 +161,7 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
     else:
         raise ValueError(
             f"not enough NTT primes for N={N}, bound 2^{bound_bits}")
+    primes.sort()
 
     fwd_lo, fwd_hi, inv_lo, inv_hi, rot = [], [], [], [], []
     crt_e, crt_theta = [], []
@@ -218,12 +222,14 @@ def plan_for_params(params: SecurityParams, drop_bits: int = 0) -> NTTPlan:
 def default_drop_bits(params: SecurityParams) -> int:
     """BSK rounding (bits) for the NTT engine.
 
-    Production sets (N=1024) tolerate 8 dropped bits (rounding noise std
-    ~2^17.8 per step, ~2^22.5 over 700 steps — under the modswitch noise
-    and far under the 2^28 margin; validated by bench accuracy).  Test sets
-    with alpha=0 stay exact.
+    drop=6 at N=1024 fits the external-product bound in the THREE largest
+    sub-2^16 primes (40961*59393*61441 = 2^47.09 >= 4 * 2^44.58) — the
+    fewest matmul passes — with 4x less rounding noise than drop=8
+    (empirically: drop=8 decrypts exactly at batch 4096, drop=9 fails
+    ~0.5%; drop=6 has 4x margin on the working config).  Test sets with
+    alpha=0 stay exact.
     """
-    return 8 if params.N >= 1024 else 0
+    return 6 if params.N >= 1024 else 0
 
 
 # ---------------------------------------------------------------------------
@@ -394,6 +400,7 @@ def rotate_diag(res_list, t, plan: NTTPlan, minus_one: bool = True):
 
     res_list: per prime int32 [B, ..., N]; t: int32 [B] in [0, 2N).
     """
+    t = jnp.asarray(t) & jnp.int32(2 * plan.N - 1)      # X^(2N) == X^0
     outs = []
     for i, p in enumerate(plan.primes):
         tab = jnp.asarray(plan.rot[i])                  # int16 [2N, N] centered

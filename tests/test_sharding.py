@@ -46,6 +46,7 @@ def test_sharded_gates_bit_exact(tiny, tiny_sk, tiny_ck, mesh8, rng):
                        if tiny_ck.bsk_ext_limbs is not None else None),
         params=tiny,
         bsk_ntt_drop=tiny_ck.bsk_ntt_drop,
+        bsk_group=tiny_ck.bsk_group,
     )
     ids_s, cta_s, ctb_s = (jax.device_put(x, batch_sh) for x in (ids, cta, ctb))
     step = jax.jit(lambda i, a, b: G.apply_gates(i, a, b, ck_sh))

@@ -79,37 +79,41 @@ class CloudKey:
         default=None, metadata=dict(static=True))
     bsk_ntt_drop: int = dataclasses.field(
         default=0, metadata=dict(static=True))
+    bsk_group: int = dataclasses.field(
+        default=1, metadata=dict(static=True))
 
     def tree_flatten(self):
         return ((self.testvec, self.ksk1, self.bsk_ntt, self.bsk_ext_limbs),
-                (self.params, self.bsk_ntt_drop))
+                (self.params, self.bsk_ntt_drop, self.bsk_group))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, params=aux[0], bsk_ntt_drop=aux[1])
+        return cls(*children, params=aux[0], bsk_ntt_drop=aux[1],
+                   bsk_group=aux[2])
 
     @classmethod
     def generate(cls, key, secret_key: SecretKey, params: SecurityParams,
                  engines=("ntt",), bsk_limbs: int = 4,
-                 ntt_drop: int | None = None) -> "CloudKey":
+                 ntt_drop: int | None = None, group: int = 2) -> "CloudKey":
         """engines selects the BSK forms to materialize ('ntt' and/or
-        'toeplitz').  ntt_drop (BSK rounding bits) defaults per params;
-        bsk_limbs < 4 is the Toeplitz engines' analogous knob."""
+        'toeplitz').  group=2 builds the multi-bit NTT bootstrapping key
+        (s1, s2, s1*s2 per coefficient pair — halves the blind-rotate scan);
+        ntt_drop (BSK rounding bits) defaults per params; bsk_limbs < 4 is
+        the Toeplitz engines' analogous knob."""
         from zig_tfhe_tpu.ops import ntt as _nttmod
 
         k_ksk, k_bsk = jax.random.split(key)
         if ntt_drop is None:
-            ntt_drop = _nttmod.default_drop_bits(params)
-        trgsw_ct = _trgsw.encrypt_torus(
-            k_bsk, secret_key.key_lv0, params.bsk_alpha, secret_key.key_lv1,
-            params)
+            ntt_drop = _nttmod.default_drop_bits(params, group)
         bsk_ntt = None
         if "ntt" in engines:
-            plan = _nttmod.plan_for_params(params, ntt_drop)
-            bsk_ntt = jnp.moveaxis(
-                _nttmod.to_ntt_form(trgsw_ct, plan, ntt_drop), 0, 1)
+            bsk_ntt = gen_bootstrapping_key_ntt(
+                k_bsk, secret_key, params, ntt_drop, group)
         bsk_ext = None
         if "toeplitz" in engines:
+            trgsw_ct = _trgsw.encrypt_torus(
+                k_bsk, secret_key.key_lv0, params.bsk_alpha,
+                secret_key.key_lv1, params)
             bsk_ext = _trgsw.to_ext_limbs(trgsw_ct, bsk_limbs)
         return cls(
             testvec=gen_testvec(params),
@@ -118,6 +122,7 @@ class CloudKey:
             bsk_ext_limbs=bsk_ext,
             params=params,
             bsk_ntt_drop=ntt_drop,
+            bsk_group=group if "ntt" in engines else 1,
         )
 
     @classmethod
@@ -175,3 +180,34 @@ def gen_bootstrapping_key(key, secret_key: SecretKey, params: SecurityParams,
     trgsw_ct = _trgsw.encrypt_torus(
         key, secret_key.key_lv0, params.bsk_alpha, secret_key.key_lv1, params)
     return _trgsw.to_ext_limbs(trgsw_ct, bsk_limbs)  # [n0, limbs, 2L, 2, 2N] i8
+
+
+def gen_bootstrapping_key_ntt(key, secret_key: SecretKey,
+                              params: SecurityParams, drop: int, group: int):
+    """BSK in NTT residue form (the fast engine's key).
+
+    group=1: TRGSW(s[i]) per coefficient -> int16 [n0, P, 2L, 2, N].
+    group=2: TRGSW of (s1, s2, s1*s2) per coefficient pair (multi-bit
+    blind rotation) -> int16 [G, 3, P, 2L, 2, N], G = ceil(n0/2); odd n0
+    is padded with a zero key bit (TRGSW(0) = CMux no-op).
+    """
+    from zig_tfhe_tpu.ops import ntt as _nttmod
+
+    plan = _nttmod.plan_for_params(params, drop, group)
+    s = secret_key.key_lv0
+    if group == 1:
+        values = s
+    else:
+        assert group == 2, group
+        G = (params.n0 + 1) // 2
+        s_pad = jnp.concatenate(
+            [s, jnp.zeros(2 * G - params.n0, s.dtype)]) if params.n0 % 2 else s
+        s1, s2 = s_pad[0::2], s_pad[1::2]
+        values = jnp.stack([s1, s2, s1 * s2], axis=1).reshape(3 * G)
+    trgsw_ct = _trgsw.encrypt_torus(
+        key, values, params.bsk_alpha, secret_key.key_lv1, params)
+    res = jnp.moveaxis(_nttmod.to_ntt_form(trgsw_ct, plan, drop), 0, 1)
+    if group == 2:
+        G = (params.n0 + 1) // 2
+        res = res.reshape(G, 3, plan.n_primes, 2 * params.L, 2, params.N)
+    return res

@@ -148,7 +148,8 @@ def blind_rotate(tlwe_batch, testvec, ck, params: SecurityParams,
         from zig_tfhe_tpu.ops.blind_rotate_ntt import blind_rotate_ntt
         assert ck.bsk_ntt is not None, "CloudKey lacks bsk_ntt (engines=...)"
         return blind_rotate_ntt(tlwe_batch, testvec, ck.bsk_ntt, params,
-                                ck.bsk_ntt_drop, unroll=unroll)
+                                ck.bsk_ntt_drop, unroll=unroll,
+                                group=ck.bsk_group)
     assert ck.bsk_ext_limbs is not None, "CloudKey lacks bsk_ext_limbs"
     return blind_rotate_toeplitz(tlwe_batch, testvec, ck.bsk_ext_limbs,
                                  params, unroll=unroll, engine=engine)

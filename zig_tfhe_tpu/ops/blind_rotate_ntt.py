@@ -47,10 +47,11 @@ def rotate_via_ntt(polys, t, plan):
 
 
 def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
-                     drop_bits: int, unroll: int = 1):
+                     drop_bits: int, unroll: int = 1, group: int = 1):
     """tlwe_batch int32 [B, n0+1]; testvec int32 [2,N] or [B,2,N];
-    bsk_ntt int16 [n0, n_primes, 2L, 2, N].  Returns int32 [B, 2, N]."""
-    plan = _ntt.plan_for_params(params, drop_bits)
+    bsk_ntt int16 [n0, P, 2L, 2, N] (group=1) or [G, 3, P, 2L, 2, N]
+    (group=2 multi-bit, G = ceil(n0/2)).  Returns int32 [B, 2, N]."""
+    plan = _ntt.plan_for_params(params, drop_bits, group)
     n0, N = params.n0, params.N
     B = tlwe_batch.shape[0]
     dbound = 1 << (params.bgbit - 1)
@@ -64,19 +65,50 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
 
     a_cols = jnp.swapaxes(tlwe_batch[..., :n0], 0, 1)  # [n0, B]
 
-    def step(acc, xs):
-        bsk_i, a_col = xs                              # [P, 2L, 2, N], [B]
-        t = modswitch(a_col, params)                   # [B] in [0, 2N)
+    def fwd(acc):
         rows = _decompose_to_rows(acc, params)         # [B, 2L, N] int32
-        d_hat = _ntt.ntt_forward(rows, plan, params.digit_limbs, dbound)
-        u_hat = _ntt.pointwise_extprod(d_hat, bsk_i, plan)   # per-p [B, 2, N]
-        v_hat = _ntt.rotate_diag(u_hat, t, plan, minus_one=True)
+        return _ntt.ntt_forward(rows, plan, params.digit_limbs, dbound)
+
+    def finish(acc, v_hat):
         delta = _ntt.ntt_inverse_to_crt(v_hat, plan)   # [B, 2, N] int32
         if drop_bits:
             delta = jax.lax.shift_left(delta, jnp.int32(drop_bits))
-        return acc + delta, None
+        return acc + delta
 
-    acc, _ = jax.lax.scan(step, acc, (bsk_ntt, a_cols), unroll=unroll)
+    if group == 1:
+        def step(acc, xs):
+            bsk_i, a_col = xs                          # [P, 2L, 2, N], [B]
+            t = modswitch(a_col, params)               # [B] in [0, 2N)
+            u_hat = _ntt.pointwise_extprod(fwd(acc), bsk_i, plan)
+            v_hat = _ntt.rotate_diag(u_hat, t, plan, minus_one=True)
+            return finish(acc, v_hat), None
+
+        acc, _ = jax.lax.scan(step, acc, (bsk_ntt, a_cols), unroll=unroll)
+        return acc
+
+    assert group == 2, group
+    G = bsk_ntt.shape[0]
+    if a_cols.shape[0] < 2 * G:                        # odd n0: pad with a=0
+        a_cols = jnp.concatenate(
+            [a_cols, jnp.zeros((2 * G - n0, B), jnp.int32)])
+    a_pairs = a_cols.reshape(G, 2, B)
+
+    def step2(acc, xs):
+        """acc += (X^t1-1) EP(s1) + (X^t2-1) EP(s2) + (X^t1-1)(X^t2-1) EP(s1 s2).
+
+        One decompose + one forward + one inverse per TWO LWE coefficients
+        (multi-bit blind rotation; BSK rows encrypt s1, s2, s1*s2)."""
+        bsk_g, a_pair = xs                             # [3, P, 2L, 2, N], [2, B]
+        t1 = modswitch(a_pair[0], params)
+        t2 = modswitch(a_pair[1], params)
+        d_hat = fwd(acc)
+        u1 = _ntt.pointwise_extprod(d_hat, bsk_g[0], plan)
+        u2 = _ntt.pointwise_extprod(d_hat, bsk_g[1], plan)
+        u12 = _ntt.pointwise_extprod(d_hat, bsk_g[2], plan)
+        v_hat = _ntt.rotate_combine2(u1, u2, u12, t1, t2, plan)
+        return finish(acc, v_hat), None
+
+    acc, _ = jax.lax.scan(step2, acc, (bsk_ntt, a_pairs), unroll=unroll)
     return acc
 
 

@@ -208,28 +208,35 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
     )
 
 
-def plan_for_params(params: SecurityParams, drop_bits: int = 0) -> NTTPlan:
+def plan_for_params(params: SecurityParams, drop_bits: int = 0,
+                    group: int = 1) -> NTTPlan:
     """Plan covering one external product + NTT-domain rotation.
 
-    True integer magnitude <= 2 (X^t - 1) * 2L rows * N terms * Bg/2 digit
-    * 2^(31-drop) key => the CRT prime product must exceed 4x that.
+    group=1: true integer magnitude <= 2 (X^t - 1) * 2L rows * N terms
+    * Bg/2 digit * 2^(31-drop) key.  group=2 (multi-bit step) combines
+    (X^a1-1) u1 + (X^a2-1) u2 + (X^a1-1)(X^a2-1) u12 => multiplier 8.
+    The CRT prime product must exceed 4x the bound.
     """
     digit_bound = 1 << (params.bgbit - 1)
-    bound = 2 * (2 * params.L) * params.N * digit_bound * (1 << (31 - drop_bits))
+    mult = {1: 2, 2: 8}[group]
+    bound = mult * (2 * params.L) * params.N * digit_bound * (1 << (31 - drop_bits))
     return make_plan(params.N, bound.bit_length())
 
 
-def default_drop_bits(params: SecurityParams) -> int:
+def default_drop_bits(params: SecurityParams, group: int = 1) -> int:
     """BSK rounding (bits) for the NTT engine.
 
-    drop=6 at N=1024 fits the external-product bound in the THREE largest
-    sub-2^16 primes (40961*59393*61441 = 2^47.09 >= 4 * 2^44.58) — the
-    fewest matmul passes — with 4x less rounding noise than drop=8
-    (empirically: drop=8 decrypts exactly at batch 4096, drop=9 fails
-    ~0.5%; drop=6 has 4x margin on the working config).  Test sets with
-    alpha=0 stay exact.
+    At N=1024 the fewest-pass plan is the THREE largest sub-2^16 primes
+    (40961*59393*61441 = 2^47.09): group=1 fits at drop<=6, group=2 (bound
+    x4) at drop<=7.  Noise (rounding-error variance over the whole blind
+    rotation, relative to group=1/drop=8 which decrypts exactly at batch
+    4096 while drop=9 fails ~0.5%): group=1/drop=6 is 1/16x, group=2/drop=7
+    is 1/2x — both safely inside the cliff.  Test sets with alpha=0 stay
+    exact (drop=0).
     """
-    return 6 if params.N >= 1024 else 0
+    if params.N < 1024:
+        return 0
+    return 6 if group == 1 else 7
 
 
 # ---------------------------------------------------------------------------
@@ -392,6 +399,34 @@ def pointwise_extprod(d_hat, key_hat, plan: NTTPlan):
             part = barrett_reduce(part, p)
             acc = part if acc is None else acc + part    # <= n_groups * 0.52p
         outs.append(barrett_reduce(acc, p))
+    return outs
+
+
+def rotate_combine2(u1, u2, u12, t1, t2, plan: NTTPlan):
+    """(psi^t1 - 1) u1 + (psi^t2 - 1) u2 + (psi^t1 - 1)(psi^t2 - 1) u12.
+
+    The multi-bit blind-rotate combiner (group=2).  u*: per-prime int32
+    [B, ..., N] residues (|.| <= 0.55p); t1/t2: int32 [B] in [0, 2N].
+    Intermediates: |D| <= p/2 + 1 and |u| <= 0.55p so each product is
+    < 2^30.2 and a pair-sum < 2^31.2... reduced pairwise to stay exact.
+    """
+    mask = jnp.int32(2 * plan.N - 1)
+    t1 = jnp.asarray(t1) & mask
+    t2 = jnp.asarray(t2) & mask
+    outs = []
+    for i, p in enumerate(plan.primes):
+        tab = jnp.asarray(plan.rot[i])                  # int16 [2N, N] centered
+        d1 = jnp.take(tab, t1, axis=0).astype(jnp.int32) - 1   # [B, N]
+        d2 = jnp.take(tab, t2, axis=0).astype(jnp.int32) - 1
+        d12 = barrett_reduce(d1 * d2, p)                # <= 0.55p
+        v1, v2, v12 = u1[i], u2[i], u12[i]
+        while d1.ndim < v1.ndim:
+            d1, d2, d12 = d1[:, None], d2[:, None], d12[:, None]
+        # products <= (p/2+1)*0.55p < 2^30.2; reduce each before summing
+        r1 = barrett_reduce(d1 * v1 + d2 * v2, p)       # sum < 2^31.2? no:
+        # (p/2+1)*0.55p for p=61441 is 1.04e9; x2 = 2.08e9 < 2^31-1 — OK.
+        r2 = barrett_reduce(d12 * v12, p)
+        outs.append(barrett_reduce(r1 + r2, p))
     return outs
 
 

@@ -57,7 +57,7 @@ def save_cloud_key(path, ck: K.CloudKey) -> None:
     if ck.bsk_ext_limbs is not None:
         arrays["bsk_ext_limbs"] = np.asarray(ck.bsk_ext_limbs)
     np.savez(path, __manifest__=_manifest(
-        _KIND_CLOUD, ck.params.name, {"bsk_ntt_drop": ck.bsk_ntt_drop}),
+        _KIND_CLOUD, ck.params.name, {"bsk_ntt_drop": ck.bsk_ntt_drop, "bsk_group": ck.bsk_group}),
         **arrays)
 
 
@@ -73,6 +73,7 @@ def load_cloud_key(path) -> K.CloudKey:
                        if "bsk_ext_limbs" in z else None),
         params=P.PARAMS_BY_NAME[m["params"]],
         bsk_ntt_drop=m.get("bsk_ntt_drop", 0),
+        bsk_group=m.get("bsk_group", 1),
     )
 
 

@@ -133,11 +133,6 @@ u_hats = [jnp.asarray(rng.integers(-p // 2, p // 2, (B, 2, N)).astype(np.int32))
           for p in plan.primes]
 
 
-def pointwise_body(c, i):
-    d_hat = [c + i for _ in plan.primes]
-    u = NTT.pointwise_extprod(d_hat, bsk_i_ntt, plan)
-    return c + u[0][..., :2 * L, :] * 0 + (u[0].sum() * 0).astype(jnp.int32)
-
 
 report("ntt pointwise extprod",
        lambda c, i: c + jnp.stack(

@@ -1,0 +1,54 @@
+"""Multi-bit (group-2) blind rotation: decrypt-level equivalence with the
+single-bit path, odd-n0 padding, and CloudKey serialization with group."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zig_tfhe_tpu import key as K
+from zig_tfhe_tpu import params as P
+from zig_tfhe_tpu import tlwe
+from zig_tfhe_tpu.models import gates as G
+from zig_tfhe_tpu.utils import serialization as S
+
+
+def _gate_roundtrip(params, group, seed=0):
+    sk = K.SecretKey.generate(jax.random.key(seed), params)
+    ck = K.CloudKey.generate(jax.random.key(seed + 1), sk, params, group=group)
+    bits_a = jnp.asarray(np.array([0, 0, 1, 1], bool))
+    bits_b = jnp.asarray(np.array([0, 1, 0, 1], bool))
+    cta = tlwe.encrypt_bool(jax.random.key(seed + 2), bits_a,
+                            params.tlwe_lv0.alpha, sk.key_lv0)
+    ctb = tlwe.encrypt_bool(jax.random.key(seed + 3), bits_b,
+                            params.tlwe_lv0.alpha, sk.key_lv0)
+    out = G.gate("nand", cta, ctb, ck)
+    return list(np.asarray(tlwe.decrypt_bool(out, sk.key_lv0)))
+
+
+def test_group2_matches_group1_truth_table(tiny):
+    expected = [True, True, True, False]
+    assert _gate_roundtrip(tiny, group=1) == expected
+    assert _gate_roundtrip(tiny, group=2) == expected
+
+
+def test_group2_odd_n0():
+    """Odd LWE dimension pads the last pair with a zero key bit."""
+    base = P.TEST_TINY
+    import dataclasses
+    odd = dataclasses.replace(
+        base, name="tiny_odd",
+        tlwe_lv0=dataclasses.replace(base.tlwe_lv0, n=base.tlwe_lv0.n - 1))
+    assert odd.n0 % 2 == 1
+    expected = [True, True, True, False]
+    assert _gate_roundtrip(odd, group=2, seed=10) == expected
+
+
+def test_cloud_key_serialization_group2(tmp_path, tiny, tiny_sk):
+    ck = K.CloudKey.generate(jax.random.key(3), tiny_sk, tiny, group=2)
+    path = tmp_path / "ck.npz"
+    S.save_cloud_key(path, ck)
+    ck2 = S.load_cloud_key(path)
+    assert ck2.bsk_group == 2
+    assert ck2.bsk_ntt_drop == ck.bsk_ntt_drop
+    assert np.array_equal(np.asarray(ck.bsk_ntt), np.asarray(ck2.bsk_ntt))
+    assert np.array_equal(np.asarray(ck.ksk1), np.asarray(ck2.ksk1))

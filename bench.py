@@ -52,7 +52,8 @@ def main():
     cta = tlwe.encrypt_bool(jax.random.key(2), bits_a, params.tlwe_lv0.alpha, sk.key_lv0)
     ctb = tlwe.encrypt_bool(jax.random.key(3), bits_b, params.tlwe_lv0.alpha, sk.key_lv0)
 
-    nand_fn = jax.jit(lambda a, b: G.gate("nand", a, b, ck))
+    nand_jit = jax.jit(lambda a, b, k: G.gate("nand", a, b, k))
+    nand_fn = lambda a, b: nand_jit(a, b, ck)
 
     def _sync(x):
         # NOTE: on the axon TPU platform block_until_ready does not actually

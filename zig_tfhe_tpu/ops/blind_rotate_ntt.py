@@ -22,6 +22,8 @@ against a static psi-power table.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -29,6 +31,16 @@ from zig_tfhe_tpu.ops import ntt as _ntt
 from zig_tfhe_tpu.ops.blind_rotate import modswitch, _decompose_to_rows
 from zig_tfhe_tpu.ops.poly import negacyclic_rotate
 from zig_tfhe_tpu.params import SecurityParams
+
+
+def _use_pallas() -> bool:
+    """Fused Pallas inverse+CRT kernel (ops/pallas/ntt_inverse.py).
+
+    Bit-exact (tested) but currently SLOWER than the XLA formulation: the
+    (B_tiles, primes) grid re-fetches the 2 MB inverse matrices on every
+    tile visit (~96 MB/step of extra HBM traffic), while XLA contracts the
+    full batch per matrix load.  Off by default; ZTFHE_PALLAS=1 enables."""
+    return os.environ.get("ZTFHE_PALLAS", "") not in ("", "0", "false")
 
 
 def rotate_via_ntt(polys, t, plan):
@@ -65,11 +77,18 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
 
     a_cols = jnp.swapaxes(tlwe_batch[..., :n0], 0, 1)  # [n0, B]
 
+    pallas_inv = _use_pallas()
+
     def fwd(acc):
         rows = _decompose_to_rows(acc, params)         # [B, 2L, N] int32
         return _ntt.ntt_forward(rows, plan, params.digit_limbs, dbound)
 
     def finish(acc, v_hat):
+        if pallas_inv:
+            from zig_tfhe_tpu.ops.pallas.ntt_inverse import (
+                ntt_inverse_to_crt_pallas)
+            return ntt_inverse_to_crt_pallas(jnp.stack(v_hat), acc, plan,
+                                             drop_bits)
         delta = _ntt.ntt_inverse_to_crt(v_hat, plan)   # [B, 2, N] int32
         if drop_bits:
             delta = jax.lax.shift_left(delta, jnp.int32(drop_bits))

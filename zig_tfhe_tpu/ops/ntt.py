@@ -69,8 +69,14 @@ def _is_prime(n: int) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def ntt_primes(two_n: int, max_p: int = 1 << 16) -> tuple:
-    """All primes p ≡ 1 (mod 2N) with p <= max_p, ascending."""
+def ntt_primes(two_n: int, max_p: int = 63000) -> tuple:
+    """All primes p ≡ 1 (mod 2N) with p <= max_p, ascending.
+
+    max_p = 63000 guarantees the residue int8 limb split stays in range:
+    barrett outputs satisfy |r| <= p(1/2 + 2^-6), and the hi limb
+    (|r|+127)//256 must be <= 127, i.e. p <= 63000.  (It also keeps
+    centered residues within int16 and pointwise products within int32.)
+    """
     return tuple(p for p in range(two_n + 1, max_p + 1, two_n) if _is_prime(p))
 
 
@@ -120,6 +126,8 @@ class NTTPlan:
     fwd_hi: tuple
     inv_lo: tuple
     inv_hi: tuple
+    inv_cat_lo: tuple   # int8 [2N, N]: limb-lo of [Minv ; 256*Minv mod p]
+    inv_cat_hi: tuple   # int8 [2N, N]: limb-hi of the same stack
     rot: tuple
     crt_e: tuple
     crt_theta: tuple
@@ -164,6 +172,7 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
     primes.sort()
 
     fwd_lo, fwd_hi, inv_lo, inv_hi, rot = [], [], [], [], []
+    inv_cat_lo, inv_cat_hi = [], []
     crt_e, crt_theta = [], []
     P = 1
     for p in primes:
@@ -191,6 +200,12 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
         fwd_hi.append(fhi)
         inv_lo.append(ilo)
         inv_hi.append(ihi)
+        # concatenated-contraction form: residue v = lo + 256*hi multiplies
+        # [Minv ; (256*Minv) mod p] so both limbs contract in one matmul
+        inv_cat = np.concatenate([_center(inv, p), _center(inv * 256, p)], 0)
+        clo, chi = _i8_split(inv_cat)
+        inv_cat_lo.append(clo)
+        inv_cat_hi.append(chi)
         rot.append(_center(rot_t, p).astype(np.int16))
 
         pp = P // p
@@ -202,6 +217,7 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
         N=N, primes=tuple(primes),
         fwd_lo=tuple(fwd_lo), fwd_hi=tuple(fwd_hi),
         inv_lo=tuple(inv_lo), inv_hi=tuple(inv_hi),
+        inv_cat_lo=tuple(inv_cat_lo), inv_cat_hi=tuple(inv_cat_hi),
         rot=tuple(rot),
         crt_e=tuple(crt_e), crt_theta=tuple(crt_theta),
         p_mod=int(np.uint32(P % (1 << 32)).view(np.int32)),
@@ -319,16 +335,13 @@ def ntt_inverse_to_crt(res_list, plan: NTTPlan):
         v = res_list[i]
         lo = ((v + 128) & 255) - 128                    # int32, [-128, 127]
         hi = jax.lax.shift_right_arithmetic(v - lo, jnp.int32(8))
-        ilo = jnp.asarray(plan.inv_lo[i])
-        ihi = jnp.asarray(plan.inv_hi[i])
-        p00 = _dot_i8(lo.astype(jnp.int8), ilo)          # <= 2^24
-        p01 = _dot_i8(lo.astype(jnp.int8), ihi)
-        p10 = _dot_i8(hi.astype(jnp.int8), ilo)
-        p11 = _dot_i8(hi.astype(jnp.int8), ihi)
-        r1 = barrett_reduce(p01 + p10, p)                # <= 0.52p
-        r2 = barrett_reduce(p11, p)
-        y = p00 + r1 * jnp.int32(256) + barrett_reduce(
-            r2 * jnp.int32(1 << 16), p)                  # <= 2^24 + 2^23 + p
+        # one concatenated contraction: y = v @ Minv = lo @ Minv
+        #   + hi @ (256*Minv mod p), both limbs in a single [.., 2N] matmul
+        limbs = jnp.concatenate(
+            [lo.astype(jnp.int8), hi.astype(jnp.int8)], axis=-1)  # [.., 2N]
+        z_lo = _dot_i8(limbs, jnp.asarray(plan.inv_cat_lo[i]))  # <= 2^25
+        z_hi = _dot_i8(limbs, jnp.asarray(plan.inv_cat_hi[i]))
+        y = z_lo + barrett_reduce(z_hi, p) * jnp.int32(256)     # <= 2^25.1
         xs.append(barrett_reduce(y, p))
     return crt_combine(xs, plan)
 

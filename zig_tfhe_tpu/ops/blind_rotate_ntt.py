@@ -112,6 +112,31 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
             [a_cols, jnp.zeros((2 * G - n0, B), jnp.int32)])
     a_pairs = a_cols.reshape(G, 2, B)
 
+    # fused-kernel fast path: digit magnitude must fit the in-kernel
+    # combine bound (N * Bg/2 * (p/512+1) * 256 < 2^31 => Bg/2 <= 32)
+    if (pallas_inv and params.digit_limbs == 1
+            and (1 << (params.bgbit - 1)) <= 32 and B % 64 == 0):
+        from zig_tfhe_tpu.ops.pallas.ntt_step import ntt_step_pallas
+
+        rot_tabs = [jnp.asarray(t) for t in plan.rot]
+
+        def step2p(acc, xs):
+            bsk_g, a_pair = xs
+            t1 = modswitch(a_pair[0], params) & jnp.int32(2 * N - 1)
+            t2 = modswitch(a_pair[1], params) & jnp.int32(2 * N - 1)
+            digits = _decompose_to_rows(acc, params).astype(jnp.int8)
+            rows1 = jnp.stack([jnp.take(t, t1, axis=0) for t in rot_tabs])
+            rows2 = jnp.stack([jnp.take(t, t2, axis=0) for t in rot_tabs])
+            x = ntt_step_pallas(digits, bsk_g, rows1, rows2, plan)
+            delta = _ntt.crt_combine([x[i] for i in range(len(rot_tabs))],
+                                     plan)
+            if drop_bits:
+                delta = jax.lax.shift_left(delta, jnp.int32(drop_bits))
+            return acc + delta, None
+
+        acc, _ = jax.lax.scan(step2p, acc, (bsk_ntt, a_pairs), unroll=unroll)
+        return acc
+
     def step2(acc, xs):
         """acc += (X^t1-1) EP(s1) + (X^t2-1) EP(s2) + (X^t1-1)(X^t2-1) EP(s1 s2).
 

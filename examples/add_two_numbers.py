@@ -46,21 +46,44 @@ def main():
     ct_a = C.encrypt_bits(jax.random.key(2), a, 16, sk, params)
     ct_b = C.encrypt_bits(jax.random.key(3), b, 16, sk, params)
 
-    t0 = time.time()
-    if args.adder == "kogge":
-        ct_sum, _ = C.kogge_stone_add(ct_a, ct_b, ck)
-        rounds = 2 + 2 * 4  # 1 pg + 4 doubling rounds (xor+and / or) + sum xor
-    else:
+    rounds = (2 + 2 * 4) if args.adder == "kogge" else (1 + 2 * 16)
+
+    @jax.jit
+    def _add_jit(xa, xb, k):
+        # the whole adder is ONE jitted graph: a single device dispatch
+        # (this platform's per-dispatch latency is ~100 ms through a tunnel)
+        if args.adder == "kogge":
+            return C.kogge_stone_add(xa, xb, k)[0]
         cin = G.constant(False, params, batch=(1,))
-        ct_sum, _ = C.ripple_carry_add(ct_a, ct_b, cin, ck)
-        rounds = 1 + 2 * 16
-    jax.block_until_ready(ct_sum)
+        return C.ripple_carry_add(xa, xb, cin, k)[0]
+
+    def run_add(xa, xb):
+        return _add_jit(xa, xb, ck), rounds
+
+    import numpy as _np
+
+    def _sync(x):
+        # on the axon TPU platform block_until_ready does not actually
+        # block; a host readback is the only reliable fence
+        _np.asarray(x)[..., :1]
+        return x
+
+    t0 = time.time()
+    ct_sum, rounds = run_add(ct_a, ct_b)
+    _sync(ct_sum)
+    dt_cold = time.time() - t0
+
+    t0 = time.time()                      # warm: all shapes compiled above
+    ct_sum, _ = run_add(ct_a, ct_b)
+    _sync(ct_sum)
     dt = time.time() - t0
 
     result = C.decrypt_bits(ct_sum, sk)
     print(f"\nHomomorphic sum = {result}  ({'OK' if result == expected else 'WRONG'})")
     print(f"Adder: {args.adder}, ~{rounds} batched bootstrap rounds, "
-          f"{dt*1000:.0f} ms total ({dt*1000/rounds:.0f} ms/round incl. compile)")
+          f"{dt*1000:.0f} ms warm ({dt*1000/rounds:.0f} ms/round; "
+          f"first run incl. compiles: {dt_cold*1000:.0f} ms)")
+    print("Reference (zig-tfhe, M-series CPU): 2985 ms for the same addition")
     if result != expected:
         sys.exit(1)
 

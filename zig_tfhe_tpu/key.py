@@ -20,6 +20,7 @@ static aux data.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -102,22 +103,15 @@ class CloudKey:
         the Toeplitz engines' analogous knob."""
         from zig_tfhe_tpu.ops import ntt as _nttmod
 
-        k_ksk, k_bsk = jax.random.split(key)
         if ntt_drop is None:
             ntt_drop = _nttmod.default_drop_bits(params, group)
-        bsk_ntt = None
-        if "ntt" in engines:
-            bsk_ntt = gen_bootstrapping_key_ntt(
-                k_bsk, secret_key, params, ntt_drop, group)
-        bsk_ext = None
-        if "toeplitz" in engines:
-            trgsw_ct = _trgsw.encrypt_torus(
-                k_bsk, secret_key.key_lv0, params.bsk_alpha,
-                secret_key.key_lv1, params)
-            bsk_ext = _trgsw.to_ext_limbs(trgsw_ct, bsk_limbs)
+        testvec, ksk1, bsk_ntt, bsk_ext = _gen_cloud_key_arrays(
+            key, secret_key, params=params,
+            with_ntt="ntt" in engines, with_toeplitz="toeplitz" in engines,
+            bsk_limbs=bsk_limbs, ntt_drop=ntt_drop, group=group)
         return cls(
-            testvec=gen_testvec(params),
-            ksk1=gen_key_switching_key(k_ksk, secret_key, params),
+            testvec=testvec,
+            ksk1=ksk1,
             bsk_ntt=bsk_ntt,
             bsk_ext_limbs=bsk_ext,
             params=params,
@@ -151,6 +145,33 @@ class CloudKey:
             params=params,
             bsk_ntt_drop=ntt_drop,
         )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "with_ntt", "with_toeplitz",
+                              "bsk_limbs", "ntt_drop", "group"))
+def _gen_cloud_key_arrays(key, secret_key: "SecretKey", *,
+                          params: SecurityParams, with_ntt: bool,
+                          with_toeplitz: bool, bsk_limbs: int,
+                          ntt_drop: int, group: int):
+    """One jitted graph for the whole cloud keygen.
+
+    Unjitted, each of the few hundred constituent ops pays the axon
+    platform's ~100 ms dispatch latency (keygen took ~60 s); jitted it is
+    a single dispatch."""
+    k_ksk, k_bsk = jax.random.split(key)
+    bsk_ntt = (gen_bootstrapping_key_ntt(k_bsk, secret_key, params,
+                                         ntt_drop, group)
+               if with_ntt else None)
+    bsk_ext = None
+    if with_toeplitz:
+        trgsw_ct = _trgsw.encrypt_torus(
+            k_bsk, secret_key.key_lv0, params.bsk_alpha,
+            secret_key.key_lv1, params)
+        bsk_ext = _trgsw.to_ext_limbs(trgsw_ct, bsk_limbs)
+    return (gen_testvec(params),
+            gen_key_switching_key(k_ksk, secret_key, params),
+            bsk_ntt, bsk_ext)
 
 
 def gen_testvec(params: SecurityParams):

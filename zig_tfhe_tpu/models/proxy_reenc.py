@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
 from zig_tfhe_tpu import tlwe as _tlwe
 from zig_tfhe_tpu.key import SecretKey
 from zig_tfhe_tpu.ops.keyswitch import key_switch_matmul
@@ -49,7 +51,7 @@ class PublicKeyLv0:
         size = 2 * params.n0 if size is None else size  # 2N for security
         alpha = params.tlwe_lv0.alpha if alpha is None else alpha
         zeros = jnp.zeros((size,), jnp.int32)
-        return cls(_tlwe.encrypt_torus(key, zeros, alpha, secret_key_lv0))
+        return cls(_encrypt_torus_j(key, zeros, alpha, secret_key_lv0))
 
     def encrypt_torus(self, key, mu, alpha: float):
         """Public-key encrypt torus plaintexts ``mu`` (int32 [...]).
@@ -82,6 +84,16 @@ def _alpha_of(alpha):
     return float(alpha)
 
 
+# jitted keygen cores: unjitted, each op pays the axon platform's ~100 ms
+# dispatch latency, making keygen minutes instead of seconds
+_encrypt_torus_j = jax.jit(_tlwe.encrypt_torus, static_argnums=2)
+
+
+@functools.partial(jax.jit, static_argnames=("alpha",))
+def _pk_encrypt_j(key, mu, bank, alpha):
+    return PublicKeyLv0(bank).encrypt_torus(key, mu, alpha)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class ProxyReencryptionKey:
@@ -112,7 +124,7 @@ class ProxyReencryptionKey:
         t = params.iks_t if t is None else t
         alpha = params.ksk_alpha if alpha is None else alpha
         mu = _plaintexts(key_from, basebit, t)
-        ct = _tlwe.encrypt_torus(key, mu, alpha, key_to)
+        ct = _encrypt_torus_j(key, mu, alpha, key_to)
         n0 = key_from.shape[0]
         return cls(ct.reshape(n0 * t, -1), basebit=basebit, t=t)
 
@@ -125,7 +137,8 @@ class ProxyReencryptionKey:
         t = params.iks_t if t is None else t
         alpha = params.ksk_alpha if alpha is None else alpha
         mu = _plaintexts(key_from, basebit, t)
-        ct = public_key_to.encrypt_torus(key, mu, alpha)
+        ct = _pk_encrypt_j(key, mu, public_key_to.encryptions,
+                           alpha=float(alpha))
         n0 = key_from.shape[0]
         return cls(ct.reshape(n0 * t, -1), basebit=basebit, t=t)
 

@@ -252,7 +252,12 @@ def default_drop_bits(params: SecurityParams, group: int = 1) -> int:
     """
     if params.N < 1024:
         return 0
-    return 6 if group == 1 else 7
+    # The rounding error per external product scales with the digit
+    # magnitude Bg/2 = 2^(bgbit-1): keep (Bg/2 * 2^drop) at the validated
+    # boolean-set level (bgbit=6 -> drop 6/7).  Uint sets with large Bg
+    # (e.g. uint4: bgbit=22, L=1) must keep the key exact.
+    base = 12 if group == 1 else 13
+    return max(0, base - params.bgbit)
 
 
 # ---------------------------------------------------------------------------

@@ -12,7 +12,6 @@ Usage: BENCH_BATCH=1024 BENCH_K=20 python bench_components.py [params]
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -112,7 +111,6 @@ if os.environ.get("BENCH_TOEPLITZ"):
 # NTT engine step components
 # ---------------------------------------------------------------------------
 from zig_tfhe_tpu.ops import ntt as NTT
-from zig_tfhe_tpu.ops import blind_rotate_ntt as BRN
 
 drop = NTT.default_drop_bits(params)
 plan = NTT.plan_for_params(params, drop)
@@ -131,7 +129,6 @@ report("ntt fwd (digits)",
 
 u_hats = [jnp.asarray(rng.integers(-p // 2, p // 2, (B, 2, N)).astype(np.int32))
           for p in plan.primes]
-
 
 
 report("ntt pointwise extprod",

@@ -15,9 +15,6 @@ for API parity.
 
 from __future__ import annotations
 
-import functools
-
-import jax
 
 from zig_tfhe_tpu import trlwe as _trlwe
 from zig_tfhe_tpu.key import CloudKey

@@ -28,7 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from zig_tfhe_tpu import trgsw as _trgsw
-from zig_tfhe_tpu import trlwe as _trlwe
 from zig_tfhe_tpu import tlwe as _tlwe
 from zig_tfhe_tpu.params import SecurityParams
 from zig_tfhe_tpu.utils import rng as _rng

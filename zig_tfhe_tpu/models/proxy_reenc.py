@@ -24,7 +24,6 @@ import numpy as np
 import functools
 
 from zig_tfhe_tpu import tlwe as _tlwe
-from zig_tfhe_tpu.key import SecretKey
 from zig_tfhe_tpu.ops.keyswitch import key_switch_matmul
 from zig_tfhe_tpu.params import SecurityParams
 from zig_tfhe_tpu.utils import rng as _rng

@@ -19,7 +19,6 @@ import ctypes
 import os
 import subprocess
 from dataclasses import dataclass
-from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np

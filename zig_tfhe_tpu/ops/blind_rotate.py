@@ -19,7 +19,6 @@ All arithmetic is EXACT mod 2^32 (no FFT rounding noise at all).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,6 @@ import jax.numpy as jnp
 
 from zig_tfhe_tpu.ops import ntt as _ntt
 from zig_tfhe_tpu.ops.blind_rotate import modswitch, _decompose_to_rows
-from zig_tfhe_tpu.ops.poly import negacyclic_rotate
 from zig_tfhe_tpu.params import SecurityParams
 
 

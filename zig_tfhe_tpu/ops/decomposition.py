@@ -14,7 +14,6 @@ one-matmul key switch (see ops/keyswitch.py).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from zig_tfhe_tpu.params import SecurityParams

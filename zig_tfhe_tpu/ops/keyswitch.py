@@ -22,7 +22,6 @@ which is a key switch keyed by a re-encryption key.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 
 from zig_tfhe_tpu.ops.decomposition import ks_decompose
 from zig_tfhe_tpu.ops.poly import small_matmul_torus

@@ -15,8 +15,6 @@ tests pay 30s keygen, key.zig:240-241).
 from __future__ import annotations
 
 import dataclasses
-import functools
-import math
 
 TORUS_SIZE = 32  # params.zig:30
 TORUS_MOD = 1 << TORUS_SIZE

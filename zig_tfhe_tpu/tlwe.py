@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from zig_tfhe_tpu.params import SecurityParams
 from zig_tfhe_tpu.utils import rng as _rng
 from zig_tfhe_tpu.utils.torus import f64_to_torus, to_i32, torus_to_f64
 

@@ -21,7 +21,6 @@ import numpy as np
 from zig_tfhe_tpu import trlwe as _trlwe
 from zig_tfhe_tpu.params import SecurityParams
 from zig_tfhe_tpu.ops.poly import negacyclic_extend
-from zig_tfhe_tpu.utils import rng as _rng
 from zig_tfhe_tpu.utils.torus import i32_to_i8_limbs, to_i32
 
 N_KLIMBS = 4  # full 32-bit torus => 4 signed 8-bit limbs

@@ -8,9 +8,7 @@ object kind; torus arrays are stored as uint32, key material as int8/int32.
 
 from __future__ import annotations
 
-import io
 import json
-from typing import Any
 
 import jax.numpy as jnp
 import numpy as np

@@ -13,13 +13,11 @@ Reference semantics implemented here:
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from zig_tfhe_tpu import params as P
 
 _TWO32 = float(1 << 32)
 

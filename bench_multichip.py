@@ -27,6 +27,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent compilation cache: repeat runs skip the (remote, slow) compiles
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
 import jax
 
 if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":

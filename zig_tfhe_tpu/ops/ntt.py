@@ -431,11 +431,13 @@ def rotate_combine2(u1, u2, u12, t1, t2, plan: NTTPlan):
     mask = jnp.int32(2 * plan.N - 1)
     t1 = jnp.asarray(t1) & mask
     t2 = jnp.asarray(t2) & mask
+    B = t1.shape[0]
+    t_cat = jnp.concatenate([t1, t2])                   # one gather per prime
     outs = []
     for i, p in enumerate(plan.primes):
         tab = jnp.asarray(plan.rot[i])                  # int16 [2N, N] centered
-        d1 = jnp.take(tab, t1, axis=0).astype(jnp.int32) - 1   # [B, N]
-        d2 = jnp.take(tab, t2, axis=0).astype(jnp.int32) - 1
+        rows = jnp.take(tab, t_cat, axis=0).astype(jnp.int32) - 1  # [2B, N]
+        d1, d2 = rows[:B], rows[B:]
         d12 = barrett_reduce(d1 * d2, p)                # <= 0.55p
         v1, v2, v12 = u1[i], u2[i], u12[i]
         while d1.ndim < v1.ndim:

@@ -52,3 +52,17 @@ def test_cloud_key_serialization_group2(tmp_path, tiny, tiny_sk):
     assert ck2.bsk_ntt_drop == ck.bsk_ntt_drop
     assert np.array_equal(np.asarray(ck.bsk_ntt), np.asarray(ck2.bsk_ntt))
     assert np.array_equal(np.asarray(ck.ksk1), np.asarray(ck2.ksk1))
+
+
+def test_toeplitz_only_cloud_key_falls_back(tiny, tiny_sk):
+    """A cloud key holding only the Toeplitz BSK (e.g. saved by an older
+    version) must still evaluate gates: the 'ntt' default falls back."""
+    ck = K.CloudKey.generate(jax.random.key(7), tiny_sk, tiny,
+                             engines=("toeplitz",))
+    assert ck.bsk_ntt is None and ck.bsk_ext_limbs is not None
+    bits_a = jnp.asarray(np.array([0, 1], bool))
+    bits_b = jnp.asarray(np.array([1, 1], bool))
+    cta = tlwe.encrypt_bool(jax.random.key(8), bits_a, 0.0, tiny_sk.key_lv0)
+    ctb = tlwe.encrypt_bool(jax.random.key(9), bits_b, 0.0, tiny_sk.key_lv0)
+    out = G.gate("and", cta, ctb, ck)
+    assert list(np.asarray(tlwe.decrypt_bool(out, tiny_sk.key_lv0))) == [False, True]

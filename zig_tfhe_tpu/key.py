@@ -158,14 +158,17 @@ def _gen_cloud_key_arrays(key, secret_key: "SecretKey", *,
     Unjitted, each of the few hundred constituent ops pays the axon
     platform's ~100 ms dispatch latency (keygen took ~60 s); jitted it is
     a single dispatch."""
-    k_ksk, k_bsk = jax.random.split(key)
-    bsk_ntt = (gen_bootstrapping_key_ntt(k_bsk, secret_key, params,
+    # independent keys per BSK form: reusing one key would give the two
+    # published encryptions identical masks/noise, leaking exact secret-key
+    # relations (c_ntt[r] - c_toep[r] = (m_ntt - m_toep) * h)
+    k_ksk, k_bsk_ntt, k_bsk_toep = jax.random.split(key, 3)
+    bsk_ntt = (gen_bootstrapping_key_ntt(k_bsk_ntt, secret_key, params,
                                          ntt_drop, group)
                if with_ntt else None)
     bsk_ext = None
     if with_toeplitz:
         trgsw_ct = _trgsw.encrypt_torus(
-            k_bsk, secret_key.key_lv0, params.bsk_alpha,
+            k_bsk_toep, secret_key.key_lv0, params.bsk_alpha,
             secret_key.key_lv1, params)
         bsk_ext = _trgsw.to_ext_limbs(trgsw_ct, bsk_limbs)
     return (gen_testvec(params),

@@ -143,6 +143,8 @@ def blind_rotate(tlwe_batch, testvec, ck, params: SecurityParams,
     each LWE coefficient with a CMux against BSK[i].
     """
     engine = engine or default_engine()
+    if engine == "ntt" and ck.bsk_ntt is None and ck.bsk_ext_limbs is not None:
+        engine = "xla"      # e.g. a cloud key saved by an older version
     if engine == "ntt":
         from zig_tfhe_tpu.ops.blind_rotate_ntt import blind_rotate_ntt
         assert ck.bsk_ntt is not None, "CloudKey lacks bsk_ntt (engines=...)"

@@ -83,7 +83,7 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
         return _ntt.ntt_forward(rows, plan, params.digit_limbs, dbound)
 
     def finish(acc, v_hat):
-        if pallas_inv:
+        if pallas_inv and B % 64 == 0:
             from zig_tfhe_tpu.ops.pallas.ntt_inverse import (
                 ntt_inverse_to_crt_pallas)
             return ntt_inverse_to_crt_pallas(jnp.stack(v_hat), acc, plan,
@@ -112,9 +112,10 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
     a_pairs = a_cols.reshape(G, 2, B)
 
     # fused-kernel fast path: digit magnitude must fit the in-kernel
-    # combine bound (N * Bg/2 * (p/512+1) * 256 < 2^31 => Bg/2 <= 32)
+    # combine bound (N * Bg/2 * (p/512+1) * 256 < 2^31 => Bg/2 <= 32);
+    # B must divide both kernels' tiles (tile_b1=64, tile_b2=128)
     if (pallas_inv and params.digit_limbs == 1
-            and (1 << (params.bgbit - 1)) <= 32 and B % 64 == 0):
+            and (1 << (params.bgbit - 1)) <= 32 and B % 128 == 0):
         from zig_tfhe_tpu.ops.pallas.ntt_step import ntt_step_pallas
 
         rot_tabs = [jnp.asarray(t) for t in plan.rot]

@@ -157,8 +157,9 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
     """
     two_n = 2 * N
     # Largest primes first: fewest primes for the required product (every
-    # prime costs matmul passes).  int16 storage requires p//2 <= 32767,
-    # which ntt_primes' max_p=2^16 already guarantees (65537 is excluded).
+    # prime costs matmul passes).  ntt_primes caps p at 63000 so the
+    # runtime int8 hi-limb split of barrett outputs cannot overflow (see
+    # its docstring) — that cap, not int16 storage, is binding.
     avail = ntt_primes(two_n)[::-1]
     primes, logp = [], 0.0
     for p in avail:
@@ -187,9 +188,8 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
         k = np.arange(N)
         fwd = psi_pow[(j[:, None] * (2 * k[None, :] + 1)) % two_n].astype(np.int64)
         n_inv = pow(N, p - 2, p)
-        inv_exp = (-(k[None, :] * (2 * j[:, None] + 1))) % two_n  # [j=k_in rows]
-        # inv[k, n] = N^-1 * psi^{-n(2k+1)}
-        inv = (psi_pow[(-(np.arange(N)[None, :] * (2 * np.arange(N)[:, None] + 1)))
+        # inv[k, n] = N^-1 * psi^{-n(2k+1)}  (rows k frequency, cols n time)
+        inv = (psi_pow[(-(j[None, :] * (2 * k[:, None] + 1)))
                        % two_n].astype(np.int64) * n_inv) % p
         t = np.arange(two_n)
         rot_t = psi_pow[(t[:, None] * (2 * k[None, :] + 1)) % two_n].astype(np.int64)
@@ -380,17 +380,9 @@ def to_ntt_form(polys, plan: NTTPlan, drop_bits: int = 0):
     if drop_bits:
         half = jnp.int32(1 << (drop_bits - 1))
         x = jax.lax.shift_right_arithmetic(x + half, jnp.int32(drop_bits))
-    limbs = i32_to_i8_limbs(x, 4)  # [..., N, 4]
+    res = ntt_forward(x, plan, digit_limbs=4, digit_bound=128)
     out = []
-    for i, p in enumerate(plan.primes):
-        flo = jnp.asarray(plan.fwd_lo[i])
-        fhi = jnp.asarray(plan.fwd_hi[i])
-        r = None
-        for dl in reversed(range(4)):
-            lo = _dot_i8(limbs[..., dl], flo)
-            hi = _dot_i8(limbs[..., dl], fhi)
-            yr = _limb_pair_combine(lo, hi, p, plan.N, 128)
-            r = yr if r is None else barrett_reduce(r * jnp.int32(256) + yr, p)
+    for r, p in zip(res, plan.primes):
         # final centered reduce to |.| <= p/2 so int16 storage is canonical
         r = r - jnp.int32(p) * (r > jnp.int32(p // 2)).astype(jnp.int32)
         r = r + jnp.int32(p) * (r < -jnp.int32(p // 2)).astype(jnp.int32)

@@ -39,7 +39,7 @@ REFERENCE_GATES_PER_S = 1000.0 / 37.31  # CHANGELOG.md:86
 
 
 def main():
-    B = int(os.environ.get("BENCH_BATCH", "1024"))
+    B = int(os.environ.get("BENCH_BATCH", "1536"))  # measured sweet spot
     iters = int(os.environ.get("BENCH_ITERS", "4"))
     pname = os.environ.get("BENCH_PARAMS", "128bit")
     params = P.PARAMS_BY_NAME[pname]

@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Programmable (LUT) bootstrapping demo: evaluate f(x) = x^2 mod m on
+encrypted 4-bit integers in one bootstrap each.
+
+The reference ships the LUT building blocks (lut/encoder.zig,
+lut/generator.zig, lut/lookup_table.zig) but no end-to-end wrapper
+(lut.zig:42 documents a bootstrapLut that does not exist); here the whole
+pipeline is the first-class `models.lut.bootstrap_lut`.
+
+Usage: python examples/lut_bootstrap_demo.py [params] [modulus]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
+                 ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zig_tfhe_tpu import key as K
+from zig_tfhe_tpu import params as P
+from zig_tfhe_tpu.models import lut as L
+
+
+def main():
+    pname = sys.argv[1] if len(sys.argv) > 1 else "uint4"
+    m = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    params = P.PARAMS_BY_NAME[pname]
+    f = lambda x: (x * x) % m
+
+    print(f"=== LUT bootstrapping: f(x) = x^2 mod {m} on {pname} ===\n")
+    t0 = time.time()
+    sk = K.SecretKey.generate(jax.random.key(0), params)
+    ck = K.CloudKey.generate(jax.random.key(1), sk, params)
+    jax.block_until_ready(jax.tree_util.tree_leaves(ck))
+    print(f"Keys generated in {time.time()-t0:.1f}s")
+
+    gen = L.Generator.new(m, params)
+    table = gen.generate_lookup_table(f)
+
+    msgs = np.arange(m)
+    ct = L.encrypt_message(jax.random.key(2), jnp.asarray(msgs), m,
+                           params.tlwe_lv0.alpha, sk.key_lv0)
+    t0 = time.time()
+    out = L.bootstrap_lut(ct, table, ck)
+    dec = [int(L.decrypt_message(out[i], m, sk.key_lv0)) for i in range(m)]
+    dt = time.time() - t0
+
+    ok = all(d == f(x) for d, x in zip(dec, msgs))
+    for x, d in zip(msgs, dec):
+        mark = "" if d == f(x) else "   <-- WRONG"
+        print(f"  f({x:2d}) = {d:2d}{mark}")
+    print(f"\n{m} programmable bootstraps in {dt*1e3:.0f} ms "
+          f"({'all correct' if ok else 'ERRORS'})")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -143,6 +143,8 @@ def blind_rotate(tlwe_batch, testvec, ck, params: SecurityParams,
     each LWE coefficient with a CMux against BSK[i].
     """
     engine = engine or default_engine()
+    if unroll == 1:
+        unroll = int(os.environ.get("ZTFHE_UNROLL", "1"))
     if engine == "ntt" and ck.bsk_ntt is None and ck.bsk_ext_limbs is not None:
         engine = "xla"      # e.g. a cloud key saved by an older version
     if engine == "ntt":

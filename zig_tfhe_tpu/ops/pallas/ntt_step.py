@@ -16,13 +16,21 @@ per batch tile (the failure mode of the first fused-kernel attempt):
 CRT combine + accumulator add stay in XLA (tiny elementwise).
 Everything is bit-exact vs ops/ntt.py (same barrett/bounds; tested).
 
-STATUS: bit-exact but ~30% slower end-to-end than the XLA formulation
-(2939 vs 4335 gates/s at B=1024): XLA overlaps the MXU matmuls with the
-VPU epilogues across the whole step graph, while the two-kernel split
-serializes at the v handoff and pays per-scan-step launch overhead.
-Kept as a flag-gated experiment (ZTFHE_PALLAS=1) and as the starting
-point for a future single-kernel rewrite with manual DMA/double
-buffering.
+STATUS: bit-exact but slower end-to-end than the XLA formulation.
+Three designs were measured (all ZTFHE_PALLAS=1 gated):
+  - two-kernel split (ntt_step_pallas): 2939 vs 4335 gates/s — v handoff
+    + 2 launches/step;
+  - single fused kernel (ntt_step_fused_pallas) with the VMEM limit
+    raised to 100 MB, full per-prime matrix residency, tile 256:
+    2642 vs 4504 gates/s at B=1536.
+Root cause: XLA fuses every barrett/recombine epilogue INTO the matmul
+loop nest, so its VPU work runs concurrently with the MXU *within* each
+convolution fusion (the conv fusions measure 86-96% of int8 peak with
+epilogues included); a hand-written kernel executes its matmul and
+elementwise phases sequentially, and Mosaic does not software-pipeline
+compute across grid steps (only DMA).  Beating XLA here would need
+manually interleaved MXU/VPU phases over split tiles inside one grid
+step — future work; the XLA path remains the default.
 """
 
 from __future__ import annotations
@@ -110,6 +118,118 @@ def _k2(scal_ref, fscal_ref, v_ref, clo_ref, chi_ref, x_ref, *,
                                preferred_element_type=jnp.int32)
     y = z_lo + barrett(z_hi) * 256
     x_ref[0] = barrett(y).reshape(tile_b, 2, N)
+
+
+def _k_fused(scal_ref, fscal_ref, dig_ref, flo_ref, fhi_ref, bsk_ref,
+             r1_ref, r2_ref, clo_ref, chi_ref, x_ref, *,
+             tile_b: int, N: int, R: int, row_group: int):
+    """Whole step core for one (prime, batch-tile): forward NTT ->
+    pointwise x3 -> rotation combine -> limb split -> inverse matmuls.
+    Everything between the HBM reads (digits, bsk, rows, matrices) and the
+    single HBM write (x_p) stays in VMEM."""
+    p_idx = pl.program_id(0)
+    p = scal_ref[0, p_idx]
+    inv_p = fscal_ref[0, p_idx]
+
+    def barrett(x):
+        q = jnp.round(x.astype(jnp.float32) * inv_p).astype(jnp.int32)
+        return x - q * p
+
+    d8 = dig_ref[0].reshape(tile_b * R, N)
+    lo = jax.lax.dot_general(d8, flo_ref[0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    hi = jax.lax.dot_general(d8, fhi_ref[0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    d_hat = barrett(lo + jax.lax.shift_left(hi, jnp.int32(8)))
+    d_hat = d_hat.reshape(tile_b, R, N)
+
+    kh = bsk_ref[0].astype(jnp.int32)                   # [3, R, 2, N]
+    us = []
+    for j in range(3):
+        cs = []
+        for c in range(2):
+            acc = None
+            for r0 in range(0, R, row_group):
+                part = sum(d_hat[:, r] * kh[j, r, c]
+                           for r in range(r0, min(r0 + row_group, R)))
+                part = barrett(part)
+                acc = part if acc is None else acc + part
+            cs.append(barrett(acc))
+        us.append(cs)
+
+    d1 = r1_ref[0].astype(jnp.int32) - 1                # [tile_b, N]
+    d2 = r2_ref[0].astype(jnp.int32) - 1
+    d12 = barrett(d1 * d2)
+    vs = []
+    for c in range(2):
+        r1c = barrett(d1 * us[0][c] + d2 * us[1][c])
+        r2c = barrett(d12 * us[2][c])
+        vs.append(barrett(r1c + r2c))
+    v = jnp.stack(vs, axis=1).reshape(tile_b * 2, N)    # [2*tile_b, N]
+
+    vlo = ((v + 128) & 255) - 128
+    vhi = jax.lax.shift_right_arithmetic(v - vlo, jnp.int32(8))
+    limbs = jnp.concatenate([vlo.astype(jnp.int8), vhi.astype(jnp.int8)],
+                            axis=-1)                    # [2*tile_b, 2N]
+    z_lo = jax.lax.dot_general(limbs, clo_ref[0], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    z_hi = jax.lax.dot_general(limbs, chi_ref[0], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    y = z_lo + barrett(z_hi) * 256
+    x_ref[0] = barrett(y).reshape(tile_b, 2, N)
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "tile_b"))
+def ntt_step_fused_pallas(digits_i8, bsk_g, rows1, rows2, plan: NTTPlan,
+                          tile_b: int = 256):
+    """Single-kernel group-2 step core: digits -> per-prime x residues.
+
+    Same contract as ntt_step_pallas but one kernel per step (no v
+    handoff) with the VMEM limit raised to use the chip's real capacity;
+    the (prime, batch-tile) grid fetches each transform matrix once per
+    prime."""
+    B, R, N = digits_i8.shape
+    Pn = plan.n_primes
+    tile_b = min(tile_b, B)
+    assert B % tile_b == 0, (B, tile_b)
+    scal, fscal = _scalar_tables(plan)
+    flo = jnp.asarray(np.stack(plan.fwd_lo))
+    fhi = jnp.asarray(np.stack(plan.fwd_hi))
+    clo = jnp.asarray(np.stack(plan.inv_cat_lo))
+    chi = jnp.asarray(np.stack(plan.inv_cat_hi))
+    bsk_t = jnp.swapaxes(bsk_g, 0, 1)                   # [P, 3, R, 2, N]
+    group = min(plan.row_group(p) for p in plan.primes)
+
+    return pl.pallas_call(
+        functools.partial(_k_fused, tile_b=tile_b, N=N, R=R,
+                          row_group=group),
+        grid=(Pn, B // tile_b),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile_b, R, N), lambda p, bt: (0, bt, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, N), lambda p, bt: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, N), lambda p, bt: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, R, 2, N), lambda p, bt: (p, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_b, N), lambda p, bt: (p, bt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_b, N), lambda p, bt: (p, bt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * N, N), lambda p, bt: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * N, N), lambda p, bt: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_b, 2, N), lambda p, bt: (p, bt, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Pn, B, 2, N), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(scal, fscal, digits_i8[None], flo, fhi, bsk_t, rows1, rows2, clo, chi)
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "tile_b1", "tile_b2"))

@@ -66,3 +66,14 @@ def test_toeplitz_only_cloud_key_falls_back(tiny, tiny_sk):
     ctb = tlwe.encrypt_bool(jax.random.key(9), bits_b, 0.0, tiny_sk.key_lv0)
     out = G.gate("and", cta, ctb, ck)
     assert list(np.asarray(tlwe.decrypt_bool(out, tiny_sk.key_lv0))) == [False, True]
+
+
+def test_keygen_deterministic(tiny):
+    """Same PRNG key -> identical CloudKey (golden-vector property the
+    reference lacks; utils.zig:16-22 reseeds from wall clock)."""
+    sk = K.SecretKey.generate(jax.random.key(11), tiny)
+    ck1 = K.CloudKey.generate(jax.random.key(12), sk, tiny)
+    ck2 = K.CloudKey.generate(jax.random.key(12), sk, tiny)
+    for a, b in zip(jax.tree_util.tree_leaves(ck1),
+                    jax.tree_util.tree_leaves(ck2)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -63,3 +63,19 @@ def test_shard_batch_helper(tiny, tiny_sk, mesh8):
     assert sharded.sharding.spec == Pspec("data")
     repl = M.replicate(mesh8, ct)
     assert repl.sharding.spec == Pspec()
+
+
+def test_shard_map_gates(tiny, tiny_sk, tiny_ck, mesh8):
+    """Explicit shard_map evaluation matches the single-device result."""
+    B = 16
+    rng = np.random.default_rng(5)
+    bits_a = jnp.asarray(rng.integers(0, 2, B).astype(bool))
+    bits_b = jnp.asarray(rng.integers(0, 2, B).astype(bool))
+    cta = tlwe.encrypt_bool(jax.random.key(201), bits_a, 0.0, tiny_sk.key_lv0)
+    ctb = tlwe.encrypt_bool(jax.random.key(202), bits_b, 0.0, tiny_sk.key_lv0)
+    ids = jnp.asarray(rng.integers(0, len(G.GATE_NAMES), B).astype(np.int32))
+
+    ref = np.asarray(G.apply_gates(ids, cta, ctb, tiny_ck))
+    run = M.shard_map_gates(mesh8, tiny_ck)
+    out = np.asarray(run(*(M.shard_batch(mesh8, x) for x in (ids, cta, ctb))))
+    assert np.array_equal(out, ref)  # bit-exact across placements

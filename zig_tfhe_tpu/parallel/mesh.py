@@ -61,6 +61,42 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, replicated(mesh))
 
 
+def shard_map_gates(mesh: Mesh, ck):
+    """Explicit-SPMD batched gate evaluation via shard_map.
+
+    Returns ``f(gate_ids, ct_a, ct_b) -> ct_out`` where the ciphertext
+    batch is split over the data axis and the CloudKey is replicated; each
+    shard runs the full blind-rotate scan locally with NO collectives
+    (gates are independent), so scaling is linear in mesh size.  The
+    GSPMD path (jit + NamedSharding, tests/test_sharding.py) produces the
+    same partitioning automatically; this explicit version pins it.
+    """
+    try:
+        from jax import shard_map        # jax >= 0.8
+    except ImportError:                  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from zig_tfhe_tpu.models import gates as G
+
+    ck_r = replicate(mesh, ck)
+
+    def local(ids, a, b, k):
+        return G.apply_gates(ids, a, b, k)
+
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(BATCH_AXIS), P(BATCH_AXIS), P(BATCH_AXIS), P()),
+        out_specs=P(BATCH_AXIS),
+        check_rep=False,  # CloudKey is replicated by construction
+    )
+    jf = jax.jit(f)
+
+    def run(gate_ids, ct_a, ct_b):
+        with mesh:
+            return jf(gate_ids, ct_a, ct_b, ck_r)
+
+    return run
+
+
 def sharded_jit_gates(fn, mesh: Mesh):
     """jit ``fn(ids/ct..., ck)`` with batch-sharded ciphertext args and a
     replicated key: XLA partitions the blind-rotation scan per-shard with no

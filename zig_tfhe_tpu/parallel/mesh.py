@@ -86,7 +86,6 @@ def shard_map_gates(mesh: Mesh, ck):
         local, mesh=mesh,
         in_specs=(P(BATCH_AXIS), P(BATCH_AXIS), P(BATCH_AXIS), P()),
         out_specs=P(BATCH_AXIS),
-        check_rep=False,  # CloudKey is replicated by construction
     )
     jf = jax.jit(f)
 

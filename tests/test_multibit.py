@@ -4,6 +4,7 @@ single-bit path, odd-n0 padding, and CloudKey serialization with group."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from zig_tfhe_tpu import key as K
 from zig_tfhe_tpu import params as P
@@ -77,3 +78,39 @@ def test_keygen_deterministic(tiny):
     for a, b in zip(jax.tree_util.tree_leaves(ck1),
                     jax.tree_util.tree_leaves(ck2)):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+import operator
+
+_TT = {
+    "nand": lambda x, y: not (x and y), "or": operator.or_,
+    "and": operator.and_, "xor": operator.xor,
+    "xnor": lambda x, y: x == y, "nor": lambda x, y: not (x or y),
+    "andny": lambda x, y: (not x) and y, "andyn": lambda x, y: x and not y,
+    "orny": lambda x, y: (not x) or y, "oryn": lambda x, y: x or not y,
+}
+
+
+@pytest.mark.parametrize("group", [1, 2])
+def test_all_gates_truth_tables_by_group(tiny, tiny_sk, group):
+    """Every two-input gate, all four input combinations, both blind-rotate
+    groupings — exact decrypts (gates.zig:374-544 parity)."""
+    ck = K.CloudKey.generate(jax.random.key(20 + group), tiny_sk, tiny,
+                             group=group)
+    bits_a = jnp.asarray(np.array([0, 0, 1, 1], bool))
+    bits_b = jnp.asarray(np.array([0, 1, 0, 1], bool))
+    cta = tlwe.encrypt_bool(jax.random.key(30), bits_a, 0.0, tiny_sk.key_lv0)
+    ctb = tlwe.encrypt_bool(jax.random.key(31), bits_b, 0.0, tiny_sk.key_lv0)
+    ids = jnp.arange(len(G.GATE_NAMES), dtype=jnp.int32)
+    # heterogeneous batch: every gate on every input combo in one call
+    ids_full = jnp.repeat(ids, 4)
+    a_full = jnp.tile(cta, (len(G.GATE_NAMES), 1))
+    b_full = jnp.tile(ctb, (len(G.GATE_NAMES), 1))
+    out = G.apply_gates(ids_full, a_full, b_full, ck)
+    dec = np.asarray(tlwe.decrypt_bool(out, tiny_sk.key_lv0))
+    k = 0
+    for name in G.GATE_NAMES:
+        for x, y in [(0, 0), (0, 1), (1, 0), (1, 1)]:
+            assert bool(dec[k]) == bool(_TT[name](bool(x), bool(y))), \
+                (name, x, y, group)
+            k += 1

@@ -116,3 +116,45 @@ def test_crt_margin_at_worst_case_magnitudes(tiny):
     out_toep = np.asarray(external_product(
         T.to_ext_limbs(trgsw_ct, T.N_KLIMBS), ct, tiny))
     assert np.array_equal(out_ntt, out_toep)
+
+
+def test_fused_step_kernel_matches_xla():
+    """The flag-gated Pallas step kernel (interpreter mode, so it runs on
+    CPU in the suite) must agree bit-for-bit with the XLA step ops."""
+    params = P.SECURITY_128_BIT
+    if params.bgbit > 6:
+        pytest.skip("kernel requires Bg/2 <= 32")
+    drop = 7
+    plan = ntt.plan_for_params(params, drop, group=2)
+    B, N, L = 64, params.N, params.L
+    R = 2 * L
+    rng = np.random.default_rng(9)
+    digits = jnp.asarray(rng.integers(-32, 32, (B, R, N)).astype(np.int8))
+    bsk_g = jnp.asarray(rng.integers(-20000, 20000,
+                                     (3, plan.n_primes, R, 2, N)).astype(np.int16))
+    t1 = jnp.asarray(rng.integers(0, 2 * N, B).astype(np.int32))
+    t2 = jnp.asarray(rng.integers(0, 2 * N, B).astype(np.int32))
+    tabs = [jnp.asarray(t) for t in plan.rot]
+    rows1 = jnp.stack([jnp.take(t, t1, axis=0) for t in tabs])
+    rows2 = jnp.stack([jnp.take(t, t2, axis=0) for t in tabs])
+
+    from zig_tfhe_tpu.ops.pallas.ntt_step import ntt_step_fused_pallas
+    x_f = np.asarray(ntt_step_fused_pallas(digits, bsk_g, rows1, rows2,
+                                           plan, tile_b=64, interpret=True))
+
+    d_hat = ntt.ntt_forward(digits.astype(jnp.int32), plan, 1, 32)
+    u1 = ntt.pointwise_extprod(d_hat, bsk_g[0], plan)
+    u2 = ntt.pointwise_extprod(d_hat, bsk_g[1], plan)
+    u12 = ntt.pointwise_extprod(d_hat, bsk_g[2], plan)
+    v = ntt.rotate_combine2(u1, u2, u12, t1, t2, plan)
+    import jax as _jax
+    for i, p in enumerate(plan.primes):
+        vv = v[i]
+        lo = ((vv + 128) & 255) - 128
+        hi = _jax.lax.shift_right_arithmetic(vv - lo, jnp.int32(8))
+        limbs = jnp.concatenate([lo.astype(jnp.int8), hi.astype(jnp.int8)], -1)
+        z_lo = ntt._dot_i8(limbs, jnp.asarray(plan.inv_cat_lo[i]))
+        z_hi = ntt._dot_i8(limbs, jnp.asarray(plan.inv_cat_hi[i]))
+        y = z_lo + ntt.barrett_reduce(z_hi, p) * jnp.int32(256)
+        ref = np.asarray(ntt.barrett_reduce(y, p))
+        assert np.array_equal(x_f[i], ref), p

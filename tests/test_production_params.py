@@ -2,9 +2,10 @@
 
 The regular suite exercises full pipelines at TEST_TINY (alpha=0, exact)
 plus statistical paths at tiny scale; these tests run the real 80-bit and
-uint4 configurations end-to-end on whatever backend is active.  They take
-minutes on CPU, so they only run with ZTFHE_SLOW_TESTS=1 (CI fast path
-skips them; the TPU benches cover the same ground at batch 1024+).
+uint4 configurations end-to-end.  NOTE: tests/conftest.py pins the CPU
+backend for the whole pytest process, so under pytest these always run on
+CPU (minutes); the TPU benches (bench.py, bench_lut.py) cover the same
+configurations on hardware.  Opt in with ZTFHE_SLOW_TESTS=1.
 """
 
 import os

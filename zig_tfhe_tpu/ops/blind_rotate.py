@@ -129,7 +129,7 @@ def _external_product_pallas(bsk_i, ct, params: SecurityParams):
 
 
 def blind_rotate(tlwe_batch, testvec, ck, params: SecurityParams,
-                 unroll: int = 1, engine: str | None = None):
+                 unroll: int | None = None, engine: str | None = None):
     """Blind rotation of a batch of TLWE lv0 ciphertexts.
 
     tlwe_batch: int32 [B, n0+1]
@@ -143,8 +143,11 @@ def blind_rotate(tlwe_batch, testvec, ck, params: SecurityParams,
     each LWE coefficient with a CMux against BSK[i].
     """
     engine = engine or default_engine()
-    if unroll == 1:
-        unroll = int(os.environ.get("ZTFHE_UNROLL", "1"))
+    if unroll is None:
+        try:
+            unroll = int(os.environ.get("ZTFHE_UNROLL", "1"))
+        except ValueError:
+            unroll = 1
     if engine == "ntt" and ck.bsk_ntt is None and ck.bsk_ext_limbs is not None:
         engine = "xla"      # e.g. a cloud key saved by an older version
     if engine == "ntt":

@@ -113,9 +113,10 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
 
     # fused-kernel fast path: digit magnitude must fit the in-kernel
     # combine bound (N * Bg/2 * (p/512+1) * 256 < 2^31 => Bg/2 <= 32);
-    # B must divide the kernel tile (256)
+    # some kernel tile size must divide B
+    _tile = next((t for t in (256, 128, 64) if B % t == 0), None)
     if (pallas_inv and params.digit_limbs == 1
-            and (1 << (params.bgbit - 1)) <= 32 and B % 256 == 0):
+            and (1 << (params.bgbit - 1)) <= 32 and _tile is not None):
         from zig_tfhe_tpu.ops.pallas.ntt_step import ntt_step_fused_pallas
 
         rot_tabs = [jnp.asarray(t) for t in plan.rot]
@@ -127,7 +128,8 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
             digits = _decompose_to_rows(acc, params).astype(jnp.int8)
             rows1 = jnp.stack([jnp.take(t, t1, axis=0) for t in rot_tabs])
             rows2 = jnp.stack([jnp.take(t, t2, axis=0) for t in rot_tabs])
-            x = ntt_step_fused_pallas(digits, bsk_g, rows1, rows2, plan)
+            x = ntt_step_fused_pallas(digits, bsk_g, rows1, rows2,
+                                      plan, tile_b=_tile)
             delta = _ntt.crt_combine([x[i] for i in range(len(rot_tabs))],
                                      plan)
             if drop_bits:

@@ -149,7 +149,7 @@ def test_fused_step_kernel_matches_xla():
     v = ntt.rotate_combine2(u1, u2, u12, t1, t2, plan)
     import jax as _jax
     for i, p in enumerate(plan.primes):
-        vv = v[i]
+        vv = v[i].astype(jnp.int32)
         lo = ((vv + 128) & 255) - 128
         hi = _jax.lax.shift_right_arithmetic(vv - lo, jnp.int32(8))
         limbs = jnp.concatenate([lo.astype(jnp.int8), hi.astype(jnp.int8)], -1)
@@ -158,3 +158,48 @@ def test_fused_step_kernel_matches_xla():
         y = z_lo + ntt.barrett_reduce(z_hi, p) * jnp.int32(256)
         ref = np.asarray(ntt.barrett_reduce(y, p))
         assert np.array_equal(x_f[i], ref), p
+
+
+def test_residue_limb_pairs_match_plain_inverse():
+    """ntt_inverse_to_crt must give identical results whether it receives
+    whole int16 residues or (lo8, hi8) pairs from residue_limbs, and the
+    rotate stages' limb_out=True must be bit-exact vs their default."""
+    plan = ntt.make_plan(1024, 45)
+    Pn = plan.n_primes
+    rng = np.random.default_rng(21)
+    B, N = 8, 1024
+    mk = lambda: [jnp.asarray(rng.integers(-31000, 31000, (B, 2, N))
+                              .astype(np.int16)) for _ in range(Pn)]
+    u1, u2, u12 = mk(), mk(), mk()
+    t1 = jnp.asarray(rng.integers(0, 2 * N, B).astype(np.int32))
+    t2 = jnp.asarray(rng.integers(0, 2 * N, B).astype(np.int32))
+
+    v16 = ntt.rotate_combine2(u1, u2, u12, t1, t2, plan)
+    v_pairs = ntt.rotate_combine2(u1, u2, u12, t1, t2, plan, limb_out=True)
+    for (lo, hi), v in zip(v_pairs, v16):
+        rec = lo.astype(np.int32) + 256 * hi.astype(np.int32)
+        assert np.array_equal(np.asarray(rec), np.asarray(v, np.int32))
+    assert np.array_equal(np.asarray(ntt.ntt_inverse_to_crt(v16, plan)),
+                          np.asarray(ntt.ntt_inverse_to_crt(v_pairs, plan)))
+
+    r16 = ntt.rotate_diag(u1, t1, plan)
+    r_pairs = ntt.rotate_diag(u1, t1, plan, limb_out=True)
+    assert np.array_equal(np.asarray(ntt.ntt_inverse_to_crt(r16, plan)),
+                          np.asarray(ntt.ntt_inverse_to_crt(r_pairs, plan)))
+
+
+def test_residue_bounds_within_barrett_envelope():
+    """Every residue-producing stage must stay within the barrett bound
+    |r| <= p(1/2 + 2^-6) — the invariant residue_limbs and the int8 limb
+    splits rely on (hi limb must fit int8 for p <= 63000)."""
+    plan = ntt.make_plan(1024, 45)
+    rng = np.random.default_rng(5)
+    digits = jnp.asarray(rng.integers(-32, 32, (4, 6, 1024)).astype(np.int32))
+    d_hat = ntt.ntt_forward(digits, plan, 1, 32)
+    for r, p in zip(d_hat, plan.primes):
+        assert np.abs(np.asarray(r)).max() <= p * (0.5 + 2**-6)
+    key = jnp.asarray(rng.integers(-30000, 30000,
+                                   (plan.n_primes, 6, 2, 1024)).astype(np.int16))
+    u = ntt.pointwise_extprod(d_hat, key, plan)
+    for r, p in zip(u, plan.primes):
+        assert np.abs(np.asarray(r)).max() <= p * (0.5 + 2**-6)

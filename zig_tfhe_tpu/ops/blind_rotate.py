@@ -44,10 +44,11 @@ def default_engine() -> str:
 def _decompose_to_rows(ct, params: SecurityParams):
     """[..., 2, N] -> signed digit rows [..., 2L, N] (a-levels then b-levels).
 
-    Matches decompositionIntoStorage row order (trgsw.zig:193-219).
+    Matches decompositionIntoStorage row order (trgsw.zig:193-219).  Digits
+    are stacked level-major directly (no N-axis transpose — the moveaxis
+    relayout was a measurable per-step cost at blind-rotate batch sizes).
     """
-    digs = gadget_decompose(ct, params)            # [..., 2, N, L]
-    digs = jnp.moveaxis(digs, -1, -2)              # [..., 2, L, N]
+    digs = gadget_decompose(ct, params, level_axis=-2)  # [..., 2, L, N]
     sh = digs.shape
     return digs.reshape(sh[:-3] + (2 * params.L, params.N))
 

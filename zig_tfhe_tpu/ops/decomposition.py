@@ -20,13 +20,16 @@ from zig_tfhe_tpu.params import SecurityParams
 from zig_tfhe_tpu.utils.torus import shift_right_logical, to_i32
 
 
-def gadget_decompose(x, params: SecurityParams):
+def gadget_decompose(x, params: SecurityParams, level_axis: int = -1):
     """Signed gadget digits of torus values.
 
-    x: int32 [...]; returns int32 [..., L] with digits in [-Bg/2, Bg/2).
-    Matches decompositionIntoStorage (trgsw.zig:193-219) digit-for-digit
-    (the reference stores digits as wrapped u32; values are identical mod
-    2^32 and small, so our signed form is the same integer).
+    x: int32 [...]; returns int32 [..., L] (level_axis=-1, default) or the
+    digits stacked on another axis (level_axis=-2 gives [..., L, last] with
+    NO relayout of the trailing axis — the layout the NTT engine wants).
+    Digits are in [-Bg/2, Bg/2).  Matches decompositionIntoStorage
+    (trgsw.zig:193-219) digit-for-digit (the reference stores digits as
+    wrapped u32; values are identical mod 2^32 and small, so our signed
+    form is the same integer).
     """
     bgbit, L = params.bgbit, params.L
     mask = jnp.int32((1 << bgbit) - 1)
@@ -36,7 +39,7 @@ def gadget_decompose(x, params: SecurityParams):
     for i in range(L):
         sh = 32 - (i + 1) * bgbit
         digs.append((shift_right_logical(tmp, sh) & mask) - half)
-    return jnp.stack(digs, axis=-1)
+    return jnp.stack(digs, axis=level_axis)
 
 
 def ks_decompose(a, basebit: int, t: int):

@@ -122,6 +122,7 @@ class NTTPlan:
 
     N: int
     primes: tuple
+    fwd_s16: tuple      # int16 [N, N]: centered forward matrix (whole entries)
     fwd_lo: tuple
     fwd_hi: tuple
     inv_lo: tuple
@@ -172,6 +173,7 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
             f"not enough NTT primes for N={N}, bound 2^{bound_bits}")
     primes.sort()
 
+    fwd_s16 = []
     fwd_lo, fwd_hi, inv_lo, inv_hi, rot = [], [], [], [], []
     inv_cat_lo, inv_cat_hi = [], []
     crt_e, crt_theta = [], []
@@ -194,6 +196,7 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
         t = np.arange(two_n)
         rot_t = psi_pow[(t[:, None] * (2 * k[None, :] + 1)) % two_n].astype(np.int64)
 
+        fwd_s16.append(_center(fwd, p).astype(np.int16))
         flo, fhi = _i8_split(_center(fwd, p))
         ilo, ihi = _i8_split(_center(inv, p))
         fwd_lo.append(flo)
@@ -215,6 +218,7 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
 
     return NTTPlan(
         N=N, primes=tuple(primes),
+        fwd_s16=tuple(fwd_s16),
         fwd_lo=tuple(fwd_lo), fwd_hi=tuple(fwd_hi),
         inv_lo=tuple(inv_lo), inv_hi=tuple(inv_hi),
         inv_cat_lo=tuple(inv_cat_lo), inv_cat_hi=tuple(inv_cat_hi),
@@ -295,9 +299,16 @@ def ntt_forward(digits, plan: NTTPlan, digit_limbs: int = 1,
                 digit_bound: int = 128):
     """Forward NTT of small signed polys.
 
-    digits: int32 [..., N] with |digits| < 2^(8*digit_limbs - 1); the top
-    limb is bounded by digit_bound (used only for overflow-path selection).
-    Returns list per prime of int32 [..., N] centered residues (<= 0.55p).
+    digits: int32/int8 [..., N] with |digits| < 2^(8*digit_limbs - 1); the
+    top limb is bounded by digit_bound (used only for overflow-path
+    selection).  Returns list per prime of int32 [..., N] centered residues
+    (|.| <= p(1/2 + 2^-6)).
+
+    NOTE on storage width: residues fit int16 losslessly, but emitting
+    int16 here was MEASURED ~4% slower end-to-end — on TPU a dtype-width
+    change cannot fuse into the matmul epilogue and becomes a standalone
+    ~60 us relayout kernel per prime, outweighing the halved read traffic
+    downstream.  Inter-stage residues therefore stay int32.
     """
     if digit_limbs == 1:
         d8 = [digits.astype(jnp.int8)]
@@ -306,6 +317,11 @@ def ntt_forward(digits, plan: NTTPlan, digit_limbs: int = 1,
         limbs = i32_to_i8_limbs(digits, digit_limbs)  # [..., N, n_dl]
         d8 = [limbs[..., i] for i in range(digit_limbs)]
         bounds = [128] * (digit_limbs - 1) + [digit_bound]
+    # NOTE: a single s8@s16 whole-matrix dot is algebraically available here
+    # (true products fit int32 for the boolean sets), but XLA lowers the
+    # mixed-dtype dot via an s8->s16 operand relayout + a 4-pass s16 matmul
+    # — measured 1.3x SLOWER end-to-end than the two-limb-matrix form, so
+    # the explicit limb matmuls stay.
     out = []
     for i, p in enumerate(plan.primes):
         flo = jnp.asarray(plan.fwd_lo[i])
@@ -328,22 +344,41 @@ def _dot_i8(a_i8, b_i8):
     )
 
 
+def residue_limbs(v):
+    """Centered residue -> (lo, hi) int8 limb planes with v == lo + 256*hi.
+
+    Elementwise, so it fuses into the producer of v (the rotate stage) —
+    materializing two s8 planes is far cheaper than the lane-axis
+    concatenate the old single-matmul form needed (a measured ~190 us/step
+    relayout at B=1536).  Requires |v| <= 32640 (hi must fit int8), which
+    barrett outputs satisfy for p <= 63000.
+    """
+    v = v.astype(jnp.int32)
+    lo = ((v + 128) & 255) - 128
+    hi = jax.lax.shift_right_arithmetic(v - lo, jnp.int32(8))
+    return lo.astype(jnp.int8), hi.astype(jnp.int8)
+
+
 def ntt_inverse_to_crt(res_list, plan: NTTPlan):
     """Inverse NTT per prime + exact CRT lift to int32 (mod 2^32).
 
-    res_list: per prime int32 [..., N] centered residues (|.| <= 0.52p).
+    res_list: per prime, EITHER int16/int32 [..., N] centered residues
+    (|.| <= 0.52p) OR an (lo8, hi8) limb pair from residue_limbs.
     Returns int32 [..., N] == centered-exact convolution mod 2^32, provided
     the true integer convolution magnitude is < P/4.
+
+    The [lo|hi] @ [Minv ; 256*Minv mod p] concatenated contraction keeps
+    the MXU on one 2N-deep streaming matmul per output-limb matrix; a
+    4-matmul split form (contraction N) was measured ~6% slower end-to-end.
     """
     xs = []
     for i, p in enumerate(plan.primes):
-        v = res_list[i]
-        lo = ((v + 128) & 255) - 128                    # int32, [-128, 127]
-        hi = jax.lax.shift_right_arithmetic(v - lo, jnp.int32(8))
-        # one concatenated contraction: y = v @ Minv = lo @ Minv
-        #   + hi @ (256*Minv mod p), both limbs in a single [.., 2N] matmul
-        limbs = jnp.concatenate(
-            [lo.astype(jnp.int8), hi.astype(jnp.int8)], axis=-1)  # [.., 2N]
+        item = res_list[i]
+        if isinstance(item, tuple):
+            lo8, hi8 = item
+        else:
+            lo8, hi8 = residue_limbs(item)
+        limbs = jnp.concatenate([lo8, hi8], axis=-1)            # [.., 2N]
         z_lo = _dot_i8(limbs, jnp.asarray(plan.inv_cat_lo[i]))  # <= 2^25
         z_hi = _dot_i8(limbs, jnp.asarray(plan.inv_cat_hi[i]))
         y = z_lo + barrett_reduce(z_hi, p) * jnp.int32(256)     # <= 2^25.1
@@ -394,7 +429,7 @@ def pointwise_extprod(d_hat, key_hat, plan: NTTPlan):
     """sum over rows of d_hat[..., R, N] * key_hat[prime][R, C, N] -> per-prime
     int32 [..., C, N] residues (<= 0.52p), exact mod p.
 
-    d_hat: list per prime, int32 [..., R, N] centered (<= 0.52p)
+    d_hat: list per prime, int16/int32 [..., R, N] centered (<= 0.52p)
     key_hat: int16 [n_primes, R, C, N] centered (|.| <= p/2)
     """
     outs = []
@@ -402,7 +437,7 @@ def pointwise_extprod(d_hat, key_hat, plan: NTTPlan):
     for i, p in enumerate(plan.primes):
         g = plan.row_group(p)
         kh = key_hat[i].astype(jnp.int32)               # [R, C, N]
-        d = d_hat[i][..., :, None, :]                    # [..., R, 1, N]
+        d = d_hat[i].astype(jnp.int32)[..., :, None, :]  # [..., R, 1, N]
         acc = None
         for r0 in range(0, R, g):
             part = sum(d[..., r, :, :] * kh[r] for r in range(r0, min(r0 + g, R)))
@@ -412,13 +447,17 @@ def pointwise_extprod(d_hat, key_hat, plan: NTTPlan):
     return outs
 
 
-def rotate_combine2(u1, u2, u12, t1, t2, plan: NTTPlan):
+def rotate_combine2(u1, u2, u12, t1, t2, plan: NTTPlan, limb_out: bool = False):
     """(psi^t1 - 1) u1 + (psi^t2 - 1) u2 + (psi^t1 - 1)(psi^t2 - 1) u12.
 
-    The multi-bit blind-rotate combiner (group=2).  u*: per-prime int32
-    [B, ..., N] residues (|.| <= 0.55p); t1/t2: int32 [B] in [0, 2N].
-    Intermediates: |D| <= p/2 + 1 and |u| <= 0.55p so each product is
-    < 2^30.2 and a pair-sum < 2^31.2... reduced pairwise to stay exact.
+    The multi-bit blind-rotate combiner (group=2).  u*: per-prime int16/int32
+    [B, ..., N] residues (|.| <= 0.52p); t1/t2: int32 [B] in [0, 2N].
+    Returns per-prime int32 residues (|.| <= 0.52p), or (lo8, hi8) limb
+    pairs when limb_out=True.
+    Intermediates: |D| <= p/2 + 1 and |u| <= 0.52p so each product is
+    <= 9.8e8 and a pair-sum <= 1.96e9 < 2^31 — reduced pairwise to stay
+    exact; the d12*u12 term is then folded into the reduced pair-sum
+    (<= 9.8e8 + 0.52p < 2^31), saving one reduction per column.
     """
     mask = jnp.int32(2 * plan.N - 1)
     t1 = jnp.asarray(t1) & mask
@@ -430,22 +469,24 @@ def rotate_combine2(u1, u2, u12, t1, t2, plan: NTTPlan):
         tab = jnp.asarray(plan.rot[i])                  # int16 [2N, N] centered
         rows = jnp.take(tab, t_cat, axis=0).astype(jnp.int32) - 1  # [2B, N]
         d1, d2 = rows[:B], rows[B:]
-        d12 = barrett_reduce(d1 * d2, p)                # <= 0.55p
-        v1, v2, v12 = u1[i], u2[i], u12[i]
+        d12 = barrett_reduce(d1 * d2, p)                # <= 0.52p
+        v1 = u1[i].astype(jnp.int32)
+        v2 = u2[i].astype(jnp.int32)
+        v12 = u12[i].astype(jnp.int32)
         while d1.ndim < v1.ndim:
             d1, d2, d12 = d1[:, None], d2[:, None], d12[:, None]
-        # products <= (p/2+1)*0.55p < 2^30.2; reduce each before summing
-        r1 = barrett_reduce(d1 * v1 + d2 * v2, p)       # sum < 2^31.2? no:
-        # (p/2+1)*0.55p for p=61441 is 1.04e9; x2 = 2.08e9 < 2^31-1 — OK.
-        r2 = barrett_reduce(d12 * v12, p)
-        outs.append(barrett_reduce(r1 + r2, p))
+        r1 = barrett_reduce(d1 * v1 + d2 * v2, p)
+        r = barrett_reduce(d12 * v12 + r1, p)
+        outs.append(residue_limbs(r) if limb_out else r)
     return outs
 
 
-def rotate_diag(res_list, t, plan: NTTPlan, minus_one: bool = True):
+def rotate_diag(res_list, t, plan: NTTPlan, minus_one: bool = True,
+                limb_out: bool = False):
     """Multiply NTT residues by the diagonal of X^t (optionally X^t - 1).
 
-    res_list: per prime int32 [B, ..., N]; t: int32 [B] in [0, 2N).
+    res_list: per prime int16/int32 [B, ..., N]; t: int32 [B] in [0, 2N).
+    Returns per-prime int32 residues ((lo8, hi8) pairs when limb_out=True).
     """
     t = jnp.asarray(t) & jnp.int32(2 * plan.N - 1)      # X^(2N) == X^0
     outs = []
@@ -454,8 +495,9 @@ def rotate_diag(res_list, t, plan: NTTPlan, minus_one: bool = True):
         row = jnp.take(tab, t, axis=0).astype(jnp.int32)  # [B, N]
         if minus_one:
             row = row - 1                                # |.| <= p/2 + 1
-        v = res_list[i]
+        v = res_list[i].astype(jnp.int32)
         while row.ndim < v.ndim:
             row = row[:, None]
-        outs.append(barrett_reduce(v * row, p))
+        r = barrett_reduce(v * row, p)
+        outs.append(residue_limbs(r) if limb_out else r)
     return outs

@@ -49,8 +49,17 @@ def main():
     sk = K.SecretKey.generate(jax.random.key(0), params)
     ck = K.CloudKey.generate(jax.random.key(1), sk, params,
                              ntt_drop=int(drop) if drop else None)
-    jax.block_until_ready(jax.tree_util.tree_leaves(ck))
-    print(f"# keygen: {time.time()-t0:.1f}s", file=sys.stderr)
+    # force completion (block_until_ready does not block on axon)
+    np.asarray(jax.tree_util.tree_leaves(ck)[1].ravel()[:1])
+    print(f"# keygen (cold, incl jit compile): {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.time()
+    ck_w = K.CloudKey.generate(jax.random.key(4), sk, params,
+                               ntt_drop=int(drop) if drop else None)
+    np.asarray(jax.tree_util.tree_leaves(ck_w)[1].ravel()[:1])
+    print(f"# keygen (warm): {(time.time()-t0)*1e3:.0f} ms "
+          f"(reference: ~30 s observed, key.zig:240-241)", file=sys.stderr)
+    del ck_w
 
     bits_a = jnp.asarray(np.random.default_rng(0).integers(0, 2, B).astype(bool))
     bits_b = jnp.asarray(np.random.default_rng(1).integers(0, 2, B).astype(bool))

@@ -147,12 +147,9 @@ def test_fused_step_kernel_matches_xla():
     u2 = ntt.pointwise_extprod(d_hat, bsk_g[1], plan)
     u12 = ntt.pointwise_extprod(d_hat, bsk_g[2], plan)
     v = ntt.rotate_combine2(u1, u2, u12, t1, t2, plan)
-    import jax as _jax
     for i, p in enumerate(plan.primes):
-        vv = v[i].astype(jnp.int32)
-        lo = ((vv + 128) & 255) - 128
-        hi = _jax.lax.shift_right_arithmetic(vv - lo, jnp.int32(8))
-        limbs = jnp.concatenate([lo.astype(jnp.int8), hi.astype(jnp.int8)], -1)
+        lo8, hi8 = ntt.residue_limbs(v[i])
+        limbs = jnp.concatenate([lo8, hi8], -1)
         z_lo = ntt._dot_i8(limbs, jnp.asarray(plan.inv_cat_lo[i]))
         z_hi = ntt._dot_i8(limbs, jnp.asarray(plan.inv_cat_hi[i]))
         y = z_lo + ntt.barrett_reduce(z_hi, p) * jnp.int32(256)
@@ -162,8 +159,8 @@ def test_fused_step_kernel_matches_xla():
 
 def test_residue_limb_pairs_match_plain_inverse():
     """ntt_inverse_to_crt must give identical results whether it receives
-    whole int16 residues or (lo8, hi8) pairs from residue_limbs, and the
-    rotate stages' limb_out=True must be bit-exact vs their default."""
+    whole residues or (lo8, hi8) pairs from residue_limbs, and the pairs
+    must reconstruct the residue exactly."""
     plan = ntt.make_plan(1024, 45)
     Pn = plan.n_primes
     rng = np.random.default_rng(21)
@@ -174,32 +171,29 @@ def test_residue_limb_pairs_match_plain_inverse():
     t1 = jnp.asarray(rng.integers(0, 2 * N, B).astype(np.int32))
     t2 = jnp.asarray(rng.integers(0, 2 * N, B).astype(np.int32))
 
-    v16 = ntt.rotate_combine2(u1, u2, u12, t1, t2, plan)
-    v_pairs = ntt.rotate_combine2(u1, u2, u12, t1, t2, plan, limb_out=True)
-    for (lo, hi), v in zip(v_pairs, v16):
+    v = ntt.rotate_combine2(u1, u2, u12, t1, t2, plan)
+    v_pairs = [ntt.residue_limbs(x) for x in v]
+    for (lo, hi), x in zip(v_pairs, v):
         rec = lo.astype(np.int32) + 256 * hi.astype(np.int32)
-        assert np.array_equal(np.asarray(rec), np.asarray(v, np.int32))
-    assert np.array_equal(np.asarray(ntt.ntt_inverse_to_crt(v16, plan)),
+        assert np.array_equal(np.asarray(rec), np.asarray(x, np.int32))
+    assert np.array_equal(np.asarray(ntt.ntt_inverse_to_crt(v, plan)),
                           np.asarray(ntt.ntt_inverse_to_crt(v_pairs, plan)))
-
-    r16 = ntt.rotate_diag(u1, t1, plan)
-    r_pairs = ntt.rotate_diag(u1, t1, plan, limb_out=True)
-    assert np.array_equal(np.asarray(ntt.ntt_inverse_to_crt(r16, plan)),
-                          np.asarray(ntt.ntt_inverse_to_crt(r_pairs, plan)))
 
 
 def test_residue_bounds_within_barrett_envelope():
     """Every residue-producing stage must stay within the barrett bound
     |r| <= p(1/2 + 2^-6) — the invariant residue_limbs and the int8 limb
-    splits rely on (hi limb must fit int8 for p <= 63000)."""
+    splits rely on (hi limb must fit int8 for p <= 63000).  Key residues
+    are drawn within each prime's own |k| <= p/2 contract."""
     plan = ntt.make_plan(1024, 45)
     rng = np.random.default_rng(5)
     digits = jnp.asarray(rng.integers(-32, 32, (4, 6, 1024)).astype(np.int32))
     d_hat = ntt.ntt_forward(digits, plan, 1, 32)
     for r, p in zip(d_hat, plan.primes):
         assert np.abs(np.asarray(r)).max() <= p * (0.5 + 2**-6)
-    key = jnp.asarray(rng.integers(-30000, 30000,
-                                   (plan.n_primes, 6, 2, 1024)).astype(np.int16))
+    key = jnp.asarray(np.stack([
+        rng.integers(-(p // 2), p // 2 + 1, (6, 2, 1024))
+        for p in plan.primes]).astype(np.int16))
     u = ntt.pointwise_extprod(d_hat, key, plan)
     for r, p in zip(u, plan.primes):
         assert np.abs(np.asarray(r)).max() <= p * (0.5 + 2**-6)

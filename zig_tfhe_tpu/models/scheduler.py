@@ -41,8 +41,12 @@ def _load():
     if _lib is not None:
         return _lib
     if not os.path.exists(_LIB_PATH):
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True)
+        proc = subprocess.run(["make", "-C", _NATIVE_DIR],
+                              capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"building the native circuit scheduler failed (needs make "
+                f"and a C++17 compiler):\n{proc.stdout}\n{proc.stderr}")
     lib = ctypes.CDLL(_LIB_PATH)
     lib.tfhe_circuit_new.restype = ctypes.c_void_p
     lib.tfhe_circuit_parse_bristol.restype = ctypes.c_void_p

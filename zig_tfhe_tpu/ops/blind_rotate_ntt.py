@@ -82,12 +82,6 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
         rows = _decompose_to_rows(acc, params)         # [B, 2L, N] int32
         return _ntt.ntt_forward(rows, plan, params.digit_limbs, dbound)
 
-    # limb_out=True would make the rotate stage emit (lo8, hi8) pairs, but
-    # the s32->s8 narrowing relayout does NOT fuse into the rotate fusion
-    # on TPU (dtype-width changes force a standalone relayout kernel), so
-    # pairs only move the relayout around; whole int32 residues measured
-    # fastest (see docs/ROADMAP.md negative results).
-    limb_out = False
     pallas_path = pallas_inv and B % 64 == 0
 
     def finish(acc, v_hat):
@@ -106,8 +100,7 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
             bsk_i, a_col = xs                          # [P, 2L, 2, N], [B]
             t = modswitch(a_col, params)               # [B] in [0, 2N)
             u_hat = _ntt.pointwise_extprod(fwd(acc), bsk_i, plan)
-            v_hat = _ntt.rotate_diag(u_hat, t, plan, minus_one=True,
-                                     limb_out=limb_out)
+            v_hat = _ntt.rotate_diag(u_hat, t, plan, minus_one=True)
             return finish(acc, v_hat), None
 
         acc, _ = jax.lax.scan(step, acc, (bsk_ntt, a_cols), unroll=unroll)
@@ -160,8 +153,7 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
         u1 = _ntt.pointwise_extprod(d_hat, bsk_g[0], plan)
         u2 = _ntt.pointwise_extprod(d_hat, bsk_g[1], plan)
         u12 = _ntt.pointwise_extprod(d_hat, bsk_g[2], plan)
-        v_hat = _ntt.rotate_combine2(u1, u2, u12, t1, t2, plan,
-                                     limb_out=limb_out)
+        v_hat = _ntt.rotate_combine2(u1, u2, u12, t1, t2, plan)
         return finish(acc, v_hat), None
 
     acc, _ = jax.lax.scan(step2, acc, (bsk_ntt, a_pairs), unroll=unroll)

@@ -122,7 +122,6 @@ class NTTPlan:
 
     N: int
     primes: tuple
-    fwd_s16: tuple      # int16 [N, N]: centered forward matrix (whole entries)
     fwd_lo: tuple
     fwd_hi: tuple
     inv_lo: tuple
@@ -173,7 +172,6 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
             f"not enough NTT primes for N={N}, bound 2^{bound_bits}")
     primes.sort()
 
-    fwd_s16 = []
     fwd_lo, fwd_hi, inv_lo, inv_hi, rot = [], [], [], [], []
     inv_cat_lo, inv_cat_hi = [], []
     crt_e, crt_theta = [], []
@@ -196,7 +194,6 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
         t = np.arange(two_n)
         rot_t = psi_pow[(t[:, None] * (2 * k[None, :] + 1)) % two_n].astype(np.int64)
 
-        fwd_s16.append(_center(fwd, p).astype(np.int16))
         flo, fhi = _i8_split(_center(fwd, p))
         ilo, ihi = _i8_split(_center(inv, p))
         fwd_lo.append(flo)
@@ -218,7 +215,6 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
 
     return NTTPlan(
         N=N, primes=tuple(primes),
-        fwd_s16=tuple(fwd_s16),
         fwd_lo=tuple(fwd_lo), fwd_hi=tuple(fwd_hi),
         inv_lo=tuple(inv_lo), inv_hi=tuple(inv_hi),
         inv_cat_lo=tuple(inv_cat_lo), inv_cat_hi=tuple(inv_cat_hi),
@@ -350,8 +346,9 @@ def residue_limbs(v):
     Elementwise, so it fuses into the producer of v (the rotate stage) —
     materializing two s8 planes is far cheaper than the lane-axis
     concatenate the old single-matmul form needed (a measured ~190 us/step
-    relayout at B=1536).  Requires |v| <= 32640 (hi must fit int8), which
-    barrett outputs satisfy for p <= 63000.
+    relayout at B=1536).  Requires |v| <= 32639 (at v = 32640 the hi limb
+    would be 128, overflowing int8); barrett outputs satisfy this for
+    p <= 63000 (|r| <= 0.5157 * 63000 = 32484).
     """
     v = v.astype(jnp.int32)
     lo = ((v + 128) & 255) - 128
@@ -447,17 +444,17 @@ def pointwise_extprod(d_hat, key_hat, plan: NTTPlan):
     return outs
 
 
-def rotate_combine2(u1, u2, u12, t1, t2, plan: NTTPlan, limb_out: bool = False):
+def rotate_combine2(u1, u2, u12, t1, t2, plan: NTTPlan):
     """(psi^t1 - 1) u1 + (psi^t2 - 1) u2 + (psi^t1 - 1)(psi^t2 - 1) u12.
 
     The multi-bit blind-rotate combiner (group=2).  u*: per-prime int16/int32
     [B, ..., N] residues (|.| <= 0.52p); t1/t2: int32 [B] in [0, 2N].
-    Returns per-prime int32 residues (|.| <= 0.52p), or (lo8, hi8) limb
-    pairs when limb_out=True.
-    Intermediates: |D| <= p/2 + 1 and |u| <= 0.52p so each product is
-    <= 9.8e8 and a pair-sum <= 1.96e9 < 2^31 — reduced pairwise to stay
-    exact; the d12*u12 term is then folded into the reduced pair-sum
-    (<= 9.8e8 + 0.52p < 2^31), saving one reduction per column.
+    Returns per-prime int32 residues (|.| <= 0.52p).
+    Overflow proof (worst case p = 63000, barrett bound 0.5157p = 32484):
+    |d1|,|d2| <= p/2 + 1 = 31501 and |u| <= 32484, so
+    |d1*v1 + d2*v2| <= 2 * 31501 * 32484 = 2.047e9 < 2^31; d12 is itself a
+    barrett output (<= 32484), so |d12*v12 + r1| <= 32484^2 + 32484
+    = 1.056e9 < 2^31 — one reduction per column is saved by the fold.
     """
     mask = jnp.int32(2 * plan.N - 1)
     t1 = jnp.asarray(t1) & mask
@@ -476,17 +473,15 @@ def rotate_combine2(u1, u2, u12, t1, t2, plan: NTTPlan, limb_out: bool = False):
         while d1.ndim < v1.ndim:
             d1, d2, d12 = d1[:, None], d2[:, None], d12[:, None]
         r1 = barrett_reduce(d1 * v1 + d2 * v2, p)
-        r = barrett_reduce(d12 * v12 + r1, p)
-        outs.append(residue_limbs(r) if limb_out else r)
+        outs.append(barrett_reduce(d12 * v12 + r1, p))
     return outs
 
 
-def rotate_diag(res_list, t, plan: NTTPlan, minus_one: bool = True,
-                limb_out: bool = False):
+def rotate_diag(res_list, t, plan: NTTPlan, minus_one: bool = True):
     """Multiply NTT residues by the diagonal of X^t (optionally X^t - 1).
 
     res_list: per prime int16/int32 [B, ..., N]; t: int32 [B] in [0, 2N).
-    Returns per-prime int32 residues ((lo8, hi8) pairs when limb_out=True).
+    Returns per-prime int32 residues.
     """
     t = jnp.asarray(t) & jnp.int32(2 * plan.N - 1)      # X^(2N) == X^0
     outs = []
@@ -498,6 +493,5 @@ def rotate_diag(res_list, t, plan: NTTPlan, minus_one: bool = True,
         v = res_list[i].astype(jnp.int32)
         while row.ndim < v.ndim:
             row = row[:, None]
-        r = barrett_reduce(v * row, p)
-        outs.append(residue_limbs(r) if limb_out else r)
+        outs.append(barrett_reduce(v * row, p))
     return outs

@@ -58,3 +58,38 @@ def test_public_and_reenc_key_roundtrip(tmp_path, tiny, tiny_sk):
     assert rk2.basebit == rk.basebit and rk2.t == rk.t
     assert np.array_equal(np.asarray(rk2.key_encryptions),
                           np.asarray(rk.key_encryptions))
+
+
+def test_custom_params_roundtrip(tmp_path, tiny, tiny_sk):
+    """Tweaked (non-stock) SecurityParams must round-trip field-for-field
+    via the embedded manifest, not by stock-name lookup."""
+    import dataclasses
+
+    from zig_tfhe_tpu import params as P
+
+    custom = dataclasses.replace(
+        tiny, tlwe_lv0=P.TlweParams(n=tiny.n0, alpha=1e-9),
+        description="tweaked tiny")
+    p = tmp_path / "sk_custom.npz"
+    S.save_secret_key(p, tiny_sk, custom)
+    _, params2 = S.load_secret_key(p)
+    assert params2 == custom
+    assert params2 is not tiny
+    assert params2.tlwe_lv0.alpha == 1e-9
+
+
+def test_extensionless_path_roundtrip(tmp_path, tiny, tiny_sk):
+    """np.savez appends '.npz'; load must mirror that."""
+    p = tmp_path / "sk_noext"
+    S.save_secret_key(p, tiny_sk, tiny)
+    sk2, _ = S.load_secret_key(p)
+    assert np.array_equal(np.asarray(sk2.key_lv0), np.asarray(tiny_sk.key_lv0))
+
+
+def test_wrong_kind_raises(tmp_path, tiny, tiny_sk):
+    import pytest
+
+    p = tmp_path / "sk2.npz"
+    S.save_secret_key(p, tiny_sk, tiny)
+    with pytest.raises(ValueError, match="expected a 'cloud_key'"):
+        S.load_cloud_key(p)

@@ -25,13 +25,13 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from zig_tfhe_tpu import trgsw as _trgsw
 from zig_tfhe_tpu import tlwe as _tlwe
+from zig_tfhe_tpu.ops.keyswitch import ks_plaintexts as _ks_plaintexts
 from zig_tfhe_tpu.params import SecurityParams
 from zig_tfhe_tpu.utils import rng as _rng
-from zig_tfhe_tpu.utils.torus import f64_to_torus, to_i32
+from zig_tfhe_tpu.utils.torus import to_i32, torus_constant
 
 
 @jax.tree_util.register_pytree_node_class
@@ -65,8 +65,12 @@ class CloudKey:
 
     testvec:       int32 [2, N]             (a=0, b==1/8; key.zig:134-145)
     ksk1:          int32 [N*t, n0+1]        (signed-digit key switch key)
-    bsk_ntt:       int16 [n0, P, 2L, 2, N]  (BSK in NTT residue form — the
-                   fast engine's key; rounded by bsk_ntt_drop bits)
+    bsk_ntt:       BSK in NTT residue form (the fast engine's key, rounded
+                   by bsk_ntt_drop bits):
+                     bsk_group=1: int16 [n0, P, 2L, 2, N]
+                     bsk_group=2 (the generate() default): int16
+                       [ceil(n0/2), 3, P, 2L, 2, N] — (s1, s2, s1*s2)
+                       TRGSWs per coefficient pair (multi-bit rotation)
     bsk_ext_limbs: int8  [n0, 4, 2L, 2, 2N] (BSK in ext-limb form, for the
                    Toeplitz engines; optional)
     """
@@ -165,12 +169,9 @@ def _gen_cloud_key_arrays(key, secret_key: "SecretKey", *,
     bsk_ntt = (gen_bootstrapping_key_ntt(k_bsk_ntt, secret_key, params,
                                          ntt_drop, group)
                if with_ntt else None)
-    bsk_ext = None
-    if with_toeplitz:
-        trgsw_ct = _trgsw.encrypt_torus(
-            k_bsk_toep, secret_key.key_lv0, params.bsk_alpha,
-            secret_key.key_lv1, params)
-        bsk_ext = _trgsw.to_ext_limbs(trgsw_ct, bsk_limbs)
+    bsk_ext = (gen_bootstrapping_key(k_bsk_toep, secret_key, params,
+                                     bsk_limbs)
+               if with_toeplitz else None)
     return (gen_testvec(params),
             gen_key_switching_key(k_ksk, secret_key, params),
             bsk_ntt, bsk_ext)
@@ -178,7 +179,7 @@ def _gen_cloud_key_arrays(key, secret_key: "SecretKey", *,
 
 def gen_testvec(params: SecurityParams):
     """Trivial TRLWE with b == 1/8 everywhere (key.zig:134-145)."""
-    b = jnp.full((params.N,), to_i32(int(np.uint32(f64_to_torus(0.125)))), jnp.int32)
+    b = jnp.full((params.N,), to_i32(torus_constant(0.125)), jnp.int32)
     a = jnp.zeros((params.N,), jnp.int32)
     return jnp.stack([a, b])
 
@@ -187,13 +188,12 @@ def gen_key_switching_key(key, secret_key: SecretKey, params: SecurityParams):
     """KSK1[i*t+j] = TLWE_lv0( s1[i] * 2^(32-(j+1)*basebit) ), noise KSK_ALPHA.
 
     Single batched TLWE encrypt (vs 27k sequential encrypts, key.zig:148-172).
+    The row encoding is the shared key-switch contract
+    (ops/keyswitch.py:ks_plaintexts); proxy re-encryption keys use it too.
     """
-    t, basebit = params.iks_t, params.basebit
-    shifts = np.array([to_i32(1 << (32 - (j + 1) * basebit)) for j in range(t)],
-                      dtype=np.int32)
-    mu = secret_key.key_lv1[:, None] * jnp.asarray(shifts)[None, :]  # [N, t]
+    mu = _ks_plaintexts(secret_key.key_lv1, params.basebit, params.iks_t)
     ct = _tlwe.encrypt_torus(key, mu, params.ksk_alpha, secret_key.key_lv0)
-    return ct.reshape(params.n1 * t, params.n0 + 1)
+    return ct.reshape(params.n1 * params.iks_t, params.n0 + 1)
 
 
 def gen_bootstrapping_key(key, secret_key: SecretKey, params: SecurityParams,

@@ -19,15 +19,14 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 import functools
 
 from zig_tfhe_tpu import tlwe as _tlwe
-from zig_tfhe_tpu.ops.keyswitch import key_switch_matmul
+from zig_tfhe_tpu.ops.keyswitch import key_switch_matmul, ks_plaintexts
 from zig_tfhe_tpu.params import SecurityParams
 from zig_tfhe_tpu.utils import rng as _rng
-from zig_tfhe_tpu.utils.torus import f64_to_torus, to_i32
+from zig_tfhe_tpu.utils.torus import to_i32, torus_constant
 
 
 @jax.tree_util.register_pytree_node_class
@@ -68,19 +67,15 @@ class PublicKeyLv0:
             signs, self.encryptions,
             dimension_numbers=(((signs.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
-        noise = _rng.gaussian_torus(kn, mu.shape, _alpha_of(alpha))
+        noise = _rng.gaussian_torus(kn, mu.shape, float(alpha))
         n0 = self.encryptions.shape[-1] - 1
         return combo.at[..., n0].add(mu + noise)
 
     def encrypt_bool(self, key, bits, alpha: float):
         bits = jnp.asarray(bits, bool)
-        mu = jnp.where(bits, to_i32(int(np.uint32(f64_to_torus(0.125)))),
-                       to_i32(int(np.uint32(f64_to_torus(-0.125)))))
+        mu = jnp.where(bits, to_i32(torus_constant(_tlwe.BOOL_MU)),
+                       to_i32(torus_constant(-_tlwe.BOOL_MU)))
         return self.encrypt_torus(key, mu, alpha)
-
-
-def _alpha_of(alpha):
-    return float(alpha)
 
 
 # jitted keygen cores: unjitted, each op pays the axon platform's ~100 ms
@@ -122,7 +117,7 @@ class ProxyReencryptionKey:
         basebit = params.basebit if basebit is None else basebit
         t = params.iks_t if t is None else t
         alpha = params.ksk_alpha if alpha is None else alpha
-        mu = _plaintexts(key_from, basebit, t)
+        mu = ks_plaintexts(key_from, basebit, t)
         ct = _encrypt_torus_j(key, mu, alpha, key_to)
         n0 = key_from.shape[0]
         return cls(ct.reshape(n0 * t, -1), basebit=basebit, t=t)
@@ -135,18 +130,11 @@ class ProxyReencryptionKey:
         basebit = params.basebit if basebit is None else basebit
         t = params.iks_t if t is None else t
         alpha = params.ksk_alpha if alpha is None else alpha
-        mu = _plaintexts(key_from, basebit, t)
+        mu = ks_plaintexts(key_from, basebit, t)
         ct = _pk_encrypt_j(key, mu, public_key_to.encryptions,
                            alpha=float(alpha))
         n0 = key_from.shape[0]
         return cls(ct.reshape(n0 * t, -1), basebit=basebit, t=t)
-
-
-def _plaintexts(key_from, basebit: int, t: int):
-    """mu[i, j] = key_from[i] * 2^(32-(j+1)*basebit), int32 [n, t]."""
-    shifts = np.array([to_i32(1 << (32 - (j + 1) * basebit)) for j in range(t)],
-                      np.int32)
-    return key_from[:, None] * jnp.asarray(shifts)[None, :]
 
 
 def reencrypt(ct, reenc_key: ProxyReencryptionKey):

@@ -23,9 +23,25 @@ which is a key switch keyed by a re-encryption key.
 from __future__ import annotations
 
 
+import jax.numpy as jnp
+import numpy as np
+
 from zig_tfhe_tpu.ops.decomposition import ks_decompose
 from zig_tfhe_tpu.ops.poly import small_matmul_torus
 from zig_tfhe_tpu.params import SecurityParams
+from zig_tfhe_tpu.utils.torus import to_i32
+
+
+def ks_plaintexts(key_from, basebit: int, t: int):
+    """[n, t] plaintexts ``key_from[i] * 2^(32-(j+1)*basebit)``.
+
+    This is the row encoding every key-switch-style key must match (row
+    i*t+j of the KSK / proxy re-encryption key encrypts this value); it is
+    defined once here, next to the kernel that consumes it.
+    """
+    shifts = np.array([to_i32(1 << (32 - (j + 1) * basebit))
+                       for j in range(t)], dtype=np.int32)
+    return key_from[:, None] * jnp.asarray(shifts)[None, :]
 
 
 def key_switch_matmul(ct, ksk1, basebit: int, t: int):

@@ -2,13 +2,17 @@
 
 The reference has NO serialization anywhere (SURVEY.md §5) — but multi-host
 key distribution requires it, so it is a first-class feature here.  Format:
-numpy ``.npz`` with a manifest entry carrying the parameter-set name and
-object kind; torus arrays are stored as uint32, key material as int8/int32.
+numpy ``.npz`` with a manifest entry carrying the FULL parameter set (every
+field, so custom/tweaked SecurityParams round-trip — the set name alone is
+not authoritative) and the object kind; torus arrays are stored as uint32,
+key material as int8/int16/int32.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -24,28 +28,84 @@ _KIND_PUBLIC = "public_key"
 _KIND_REENC = "reenc_key"
 
 
-def _manifest(kind: str, params_name: str, extra=None) -> np.ndarray:
-    doc = {"format": "zig_tfhe_tpu.v1", "kind": kind, "params": params_name}
+def _npz_path(path):
+    """np.savez appends '.npz' to extensionless paths; mirror that on load
+    so save/load pairs round-trip for any path the caller gives."""
+    path = os.fspath(path)
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def _params_doc(params: P.SecurityParams) -> dict:
+    return dataclasses.asdict(params)
+
+
+def _params_from_doc(m: dict) -> P.SecurityParams:
+    """Reconstruct the exact SecurityParams from the manifest.
+
+    Full-field reconstruction (format >= v1 with 'params_full'); falls back
+    to the stock-set name lookup for files written by older versions.
+    """
+    doc = m.get("params_full")
+    if doc is None:
+        name = m.get("params", "")
+        if name not in P.PARAMS_BY_NAME:
+            raise ValueError(
+                f"file lacks embedded parameters and names an unknown "
+                f"set {name!r}")
+        return P.PARAMS_BY_NAME[name]
+    params = P.SecurityParams(
+        security_bits=doc["security_bits"],
+        description=doc["description"],
+        tlwe_lv0=P.TlweParams(**doc["tlwe_lv0"]),
+        tlwe_lv1=P.TlweParams(**doc["tlwe_lv1"]),
+        trlwe_lv1=P.TrlweParams(**doc["trlwe_lv1"]),
+        trgsw_lv1=P.TrgswParams(**doc["trgsw_lv1"]),
+        name=doc.get("name", ""),
+    )
+    # canonicalize to the stock instance when it matches field-for-field
+    # (keeps object identity for the common case; tweaked sets round-trip
+    # as their own reconstructed instance)
+    stock = P.PARAMS_BY_NAME.get(params.name)
+    return stock if stock == params else params
+
+
+def _manifest(kind: str, params: P.SecurityParams, extra=None) -> np.ndarray:
+    doc = {"format": "zig_tfhe_tpu.v1", "kind": kind, "params": params.name,
+           "params_full": _params_doc(params)}
     if extra:
         doc.update(extra)
     return np.frombuffer(json.dumps(doc).encode(), dtype=np.uint8)
 
 
-def _read_manifest(z) -> dict:
-    return json.loads(bytes(z["__manifest__"]).decode())
+def _open(path, kind: str):
+    """Load an .npz and validate the manifest (real errors, not asserts —
+    these guard external input and must survive python -O)."""
+    z = np.load(_npz_path(path))
+    try:
+        m = json.loads(bytes(z["__manifest__"]).decode())
+    except KeyError:
+        z.close()
+        raise ValueError(f"{path}: not a zig_tfhe_tpu file (no manifest)")
+    if not str(m.get("format", "")).startswith("zig_tfhe_tpu."):
+        z.close()
+        raise ValueError(f"{path}: unknown format {m.get('format')!r}")
+    if m.get("kind") != kind:
+        z.close()
+        raise ValueError(
+            f"{path}: expected a {kind!r} file, found {m.get('kind')!r}")
+    return z, m
 
 
 def save_secret_key(path, sk: K.SecretKey, params: P.SecurityParams) -> None:
-    np.savez(path, __manifest__=_manifest(_KIND_SECRET, params.name),
+    np.savez(path, __manifest__=_manifest(_KIND_SECRET, params),
              key_lv0=np.asarray(sk.key_lv0), key_lv1=np.asarray(sk.key_lv1))
 
 
 def load_secret_key(path):
-    z = np.load(path)
-    m = _read_manifest(z)
-    assert m["kind"] == _KIND_SECRET, m
-    sk = K.SecretKey(jnp.asarray(z["key_lv0"]), jnp.asarray(z["key_lv1"]))
-    return sk, P.PARAMS_BY_NAME[m["params"]]
+    z, m = _open(path, _KIND_SECRET)
+    with z:
+        sk = K.SecretKey(jnp.asarray(z["key_lv0"]), jnp.asarray(z["key_lv1"]))
+    return sk, _params_from_doc(m)
 
 
 def save_cloud_key(path, ck: K.CloudKey) -> None:
@@ -55,60 +115,61 @@ def save_cloud_key(path, ck: K.CloudKey) -> None:
     if ck.bsk_ext_limbs is not None:
         arrays["bsk_ext_limbs"] = np.asarray(ck.bsk_ext_limbs)
     np.savez(path, __manifest__=_manifest(
-        _KIND_CLOUD, ck.params.name, {"bsk_ntt_drop": ck.bsk_ntt_drop, "bsk_group": ck.bsk_group}),
+        _KIND_CLOUD, ck.params,
+        {"bsk_ntt_drop": ck.bsk_ntt_drop, "bsk_group": ck.bsk_group}),
         **arrays)
 
 
 def load_cloud_key(path) -> K.CloudKey:
-    z = np.load(path)
-    m = _read_manifest(z)
-    assert m["kind"] == _KIND_CLOUD, m
-    return K.CloudKey(
-        testvec=jnp.asarray(z["testvec"]),
-        ksk1=jnp.asarray(z["ksk1"]),
-        bsk_ntt=jnp.asarray(z["bsk_ntt"]) if "bsk_ntt" in z else None,
-        bsk_ext_limbs=(jnp.asarray(z["bsk_ext_limbs"])
-                       if "bsk_ext_limbs" in z else None),
-        params=P.PARAMS_BY_NAME[m["params"]],
-        bsk_ntt_drop=m.get("bsk_ntt_drop", 0),
-        bsk_group=m.get("bsk_group", 1),
-    )
+    z, m = _open(path, _KIND_CLOUD)
+    with z:
+        return K.CloudKey(
+            testvec=jnp.asarray(z["testvec"]),
+            ksk1=jnp.asarray(z["ksk1"]),
+            bsk_ntt=jnp.asarray(z["bsk_ntt"]) if "bsk_ntt" in z else None,
+            bsk_ext_limbs=(jnp.asarray(z["bsk_ext_limbs"])
+                           if "bsk_ext_limbs" in z else None),
+            params=_params_from_doc(m),
+            bsk_ntt_drop=m.get("bsk_ntt_drop", 0),
+            bsk_group=m.get("bsk_group", 1),
+        )
 
 
 def save_ciphertext(path, ct, params: P.SecurityParams) -> None:
-    np.savez(path, __manifest__=_manifest(_KIND_CIPHERTEXT, params.name),
+    np.savez(path, __manifest__=_manifest(_KIND_CIPHERTEXT, params),
              ct=np.asarray(ct).view(np.uint32))
 
 
 def load_ciphertext(path):
-    z = np.load(path)
-    m = _read_manifest(z)
-    assert m["kind"] == _KIND_CIPHERTEXT, m
-    return jnp.asarray(z["ct"].view(np.int32)), P.PARAMS_BY_NAME[m["params"]]
+    z, m = _open(path, _KIND_CIPHERTEXT)
+    with z:
+        ct = jnp.asarray(z["ct"].view(np.int32))
+    return ct, _params_from_doc(m)
 
 
-def save_public_key(path, pk: PR.PublicKeyLv0, params: P.SecurityParams) -> None:
-    np.savez(path, __manifest__=_manifest(_KIND_PUBLIC, params.name),
+def save_public_key(path, pk: PR.PublicKeyLv0,
+                    params: P.SecurityParams) -> None:
+    np.savez(path, __manifest__=_manifest(_KIND_PUBLIC, params),
              encryptions=np.asarray(pk.encryptions))
 
 
 def load_public_key(path):
-    z = np.load(path)
-    m = _read_manifest(z)
-    assert m["kind"] == _KIND_PUBLIC, m
-    return PR.PublicKeyLv0(jnp.asarray(z["encryptions"])), P.PARAMS_BY_NAME[m["params"]]
+    z, m = _open(path, _KIND_PUBLIC)
+    with z:
+        pk = PR.PublicKeyLv0(jnp.asarray(z["encryptions"]))
+    return pk, _params_from_doc(m)
 
 
-def save_reenc_key(path, rk: PR.ProxyReencryptionKey, params: P.SecurityParams) -> None:
+def save_reenc_key(path, rk: PR.ProxyReencryptionKey,
+                   params: P.SecurityParams) -> None:
     np.savez(path, __manifest__=_manifest(
-        _KIND_REENC, params.name, {"basebit": rk.basebit, "t": rk.t}),
+        _KIND_REENC, params, {"basebit": rk.basebit, "t": rk.t}),
         key_encryptions=np.asarray(rk.key_encryptions))
 
 
 def load_reenc_key(path):
-    z = np.load(path)
-    m = _read_manifest(z)
-    assert m["kind"] == _KIND_REENC, m
-    rk = PR.ProxyReencryptionKey(jnp.asarray(z["key_encryptions"]),
-                                 basebit=m["basebit"], t=m["t"])
-    return rk, P.PARAMS_BY_NAME[m["params"]]
+    z, m = _open(path, _KIND_REENC)
+    with z:
+        rk = PR.ProxyReencryptionKey(jnp.asarray(z["key_encryptions"]),
+                                     basebit=m["basebit"], t=m["t"])
+    return rk, _params_from_doc(m)

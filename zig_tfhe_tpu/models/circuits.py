@@ -62,7 +62,8 @@ U64AsBits = AsBits(64)
 
 
 def full_adder(a, b, c, ck: CloudKey):
-    """One-bit full adder (add_two_numbers.zig:24-47), 2 bootstrap rounds.
+    """One-bit full adder (add_two_numbers.zig:24-47), 3 bootstrap rounds
+    (5 gates, but the two gates inside each of rounds 1-2 share a batch).
 
     Round 1 (one batched bootstrap): x = a XOR b, g = a AND b.
     Round 2 (one batched bootstrap): sum = x XOR c, t = x AND c.
@@ -116,15 +117,19 @@ def kogge_stone_add(a_bits, b_bits, ck: CloudKey):
 
     dist = 1
     while dist < W:
-        # lanes i >= dist combine with (i - dist); others pass through.
-        gl, pl = g[dist:], p[dist:]
-        gr, pr = g[:-dist], p[:-dist]
-        # t = p_l AND g_r ; new_p = p_l AND p_r  (one batched bootstrap)
-        tp = G.gate_pair(("and", "and"), (pl, pl), (gr, pr), ck)
-        t, new_p = tp[0], tp[1]
-        new_g = G.gate("or", gl, t, ck)
-        g = jnp.concatenate([g[:dist], new_g], axis=0)
-        p = jnp.concatenate([p[:dist], new_p], axis=0)
+        # Lanes i >= dist combine with (i - dist); others pass through.
+        # Every round runs at FULL width W (pass-through lanes compute a
+        # discarded gate) so all rounds share one compiled pipeline shape —
+        # the W-dist shrinking form recompiled the whole blind-rotate scan
+        # per round, and batched bootstrap cost is per-scan, not per-lane.
+        g_shift = jnp.concatenate([g[:dist], g[:-dist]], axis=0)  # g[i-dist]
+        p_shift = jnp.concatenate([p[:dist], p[:-dist]], axis=0)
+        # t = p_i AND g_{i-dist} ; cand_p = p_i AND p_{i-dist}
+        tp = G.gate_pair(("and", "and"), (p, p), (g_shift, p_shift), ck)
+        cand_g = G.gate("or", g, tp[0], ck)
+        keep = jnp.asarray(np.arange(W) >= dist)[:, None]
+        g = jnp.where(keep, cand_g, g)
+        p = jnp.where(keep, tp[1], p)
         dist *= 2
 
     # carries into bit i are G[0:i-1]; sum_i = p0_i XOR carry_in_i

@@ -23,10 +23,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from zig_tfhe_tpu import bootstrap as _bootstrap
-from zig_tfhe_tpu import tlwe as _tlwe
 from zig_tfhe_tpu.key import CloudKey
 from zig_tfhe_tpu.ops.keyswitch import identity_key_switch
-from zig_tfhe_tpu.utils.torus import f64_to_torus, to_i32
+from zig_tfhe_tpu.utils.torus import f64_to_torus, to_i32, torus_constant
 
 # gate id -> (coeff_a, coeff_b, bias_fraction)
 GATE_DEFS = {
@@ -63,7 +62,7 @@ def gate(name: str, a, b, ck: CloudKey):
     """Evaluate one gate type over a batch: a, b int32 [..., n0+1]."""
     ca, cb, frac = GATE_DEFS[name]
     combo = _linear_combo(jnp.int32(ca), jnp.int32(cb),
-                          to_i32(int(np.uint32(f64_to_torus(frac)))),
+                          to_i32(torus_constant(frac)),
                           a, b, ck.params.n0)
     return _bootstrap.bootstrap(combo, ck)
 
@@ -110,7 +109,7 @@ def constant(value: bool, params, batch=()):
     Matches the reference exactly, including its quirky false-encoding
     ``1 -% mu`` (one ulp off -mu; decrypts identically).
     """
-    mu = int(np.uint32(f64_to_torus(0.125)))
+    mu = torus_constant(0.125)
     val = mu if value else ((1 - mu) % (1 << 32))
     ct = jnp.zeros(batch + (params.n0 + 1,), jnp.int32)
     return ct.at[..., params.n0].set(to_i32(val))
@@ -148,12 +147,12 @@ def mux(a, b, c, ck: CloudKey):
     reference only ships the naive 3-gate version).
     """
     n0 = ck.params.n0
-    bias = to_i32(int(np.uint32(f64_to_torus(-0.125))))
+    bias = to_i32(torus_constant(-0.125))
     and_combo = _linear_combo(jnp.int32(1), jnp.int32(1), bias, a, b, n0)
     andny_combo = _linear_combo(jnp.int32(-1), jnp.int32(1), bias, a, c, n0)
     stacked = jnp.concatenate([and_combo, andny_combo], axis=0)
     lv1 = _bootstrap.bootstrap_to_lv1(stacked, ck)
     half = lv1.shape[0] // 2
     u = lv1[:half] + lv1[half:]
-    u = u.at[..., ck.params.n1].add(to_i32(int(np.uint32(f64_to_torus(0.125)))))
+    u = u.at[..., ck.params.n1].add(to_i32(torus_constant(0.125)))
     return identity_key_switch(u, ck.ksk1, ck.params)

@@ -20,7 +20,6 @@ regardless of placement — the invariant the reference's semantics define.
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
 import jax
@@ -94,16 +93,3 @@ def shard_map_gates(mesh: Mesh, ck):
             return jf(gate_ids, ct_a, ct_b, ck_r)
 
     return run
-
-
-def sharded_jit_gates(fn, mesh: Mesh):
-    """jit ``fn(ids/ct..., ck)`` with batch-sharded ciphertext args and a
-    replicated key: XLA partitions the blind-rotation scan per-shard with no
-    cross-chip traffic (gates are independent)."""
-    in_shardings = (batch_sharding(mesh),)
-
-    def wrapper(*args, **kwargs):
-        with mesh:
-            return fn(*args, **kwargs)
-
-    return functools.wraps(fn)(wrapper)

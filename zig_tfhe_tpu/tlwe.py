@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from zig_tfhe_tpu.utils import rng as _rng
-from zig_tfhe_tpu.utils.torus import f64_to_torus, to_i32, torus_to_f64
+from zig_tfhe_tpu.utils.torus import f64_to_torus, to_i32, torus_to_float
 
 BOOL_MU = 0.125  # tlwe.zig:53
 
@@ -81,16 +81,9 @@ def _encode_message_table(message_modulus: int) -> np.ndarray:
 def decrypt_message(ct, message_modulus: int, sk):
     """PBS codec decrypt with +0.5 rounding (tlwe.zig:100-117)."""
     ph = phase(ct, sk)
-    f = _torus_to_unit_float(ph)
+    f = torus_to_float(ph)
     m = jnp.floor(f * (2.0 * message_modulus) + 0.5).astype(jnp.int32)
     return m % message_modulus
-
-
-def _torus_to_unit_float(x):
-    """int32 torus -> float32 in [0,1) with ~2^-24 accuracy (codec-sufficient)."""
-    f = x.astype(jnp.float32)
-    f = jnp.where(x < 0, f + jnp.float32(2.0 ** 32), f)
-    return f / jnp.float32(2.0 ** 32)
 
 
 # Linear homomorphic ops (tlwe.zig:119-239) — int32 wrap == u32 wrap.

@@ -45,13 +45,11 @@ def encrypt_torus(key, p, alpha: float, sk_poly, params: SecurityParams):
     N = params.N
     L = params.L
     batch = p.shape
+    # one batched zero-encrypt over the 2L rows (trlwe.encrypt_torus takes
+    # arbitrary batch dims; a per-row Python loop would emit 2L separate
+    # encrypt subgraphs inside the jitted keygen)
     zeros = jnp.zeros(batch + (2 * L, N), jnp.int32)
-    keys = jax.random.split(key, 2 * L)
-    rows = [
-        _trlwe.encrypt_torus(keys[r], zeros[..., r, :], alpha, sk_poly)
-        for r in range(2 * L)
-    ]
-    ct = jnp.stack(rows, axis=-3)  # [..., 2L, 2, N]
+    ct = _trlwe.encrypt_torus(key, zeros, alpha, sk_poly)  # [..., 2L, 2, N]
     h = jnp.asarray(gadget_values(params))  # [L]
     add = p[..., None] * h  # [..., L]
     # rows 0..L-1: a[0] += p*h_i ; rows L..2L-1: b[0] += p*h_i

@@ -59,13 +59,7 @@ def sample_extract(ct, k: int = 0):
     p[i] = a[k-i] for i <= k else -a[N+k-i];  b = b_poly[k].
     Returns int32 [..., N+1].
     """
-    N = ct.shape[-1]
-    i = np.arange(N)
-    src = np.where(i <= k, k - i, N + k - i)
-    sign = np.where(i <= k, 1, -1).astype(np.int32)
-    p = ct[..., A, :][..., jnp.asarray(src)] * jnp.asarray(sign)
-    b = ct[..., B, k][..., None]
-    return jnp.concatenate([p, b], axis=-1)
+    return sample_extract_lv0_shaped(ct, ct.shape[-1], k)
 
 
 def sample_extract_lv0_shaped(ct, n0: int, k: int = 0):
@@ -73,8 +67,16 @@ def sample_extract_lv0_shaped(ct, n0: int, k: int = 0):
     extract that keeps only the first n0 mask coefficients.  The result is
     under (a truncation of) the lv1 key — a hybrid used by
     bootstrapWithoutKeySwitch (vanilla.zig:58-69).  Provided for API parity.
+
+    Requires n0 <= N: a degree-N ring sample determines only N mask
+    coefficients (for i > N+k the gather index N+k-i would go negative and
+    JAX would silently wrap it — garbage, not an error — so this is checked
+    explicitly; the uint5-uint8 sets have n0 > N and cannot use this path).
     """
     N = ct.shape[-1]
+    if n0 > N:
+        raise ValueError(
+            f"sample_extract_lv0_shaped needs n0 <= N, got n0={n0} > N={N}")
     i = np.arange(n0)
     src = np.where(i <= k, k - i, N + k - i)
     sign = np.where(i <= k, 1, -1).astype(np.int32)

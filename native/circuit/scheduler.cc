@@ -17,6 +17,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <exception>
 #include <cstdio>
 #include <cstring>
 #include <fstream>
@@ -128,10 +129,22 @@ Circuit* circuit_parse_bristol(const char* text) {
       {"COPY", COPY}, {"EQW", COPY},  {"MUX", MUX},
   };
 
+  if (n_gates < 0 || n_wires < 0 || n_gates > (1 << 28) ||
+      n_wires > (1 << 28)) {
+    c->error = "unreasonable gate/wire counts in header";
+    return c;
+  }
   for (int64_t gi = 0; gi < n_gates; ++gi) {
     int n_gin = 0, n_gout = 0;
     if (!(in >> n_gin >> n_gout)) {
       c->error = "truncated gate list at gate " + std::to_string(gi);
+      return c;
+    }
+    // validate arities BEFORE sizing vectors: negative/huge counts from a
+    // malformed file must become an error string, not a length_error that
+    // aborts the embedding process through the C ABI
+    if (n_gin < 0 || n_gin > 3 || n_gout != 1) {
+      c->error = "bad gate arity at gate " + std::to_string(gi);
       return c;
     }
     std::vector<int32_t> gin(n_gin), gout(n_gout);
@@ -170,6 +183,33 @@ Plan* circuit_schedule(const Circuit* c) {
   auto* plan = new Plan();
   const int32_t W = c->n_wires;
   const auto& gates = c->gates;
+
+  // Bounds-check EVERY wire id before any vector indexing: gate inputs and
+  // circuit input/output marks come from untrusted Bristol text / ctypes
+  // callers, and an out-of-range id would be an OOB read/write below.
+  for (size_t i = 0; i < gates.size(); ++i) {
+    for (int32_t w : {gates[i].in0, gates[i].in1, gates[i].in2}) {
+      if (w < -1 || w >= W) {
+        plan->error = "gate " + std::to_string(i) + " input wire " +
+                      std::to_string(w) + " out of range";
+        return plan;
+      }
+    }
+  }
+  for (int32_t w : c->inputs) {
+    if (w < 0 || w >= W) {
+      plan->error = "circuit input wire " + std::to_string(w) +
+                    " out of range";
+      return plan;
+    }
+  }
+  for (int32_t w : c->outputs) {
+    if (w < 0 || w >= W) {
+      plan->error = "circuit output wire " + std::to_string(w) +
+                    " out of range";
+      return plan;
+    }
+  }
 
   // producer[w] = gate index writing wire w (-1 for inputs)
   std::vector<int32_t> producer(W, -1);
@@ -281,19 +321,43 @@ Plan* circuit_schedule(const Circuit* c) {
     sg.s0 = g.in0 >= 0 ? slot_of[g.in0] : -1;
     sg.s1 = g.in1 >= 0 ? slot_of[g.in1] : -1;
     sg.s2 = g.in2 >= 0 ? slot_of[g.in2] : -1;
-    // free inputs whose last use is this position (deferred to level end)
-    for (int32_t w : {g.in0, g.in1, g.in2})
-      if (w >= 0 && !pinned[w] && last_use[w] == static_cast<int32_t>(pos) &&
-          slot_of[w] >= 0)
-        pending_free.push_back(slot_of[w]);
+    // a used-but-never-produced non-input wire has no slot: make that a
+    // schedule error instead of emitting a -1 the evaluator would treat as
+    // a wrapped arena index
+    for (int32_t w : {g.in0, g.in1, g.in2}) {
+      if (w >= 0 && slot_of[w] < 0 && producer[w] < 0) {
+        plan->error = "gate reads wire " + std::to_string(w) +
+                      " that is neither an input nor produced by any gate";
+        return plan;
+      }
+    }
+    // free inputs whose last use is this position (deferred to level end);
+    // dedupe within the gate — AND(x, x) must free x's slot ONCE, or two
+    // later live wires would share one slot and corrupt each other
+    const int32_t ins[3] = {g.in0, g.in1, g.in2};
+    for (int k = 0; k < 3; ++k) {
+      int32_t w = ins[k];
+      if (w < 0 || pinned[w] || last_use[w] != static_cast<int32_t>(pos) ||
+          slot_of[w] < 0)
+        continue;
+      bool dup = false;
+      for (int j = 0; j < k; ++j) dup = dup || (ins[j] == w);
+      if (!dup) pending_free.push_back(slot_of[w]);
+    }
     sg.sout = alloc_slot(g.out);
     plan->gates.push_back(sg);
   }
   plan->level_off.push_back(static_cast<int32_t>(plan->gates.size()));
   plan->n_slots = n_slots;
   for (int32_t w : c->inputs) plan->input_slots.push_back(slot_of[w]);
-  for (int32_t w : c->outputs)
-    plan->output_slots.push_back(slot_of[w] >= 0 ? slot_of[w] : -1);
+  for (int32_t w : c->outputs) {
+    if (slot_of[w] < 0) {
+      plan->error = "output wire " + std::to_string(w) +
+                    " is never written by any gate or input";
+      return plan;
+    }
+    plan->output_slots.push_back(slot_of[w]);
+  }
   return plan;
 }
 
@@ -321,8 +385,16 @@ void tfhe_circuit_mark_input(Circuit* c, int32_t w) {
 void tfhe_circuit_mark_output(Circuit* c, int32_t w) {
   tfhe_sched::circuit_mark_output(c, w);
 }
+// Exceptions must not cross the C ABI (ctypes) — a bad_alloc escaping
+// extern "C" calls std::terminate and kills the embedding process.
 Circuit* tfhe_circuit_parse_bristol(const char* text) {
-  return tfhe_sched::circuit_parse_bristol(text);
+  try {
+    return tfhe_sched::circuit_parse_bristol(text);
+  } catch (const std::exception& e) {
+    auto* c = new Circuit();
+    c->error = std::string("parse exception: ") + e.what();
+    return c;
+  }
 }
 const char* tfhe_circuit_error(Circuit* c) { return c->error.c_str(); }
 int32_t tfhe_circuit_n_gates(Circuit* c) {
@@ -335,7 +407,15 @@ int32_t tfhe_circuit_n_outputs(Circuit* c) {
   return static_cast<int32_t>(c->outputs.size());
 }
 
-Plan* tfhe_schedule(Circuit* c) { return tfhe_sched::circuit_schedule(c); }
+Plan* tfhe_schedule(Circuit* c) {
+  try {
+    return tfhe_sched::circuit_schedule(c);
+  } catch (const std::exception& e) {
+    auto* p = new Plan();
+    p->error = std::string("schedule exception: ") + e.what();
+    return p;
+  }
+}
 void tfhe_plan_free(Plan* p) { delete p; }
 const char* tfhe_plan_error(Plan* p) { return p->error.c_str(); }
 int32_t tfhe_plan_n_levels(Plan* p) {

@@ -105,3 +105,54 @@ def test_cycle_detection():
     _ = c.gate("or", w1, a)
     plan = c.schedule()  # valid DAG: fine
     assert plan.n_gates == 2
+
+
+def test_duplicate_operand_slot_reuse(tiny, tiny_sk, tiny_ck):
+    """A gate reading the same wire twice at that wire's last use must free
+    its slot ONCE: the old double-free handed the same arena slot to two
+    simultaneously-live wires, silently corrupting downstream gates."""
+    c = S.Circuit()
+    i0, i1 = c.input(), c.input()
+    w2 = c.gate("and", i0, i1)
+    w3 = c.gate("and", w2, w2)      # last use of w2, same wire twice
+    w4 = c.not_(w3)
+    w5 = c.gate("and", w3, i0)      # w4 and w5 are simultaneously live
+    w6 = c.gate("and", w4, w5)
+    c.output(w6)
+    plan = c.schedule()
+    # structural: w4 and w5 must land in distinct slots
+    slots = {}
+    for lvl in plan.levels:
+        for op, s0, s1, s2, sout in lvl:
+            slots.setdefault(sout, 0)
+            slots[sout] += 1
+    # evaluate end-to-end: expected w6 = AND(NOT(a&b&...), ...) — compute
+    # plain-boolean reference for all 4 input combos
+    for bits in [(0, 0), (0, 1), (1, 0), (1, 1)]:
+        x0, x1 = map(bool, bits)
+        v2 = x0 and x1
+        v3 = v2 and v2
+        v4 = not v3
+        v5 = v3 and x0
+        v6 = v4 and v5
+        cts = tlwe.encrypt_bool(jax.random.key(7), jnp.asarray(bits, bool),
+                                0.0, tiny_sk.key_lv0)
+        out = S.evaluate(plan, cts, tiny_ck)
+        dec = bool(np.asarray(tlwe.decrypt_bool(out, tiny_sk.key_lv0))[0])
+        assert dec == v6, bits
+
+
+def test_malformed_bristol_is_an_error_not_a_crash():
+    # out-of-range input wire (previously an OOB read/write -> SIGSEGV)
+    with pytest.raises(ValueError, match="out of range"):
+        S.parse_bristol("1 3\n2 0 1\n2 1 0 99999999 2 AND\n")
+    # negative arity (previously std::length_error -> std::terminate)
+    with pytest.raises(ValueError, match="arity"):
+        S.parse_bristol("1 3\n2 0 1\n-5 1 0 1 2 AND\n")
+    # unreasonable header counts
+    with pytest.raises(ValueError, match="unreasonable"):
+        S.parse_bristol("1 999999999999\n2 0 1\n2 1 0 1 2 AND\n")
+    # output wire never produced (previously emitted a -1 slot that JAX
+    # would wrap to the trash row)
+    with pytest.raises(ValueError, match="never written"):
+        S.parse_bristol("1 4\n2 0 2\n2 1 0 1 2 AND\n")

@@ -165,13 +165,13 @@ def parse_bristol(text: str) -> Plan:
     """Parse + schedule a Bristol-fashion circuit."""
     lib = _load()
     c = lib.tfhe_circuit_parse_bristol(text.encode())
-    err = lib.tfhe_circuit_error(c).decode()
-    if err:
+    try:
+        err = lib.tfhe_circuit_error(c).decode()
+        if err:
+            raise ValueError(f"parse error: {err}")
+        return _schedule_circuit_handle(lib, c)
+    finally:
         lib.tfhe_circuit_free(c)
-        raise ValueError(f"parse error: {err}")
-    plan = _schedule_circuit_handle(lib, c)
-    lib.tfhe_circuit_free(c)
-    return plan
 
 
 def _schedule_circuit_handle(lib, c) -> Plan:
@@ -188,7 +188,27 @@ def _schedule_circuit_handle(lib, c) -> Plan:
     plan.input_slots = ins
     plan.output_slots = outs
     lib.tfhe_plan_free(p)
+    _check_no_unresolved_slots(plan)
     return plan
+
+
+def _check_no_unresolved_slots(plan: Plan) -> None:
+    """The native side errors on unproduced wires, so -1 slots should be
+    impossible in REQUIRED operand positions; check anyway — a -1 reaching
+    a JAX gather would WRAP to the last arena row and silently return
+    garbage ciphertexts.  (Unused operand positions are legitimately -1:
+    s1/s2 of NOT, s2 of two-input gates, all inputs of CONST.)"""
+    if (plan.output_slots < 0).any():
+        raise ValueError("plan has outputs with unresolved (-1) arena slots")
+    for lvl in plan.levels:
+        op = lvl[:, 0]
+        need_s0 = (op < 100) | (op == OP_NOT) | (op == OP_COPY) | (op == OP_MUX)
+        need_s1 = (op < 100) | (op == OP_MUX)
+        need_s2 = op == OP_MUX
+        bad = ((need_s0 & (lvl[:, 1] < 0)) | (need_s1 & (lvl[:, 2] < 0))
+               | (need_s2 & (lvl[:, 3] < 0)) | (lvl[:, 4] < 0))
+        if bad.any():
+            raise ValueError("plan contains unresolved (-1) arena slots")
 
 
 def _pad_pow2(n: int) -> int:
@@ -230,10 +250,21 @@ def evaluate(plan: Plan, input_cts, ck: CloudKey):
             arena = arena.at[jnp.asarray(sout)].set(out)
         mux = lvl[lvl[:, 0] == OP_MUX]
         if len(mux):
-            out = G.mux(arena[jnp.asarray(mux[:, 1])],
-                        arena[jnp.asarray(mux[:, 2])],
-                        arena[jnp.asarray(mux[:, 3])], ck)
-            arena = arena.at[jnp.asarray(mux[:, 4])].set(out)
+            # padded to a power of two like the two-input lanes, so the
+            # 2-blind-rotate MUX pipeline compiles once per padded width
+            # (trash lanes select between copies of slot 0)
+            k = _pad_pow2(len(mux))
+            sel = np.zeros(k, np.int32)
+            tv = np.zeros(k, np.int32)
+            fv = np.zeros(k, np.int32)
+            sout = np.full(k, trash, np.int32)
+            sel[: len(mux)] = mux[:, 1]
+            tv[: len(mux)] = mux[:, 2]
+            fv[: len(mux)] = mux[:, 3]
+            sout[: len(mux)] = mux[:, 4]
+            out = G.mux(arena[jnp.asarray(sel)], arena[jnp.asarray(tv)],
+                        arena[jnp.asarray(fv)], ck)
+            arena = arena.at[jnp.asarray(sout)].set(out)
         nots = lvl[lvl[:, 0] == OP_NOT]
         if len(nots):
             arena = arena.at[jnp.asarray(nots[:, 4])].set(
@@ -253,4 +284,4 @@ def evaluate(plan: Plan, input_cts, ck: CloudKey):
 
 def schedule(circuit: Circuit) -> Plan:
     """Schedule a built circuit (leveling + slot allocation)."""
-    return _schedule_circuit_handle(circuit._lib, circuit._c)
+    return circuit.schedule()

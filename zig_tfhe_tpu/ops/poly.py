@@ -121,10 +121,12 @@ def small_matmul_torus(small, torus_mat, small_bound: int):
 def negacyclic_polymul(a, b, a_bound: int):
     """Exact negacyclic product of int32 polys, |a| <= a_bound, b full torus.
 
-    a: [..., N], b: [..., N] (broadcastable batch dims are NOT supported;
-    b is treated as a single polynomial shared across a's batch).
+    a: [..., N] (arbitrary batch dims); b: [N], ONE polynomial shared
+    across a's batch (its Toeplitz operand is built once).  For per-batch
+    b there is no shared operand to amortize — map over b with the NTT
+    engine (ops/ntt.py) or call this per polynomial.
     """
-    assert b.ndim == 1, "shared-b fast path; use negacyclic_polymul_batched"
+    assert b.ndim == 1, "b must be a single shared [N] polynomial"
     return small_matmul_torus(a, toeplitz(b), a_bound)
 
 

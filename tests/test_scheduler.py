@@ -7,6 +7,7 @@ import pytest
 
 from zig_tfhe_tpu import tlwe
 from zig_tfhe_tpu.models import circuits as C
+from zig_tfhe_tpu.models import gates as G
 from zig_tfhe_tpu.models import scheduler as S
 
 
@@ -156,3 +157,64 @@ def test_malformed_bristol_is_an_error_not_a_crash():
     # would wrap to the trash row)
     with pytest.raises(ValueError, match="never written"):
         S.parse_bristol("1 4\n2 0 2\n2 1 0 1 2 AND\n")
+
+
+def test_random_circuits_match_boolean_simulation(tiny, tiny_sk, tiny_ck):
+    """Fuzz: random DAGs through parse-free Circuit building, scheduled and
+    evaluated homomorphically, must match a plain boolean simulation.
+    Exercises slot reuse, level batching, every gate type, NOT/COPY/CONST
+    and MUX lanes together."""
+    rng = np.random.default_rng(1234)
+    for trial in range(4):
+        c = S.Circuit()
+        n_in = 4
+        wires = [c.input() for _ in range(n_in)]
+
+        # plain-python mirror: wire id -> lambda over input bits
+        sim = {w: (lambda bits, i=i: bits[i]) for i, w in enumerate(wires)}
+        two_in = list(G.GATE_NAMES)
+        _TT = {
+            "nand": lambda x, y: not (x and y), "or": lambda x, y: x or y,
+            "and": lambda x, y: x and y, "xor": lambda x, y: x != y,
+            "xnor": lambda x, y: x == y, "nor": lambda x, y: not (x or y),
+            "andny": lambda x, y: (not x) and y,
+            "andyn": lambda x, y: x and not y,
+            "orny": lambda x, y: (not x) or y, "oryn": lambda x, y: x or not y,
+        }
+        all_wires = list(wires)
+        for _ in range(14):
+            kind = rng.integers(0, 8)
+            if kind <= 4:  # two-input gate (biased: most common)
+                name = two_in[rng.integers(0, len(two_in))]
+                a, b = rng.choice(all_wires, 2)
+                w = c.gate(name, int(a), int(b))
+                sim[w] = (lambda bits, f=_TT[name], wa=a, wb=b:
+                          f(sim[wa](bits), sim[wb](bits)))
+            elif kind == 5:
+                a = int(rng.choice(all_wires))
+                w = c.not_(a)
+                sim[w] = (lambda bits, wa=a: not sim[wa](bits))
+            elif kind == 6:
+                v = bool(rng.integers(0, 2))
+                w = c.const(v)
+                sim[w] = (lambda bits, vv=v: vv)
+            else:
+                s_, t_, f_ = rng.choice(all_wires, 3)
+                w = c.mux(int(s_), int(t_), int(f_))
+                sim[w] = (lambda bits, ws=s_, wt=t_, wf=f_:
+                          sim[wt](bits) if sim[ws](bits) else sim[wf](bits))
+            all_wires.append(w)
+        outs = [int(w) for w in rng.choice(all_wires[n_in:], 3)]
+        for w in outs:
+            c.output(w)
+        plan = c.schedule()
+
+        for bits in [(0, 1, 1, 0), (1, 1, 0, 1)]:
+            expected = [sim[w](list(map(bool, bits))) for w in outs]
+            cts = tlwe.encrypt_bool(
+                jax.random.key(trial), jnp.asarray(bits, bool), 0.0,
+                tiny_sk.key_lv0)
+            got = S.evaluate(plan, cts, tiny_ck)
+            dec = [bool(x) for x in
+                   np.asarray(tlwe.decrypt_bool(got, tiny_sk.key_lv0))]
+            assert dec == expected, (trial, bits, dec, expected)

@@ -42,14 +42,21 @@ def main():
     pname = os.environ.get("BENCH_PARAMS", "uint4")
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     params = P.PARAMS_BY_NAME[pname]
-    m = 2 ** params.security_bits if params.name.startswith("uint") else 4
+    # uintN sets carry the message bit-width in security_bits;
+    # tiny_uint (bits=0) is built for m=16; boolean sets bench m=4
+    if "uint" in params.name:
+        m = 2 ** params.security_bits if params.security_bits else 16
+    else:
+        m = 4
     m = min(m, 16)
 
     t0 = time.time()
     sk = K.SecretKey.generate(jax.random.key(0), params)
     ck = K.CloudKey.generate(jax.random.key(1), sk, params)
-    jax.block_until_ready(jax.tree_util.tree_leaves(ck))
-    print(f"# keygen: {time.time()-t0:.1f}s", file=sys.stderr)
+    # readback fence (block_until_ready does not block on the remote TPU)
+    np.asarray(jax.tree_util.tree_leaves(ck)[1].ravel()[:1])
+    print(f"# keygen (cold, incl jit compile): {time.time()-t0:.1f}s",
+          file=sys.stderr)
 
     f = lambda x: (x * 3 + 1) % m
     gen = L.Generator.new(m, params)
@@ -64,9 +71,9 @@ def main():
     out = _sync(pbs(ct, ck))
     print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    dec = np.array([int(L.decrypt_message(out[i], m, sk.key_lv0))
-                    for i in range(min(B, 256))])
-    acc = float((dec == f(msgs[:len(dec)])).mean())
+    n_chk = min(B, 256)
+    dec = np.asarray(L.decrypt_message(out[:n_chk], m, sk.key_lv0))
+    acc = float((dec == f(msgs[:n_chk])).mean())
     print(f"# accuracy (first {len(dec)}): {acc:.4f}", file=sys.stderr)
 
     times = []

@@ -44,13 +44,15 @@ def _sync(x):
 
 
 def timed(fn, *args, iters=3):
-    _sync(fn(*args))
+    """(median_seconds, result): the warmup call's value is returned so
+    callers don't recompute the (expensive) op one more time."""
+    result = _sync(fn(*args))
     ts = []
     for _ in range(iters):
         t0 = time.time()
         _sync(fn(*args))
         ts.append(time.time() - t0)
-    return float(np.median(ts))
+    return float(np.median(ts)), result
 
 
 def main():
@@ -62,22 +64,19 @@ def main():
     sk_b = K.SecretKey.generate(jax.random.key(1), params)
 
     # warm timings: first call per shape pays the (remote) compile
-    t_pk = timed(lambda k: PRE.PublicKeyLv0.generate(k, sk_b.key_lv0, params),
-                 jax.random.key(2))
-    pk_b = PRE.PublicKeyLv0.generate(jax.random.key(2), sk_b.key_lv0, params)
-    t_asym = timed(lambda k: PRE.ProxyReencryptionKey.new_asymmetric(
+    t_pk, pk_b = timed(
+        lambda k: PRE.PublicKeyLv0.generate(k, sk_b.key_lv0, params),
+        jax.random.key(2))
+    t_asym, rk_asym = timed(lambda k: PRE.ProxyReencryptionKey.new_asymmetric(
         k, sk_a.key_lv0, pk_b, params), jax.random.key(3))
-    rk_asym = PRE.ProxyReencryptionKey.new_asymmetric(
-        jax.random.key(3), sk_a.key_lv0, pk_b, params)
-    t_sym = timed(lambda k: PRE.ProxyReencryptionKey.new_symmetric(
+    t_sym, _ = timed(lambda k: PRE.ProxyReencryptionKey.new_symmetric(
         k, sk_a.key_lv0, sk_b.key_lv0, params), jax.random.key(4))
 
     bits = jnp.asarray(np.random.default_rng(0).integers(0, 2, B).astype(bool))
     ct = tlwe.encrypt_bool(jax.random.key(5), bits, params.tlwe_lv0.alpha,
                            sk_a.key_lv0)
     reenc = jax.jit(lambda c, k: PRE.reencrypt(c, k))
-    dt = timed(reenc, ct, rk_asym)
-    out = reenc(ct, rk_asym)
+    dt, out = timed(reenc, ct, rk_asym)
     acc = float((np.asarray(tlwe.decrypt_bool(out, sk_b.key_lv0))
                  == np.asarray(bits)).mean())
 

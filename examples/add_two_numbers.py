@@ -11,15 +11,28 @@ Usage:
 """
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
+                 ".jax_cache"))
 
 import jax
 
-from zig_tfhe_tpu import key as K, params as P
-from zig_tfhe_tpu.models import circuits as C, gates as G
+# this environment's sitecustomize registers a remote TPU platform and
+# overrides JAX_PLATFORMS; honor an explicit cpu request
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as _np  # noqa: E402
+
+from zig_tfhe_tpu import key as K, params as P  # noqa: E402
+from zig_tfhe_tpu.models import circuits as C, gates as G  # noqa: E402
 
 
 def main():
@@ -36,7 +49,9 @@ def main():
     print("Generating keys...")
     sk = K.SecretKey.generate(jax.random.key(0), params)
     ck = K.CloudKey.generate(jax.random.key(1), sk, params)
-    jax.block_until_ready(jax.tree_util.tree_leaves(ck))
+    # readback fence (block_until_ready does not block on the remote TPU
+    # platform, which would misattribute keygen time to the first run)
+    _np.asarray(jax.tree_util.tree_leaves(ck)[1].ravel()[:1])
     print(f"Keys generated in {time.time()-t0:.1f}s\n")
 
     a, b = args.a, args.b
@@ -59,8 +74,6 @@ def main():
 
     def run_add(xa, xb):
         return _add_jit(xa, xb, ck), rounds
-
-    import numpy as _np
 
     def _sync(x):
         # on the axon TPU platform block_until_ready does not actually

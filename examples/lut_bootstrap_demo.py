@@ -22,12 +22,18 @@ os.environ.setdefault(
                  ".jax_cache"))
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
-from zig_tfhe_tpu import key as K
-from zig_tfhe_tpu import params as P
-from zig_tfhe_tpu.models import lut as L
+# this environment's sitecustomize registers a remote TPU platform and
+# overrides JAX_PLATFORMS; honor an explicit cpu request
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from zig_tfhe_tpu import key as K  # noqa: E402
+from zig_tfhe_tpu import params as P  # noqa: E402
+from zig_tfhe_tpu.models import lut as L  # noqa: E402
 
 
 def main():
@@ -40,7 +46,8 @@ def main():
     t0 = time.time()
     sk = K.SecretKey.generate(jax.random.key(0), params)
     ck = K.CloudKey.generate(jax.random.key(1), sk, params)
-    jax.block_until_ready(jax.tree_util.tree_leaves(ck))
+    # readback fence (block_until_ready does not block on the remote TPU)
+    np.asarray(jax.tree_util.tree_leaves(ck)[1].ravel()[:1])
     print(f"Keys generated in {time.time()-t0:.1f}s")
 
     gen = L.Generator.new(m, params)
@@ -55,7 +62,7 @@ def main():
     out = pbs(ct, ck)
     np.asarray(out)[..., :1]              # readback fence
     dt = time.time() - t0
-    dec = [int(L.decrypt_message(out[i], m, sk.key_lv0)) for i in range(m)]
+    dec = np.asarray(L.decrypt_message(out, m, sk.key_lv0)).tolist()
 
     ok = all(d == f(x) for d, x in zip(dec, msgs))
     for x, d in zip(msgs, dec):

@@ -124,17 +124,24 @@ class CloudKey:
 
     @classmethod
     def generate_no_ksk(cls, params: SecurityParams,
-                        engines=("ntt",)) -> "CloudKey":
-        """Cheap test fixture: dummy all-zero BSK, zero KSK (key.zig:80-100)."""
+                        engines=("ntt",), group: int = 1) -> "CloudKey":
+        """Cheap test fixture: dummy all-zero BSK, zero KSK (key.zig:80-100).
+
+        group=2 gives the multi-bit BSK layout that CloudKey.generate()
+        produces by default (same compile graph as production).
+        """
         from zig_tfhe_tpu.ops import ntt as _nttmod
 
-        ntt_drop = _nttmod.default_drop_bits(params)
+        ntt_drop = _nttmod.default_drop_bits(params, group)
         bsk_ntt = None
         if "ntt" in engines:
-            plan = _nttmod.plan_for_params(params, ntt_drop)
-            bsk_ntt = jnp.zeros(
-                (params.n0, plan.n_primes, 2 * params.L, 2, params.N),
-                jnp.int16)
+            plan = _nttmod.plan_for_params(params, ntt_drop, group)
+            if group == 1:
+                shape = (params.n0, plan.n_primes, 2 * params.L, 2, params.N)
+            else:
+                G = (params.n0 + 1) // 2
+                shape = (G, 3, plan.n_primes, 2 * params.L, 2, params.N)
+            bsk_ntt = jnp.zeros(shape, jnp.int16)
         bsk_ext = None
         if "toeplitz" in engines:
             bsk_ext = jnp.zeros(
@@ -147,6 +154,7 @@ class CloudKey:
             bsk_ext_limbs=bsk_ext,
             params=params,
             bsk_ntt_drop=ntt_drop,
+            bsk_group=group if "ntt" in engines else 1,
         )
 
 

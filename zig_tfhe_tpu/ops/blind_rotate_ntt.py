@@ -65,7 +65,7 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
     plan = _ntt.plan_for_params(params, drop_bits, group)
     n0, N = params.n0, params.N
     B = tlwe_batch.shape[0]
-    dbound = 1 << (params.bgbit - 1)
+    dbound = _ntt.top_limb_bound(1 << (params.bgbit - 1), params.digit_limbs)
 
     b = tlwe_batch[..., n0]
     b_tilda = jnp.int32(2 * N) - modswitch(b, params)
@@ -168,7 +168,7 @@ def external_product_ntt(trgsw_ntt, ct, params: SecurityParams,
     Exact vs the Toeplitz engine when drop_bits matches the key form.
     """
     plan = _ntt.plan_for_params(params, drop_bits)
-    dbound = 1 << (params.bgbit - 1)
+    dbound = _ntt.top_limb_bound(1 << (params.bgbit - 1), params.digit_limbs)
     rows = _decompose_to_rows(ct, params)
     d_hat = _ntt.ntt_forward(rows, plan, params.digit_limbs, dbound)
     u_hat = _ntt.pointwise_extprod(d_hat, trgsw_ntt, plan)

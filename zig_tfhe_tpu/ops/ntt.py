@@ -73,9 +73,10 @@ def ntt_primes(two_n: int, max_p: int = 63000) -> tuple:
     """All primes p ≡ 1 (mod 2N) with p <= max_p, ascending.
 
     max_p = 63000 guarantees the residue int8 limb split stays in range:
-    barrett outputs satisfy |r| <= p(1/2 + 2^-6), and the hi limb
-    (|r|+127)//256 must be <= 127, i.e. p <= 63000.  (It also keeps
-    centered residues within int16 and pointwise products within int32.)
+    barrett outputs satisfy |r| <= p/2 + 384 (see barrett_reduce), and the
+    limb split needs |r| <= 32639, i.e. p/2 <= 32255 -> p <= 64510; 63000
+    leaves margin.  (It also keeps centered residues within int16 and
+    pointwise products within int32.)
     """
     return tuple(p for p in range(two_n + 1, max_p + 1, two_n) if _is_prime(p))
 
@@ -95,7 +96,9 @@ def _center(a: np.ndarray, p: int) -> np.ndarray:
 
 
 def _i8_split(a: np.ndarray):
-    """int array (|a| < 2^15 + 2^7) -> (lo, hi) int8 with a == lo + 256*hi."""
+    """int array (|a| <= 32639) -> (lo, hi) int8 with a == lo + 256*hi
+    (at |a| = 32640 the hi limb would be 128, overflowing int8 — the
+    assert below fails fast)."""
     lo = ((a + 128) % 256 - 128).astype(np.int64)
     hi = (a - lo) >> 8
     assert np.all(np.abs(hi) <= 127), np.abs(hi).max()
@@ -115,6 +118,9 @@ class NTTPlan:
       fwd_lo/hi[i]: int8 [N, N]   psi-twisted forward NTT matrix limbs
       inv_lo/hi[i]: int8 [N, N]   inverse (incl. N^-1 and untwist)
       rot[i]:       int16 [2N, N] centered psi^{t(2k+1)} rotation diagonals
+      rot_merged:   int16 [2N, n_primes*N] — the per-prime tables
+                    concatenated on the lane axis, so the rotate stages
+                    gather rotation rows for ALL primes in one take
       crt_e[i]:     int32          e_p mod 2^32 (CRT idempotent)
       crt_theta[i]: float32        e_p / P
       p_mod:        int32          P mod 2^32
@@ -129,6 +135,7 @@ class NTTPlan:
     inv_cat_lo: tuple   # int8 [2N, N]: limb-lo of [Minv ; 256*Minv mod p]
     inv_cat_hi: tuple   # int8 [2N, N]: limb-hi of the same stack
     rot: tuple
+    rot_merged: np.ndarray
     crt_e: tuple
     crt_theta: tuple
     p_mod: int
@@ -137,6 +144,8 @@ class NTTPlan:
         return hash((self.N, self.primes))
 
     def __eq__(self, other):
+        if not isinstance(other, NTTPlan):
+            return NotImplemented
         return (self.N, self.primes) == (other.N, other.primes)
 
     @property
@@ -144,7 +153,11 @@ class NTTPlan:
         return len(self.primes)
 
     def row_group(self, p: int) -> int:
-        """Rows safely accumulated unreduced: group * (0.55p * p/2) < 2^31."""
+        """Rows safely accumulated unreduced: group * (0.55p * p/2) < 2^31.
+
+        0.55p is the safe envelope for barrett outputs (|r| <= p/2 + 384,
+        and 0.55p >= p/2 + 384 for every p >= 7680 — all plan primes
+        qualify since p ≡ 1 mod 2N with the largest-first selection)."""
         return max(1, (2**31 - 1) // (math.ceil(0.55 * p) * (p // 2) + 1))
 
 
@@ -219,6 +232,7 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
         inv_lo=tuple(inv_lo), inv_hi=tuple(inv_hi),
         inv_cat_lo=tuple(inv_cat_lo), inv_cat_hi=tuple(inv_cat_hi),
         rot=tuple(rot),
+        rot_merged=np.concatenate(rot, axis=1),
         crt_e=tuple(crt_e), crt_theta=tuple(crt_theta),
         p_mod=int(np.uint32(P % (1 << 32)).view(np.int32)),
     )
@@ -266,11 +280,16 @@ def default_drop_bits(params: SecurityParams, group: int = 1) -> int:
 
 
 def barrett_reduce(v, p: int):
-    """r ≡ v (mod p) with |r| <= 0.52*p, for any int32 v.
+    """r ≡ v (mod p) with |r| <= p/2 + 3*2^-24*|v|, for any int32 v.
 
-    Float-assisted: q = round(f32(v)/p).  f32 relative error 2^-24 on |v| up
-    to 2^31 plus output rounding gives |q - v/p| < 1/2 + 2^-6, so
-    |r| < p*(1/2 + 2^-6).  The subtraction wraps safely (true r is small).
+    Float-assisted: q = round(f32(v) * f32(1/p)).  The two f32 roundings
+    (v and the product) each contribute <= 2^-24 relative error, and the
+    stored 1/p a third, so |q - v/p| <= 1/2 + 3*2^-24*|v|/p and
+    |r| <= p/2 + 3*2^-24*|v| — i.e. p/2 + 384 at |v| ~ 2^31 (worst
+    observed 0.5205p at p=12289), NOT a fixed multiple of p.  Downstream
+    bounds use the safe envelope 0.55p (valid for p >= 7680, which every
+    plan prime satisfies) or the absolute form p/2 + 384.  The
+    subtraction wraps safely (the true r is small).
     """
     q = jnp.round(v.astype(jnp.float32) * np.float32(1.0 / p)).astype(jnp.int32)
     return v - q * jnp.int32(p)
@@ -289,6 +308,18 @@ def _limb_pair_combine(lo, hi, p: int, N: int, in_bound: int):
     # safe path: reduce limbs separately, then combine (<= 0.55p*257 < 2^24)
     return barrett_reduce(
         barrett_reduce(lo, p) + barrett_reduce(hi, p) * jnp.int32(256), p)
+
+
+def top_limb_bound(digit_bound: int, digit_limbs: int) -> int:
+    """ntt_forward's digit_bound argument is the TOP-LIMB magnitude bound;
+    for multi-limb digits with |digit| <= digit_bound the top limb is only
+    digit_bound / 2^(8*(limbs-1)) (+1 centered-remainder carry).  Passing
+    the tight value lets _limb_pair_combine take its single-add fast path
+    on the top-limb pass (one fewer barrett per prime for the large-Bg
+    uint sets)."""
+    if digit_limbs == 1:
+        return digit_bound
+    return min(128, (digit_bound >> (8 * (digit_limbs - 1))) + 1)
 
 
 def ntt_forward(digits, plan: NTTPlan, digit_limbs: int = 1,
@@ -348,7 +379,7 @@ def residue_limbs(v):
     concatenate the old single-matmul form needed (a measured ~190 us/step
     relayout at B=1536).  Requires |v| <= 32639 (at v = 32640 the hi limb
     would be 128, overflowing int8); barrett outputs satisfy this for
-    p <= 63000 (|r| <= 0.5157 * 63000 = 32484).
+    p <= 63000 (|r| <= p/2 + 384 <= 31884).
     """
     v = v.astype(jnp.int32)
     lo = ((v + 128) & 255) - 128
@@ -462,11 +493,10 @@ def rotate_combine2(u1, u2, u12, t1, t2, plan: NTTPlan):
     B = t1.shape[0]
     N = plan.N
     t_cat = jnp.concatenate([t1, t2])
-    # ONE gather for all primes: the per-prime tables are concatenated on
-    # the lane axis (static [2N, n_primes*N] constant), and per-prime rows
-    # are lane-slices of the gathered block (measured ~12% faster than
-    # three separate takes at B=1536).
-    merged = jnp.asarray(np.concatenate(plan.rot, axis=1))  # int16 [2N, P*N]
+    # ONE gather for all primes: per-prime rows are lane-slices of the
+    # precomputed merged table (measured ~12% faster than three separate
+    # takes at B=1536).
+    merged = jnp.asarray(plan.rot_merged)                   # int16 [2N, P*N]
     rows_all = jnp.take(merged, t_cat, axis=0).astype(jnp.int32)  # [2B, P*N]
     outs = []
     for i, p in enumerate(plan.primes):
@@ -491,7 +521,7 @@ def rotate_diag(res_list, t, plan: NTTPlan, minus_one: bool = True):
     """
     t = jnp.asarray(t) & jnp.int32(2 * plan.N - 1)      # X^(2N) == X^0
     N = plan.N
-    merged = jnp.asarray(np.concatenate(plan.rot, axis=1))  # int16 [2N, P*N]
+    merged = jnp.asarray(plan.rot_merged)               # int16 [2N, P*N]
     rows_all = jnp.take(merged, t, axis=0).astype(jnp.int32)  # [B, P*N]
     outs = []
     for i, p in enumerate(plan.primes):

@@ -44,10 +44,9 @@ def _kernel(scal_ref, fscal_ref, v_ref, ilo_ref, ihi_ref, acc_ref, out_ref,
         return x - q * p
 
     v = v_ref[0].reshape(2 * tile_b, N)  # int32, |v| <= 0.55p
-    lo = ((v + 128) & 255) - 128
-    hi = jax.lax.shift_right_arithmetic(v - lo, jnp.int32(8))
-    lo8 = lo.astype(jnp.int8)
-    hi8 = hi.astype(jnp.int8)
+    # same split as the XLA path (exactness-critical; keep in sync)
+    from zig_tfhe_tpu.ops.ntt import residue_limbs
+    lo8, hi8 = residue_limbs(v)
 
     def dot8(a, m):
         return jax.lax.dot_general(

@@ -104,10 +104,10 @@ def _inverse_residues(barrett, v, clo, chi, *, tile_b, N):
     v int32 [2*tile_b, N] (|v| <= 0.55p); clo/chi int8 [2N, N].
     Returns int32 [tile_b, 2, N].
     """
-    vlo = ((v + 128) & 255) - 128
-    vhi = jax.lax.shift_right_arithmetic(v - vlo, jnp.int32(8))
-    limbs = jnp.concatenate([vlo.astype(jnp.int8), vhi.astype(jnp.int8)],
-                            axis=-1)                    # [2*tile_b, 2N]
+    # same split as the XLA path (exactness-critical; keep in sync)
+    from zig_tfhe_tpu.ops.ntt import residue_limbs
+    lo8, hi8 = residue_limbs(v)
+    limbs = jnp.concatenate([lo8, hi8], axis=-1)        # [2*tile_b, 2N]
     z_lo = jax.lax.dot_general(limbs, clo, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)
     z_hi = jax.lax.dot_general(limbs, chi, (((1,), (0,)), ((), ())),

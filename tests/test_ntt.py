@@ -197,3 +197,28 @@ def test_residue_bounds_within_barrett_envelope():
     u = ntt.pointwise_extprod(d_hat, key, plan)
     for r, p in zip(u, plan.primes):
         assert np.abs(np.asarray(r)).max() <= p * (0.5 + 2**-6)
+
+
+def test_top_limb_bound_and_split_boundaries():
+    """top_limb_bound must bound the actual top limb of i32_to_i8_limbs
+    for every (digit_bound, limbs) combination in use, and residue_limbs
+    must reconstruct exactly up to its documented |v| <= 32639 envelope."""
+    from zig_tfhe_tpu.utils.torus import i32_to_i8_limbs
+
+    for bgbit, limbs in [(6, 1), (16, 2), (22, 3), (23, 3)]:
+        bound = 1 << (bgbit - 1)
+        tb = ntt.top_limb_bound(bound, limbs)
+        xs = jnp.asarray(np.arange(-bound, bound, max(1, bound // 4096),
+                                   dtype=np.int32))
+        split = np.asarray(i32_to_i8_limbs(xs, limbs))
+        assert np.abs(split[..., -1]).max() <= tb, (bgbit, limbs)
+        # reconstruction is exact
+        rec = sum(split[..., k].astype(np.int64) * (1 << (8 * k))
+                  for k in range(limbs))
+        mask = (1 << (8 * limbs)) - 1
+        assert np.array_equal(rec & mask, np.asarray(xs, np.int64) & mask)
+
+    v = jnp.asarray(np.array([-32639, -1, 0, 1, 32639], np.int32))
+    lo, hi = ntt.residue_limbs(v)
+    rec = lo.astype(np.int32) + 256 * hi.astype(np.int32)
+    assert np.array_equal(np.asarray(rec), np.asarray(v))

@@ -1,0 +1,67 @@
+"""Encrypted radix-8 integer arithmetic (models/integer.py): exactness.
+
+Runs on TEST_TINY_UINT (alpha=0, m=16 capable): every PBS is exact, so
+add/mul must reproduce plain integer arithmetic digit-for-digit.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from zig_tfhe_tpu import key as K
+from zig_tfhe_tpu import params as P
+from zig_tfhe_tpu.models import integer as I
+
+
+@pytest.fixture(scope="module")
+def ip():
+    return P.TEST_TINY_UINT
+
+
+@pytest.fixture(scope="module")
+def isk(ip):
+    return K.SecretKey.generate(jax.random.key(50), ip)
+
+
+@pytest.fixture(scope="module")
+def ick(ip, isk):
+    return K.CloudKey.generate(jax.random.key(51), isk, ip)
+
+
+def test_radix_codec_roundtrip(ip, isk):
+    for v in (0, 1, 7, 8, 63, 64, 511, 4095):
+        ct = I.encrypt_radix(jax.random.key(v + 1), v, 4, 0.0, isk.key_lv0)
+        assert I.decrypt_radix(ct, isk.key_lv0) == v
+
+
+def test_radix_add_exact(ip, isk, ick):
+    rng = np.random.default_rng(3)
+    cases = [(5, 6), (63, 1), (263, 441)]
+    cases += [tuple(rng.integers(0, 512, 2)) for _ in range(3)]
+    for a, b in cases:
+        ca = I.encrypt_radix(jax.random.key(int(a)), int(a), 3, 0.0,
+                             isk.key_lv0)
+        cb = I.encrypt_radix(jax.random.key(1000 + int(b)), int(b), 3, 0.0,
+                             isk.key_lv0)
+        cs = I.radix_add(ca, cb, ick)
+        assert I.decrypt_radix(cs, isk.key_lv0) == int(a) + int(b), (a, b)
+
+
+def test_digit_mul_exact(ip, isk, ick):
+    for x in (0, 1, 3, 5, 7):
+        for y in (0, 2, 4, 7):
+            cx = I.encrypt_radix(jax.random.key(10 + x), x, 1, 0.0,
+                                 isk.key_lv0)
+            cy = I.encrypt_radix(jax.random.key(20 + y), y, 1, 0.0,
+                                 isk.key_lv0)
+            lo, hi = I.digit_mul(cx[0], cy[0], ick)
+            got = I.decrypt_radix(np.concatenate([lo, hi]), isk.key_lv0)
+            assert got == x * y, (x, y, got)
+
+
+def test_radix_mul_exact(ip, isk, ick):
+    for a, b in [(23, 45), (63, 63), (7, 0), (40, 13)]:
+        ca = I.encrypt_radix(jax.random.key(100 + a), a, 2, 0.0, isk.key_lv0)
+        cb = I.encrypt_radix(jax.random.key(200 + b), b, 2, 0.0, isk.key_lv0)
+        cp = I.radix_mul(ca, cb, ick)
+        assert I.decrypt_radix(cp, isk.key_lv0) == a * b, (a, b)

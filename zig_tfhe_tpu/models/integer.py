@@ -1,0 +1,193 @@
+"""Encrypted radix integer arithmetic on programmable bootstraps.
+
+Multi-digit homomorphic add/mul built purely from the LUT machinery
+(models/lut.py) — a capability layer the reference does not have (its
+multi-bit parameter sets exist but nothing ever composes them;
+SURVEY.md §2 #10 notes even bootstrapLut is missing there).
+
+Representation: little-endian base-8 digits, each digit a PBS message
+with modulus 16.  The factor-2 headroom makes every intermediate fit the
+message space exactly:
+
+  * add:   digit + digit + carry <= 15        (one PBS splits mod/div 8)
+  * mul:   a digit product x*y (x,y < 8) is computed EXACTLY via the
+           packing trick  w = x + 8*bit_k(y) <= 15 : a single univariate
+           LUT of w recovers (w mod 8) * (w div 8) * 2^k = x*y_k*2^k,
+           pre-split into its low/high base-8 parts; three bit-planes +
+           two carry normalizations assemble the 2-digit product.
+
+All heterogeneous LUT lanes of a round run as ONE batched bootstrap
+(per-lane testvecs, models/lut.py:bootstrap_lut), so the sequential
+depth is small: an add is 1 PBS round per digit; a digit mul is 4 PBS
+rounds.  Every step is exact (no message-capacity rounding), verified
+digit-for-digit in tests/test_integer.py.
+
+Works on any parameter set whose PBS is reliable at m=16 (uint4,
+TEST_TINY_UINT; see docs/NOISE.md §8 for the capacity analysis).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from zig_tfhe_tpu import tlwe as _tlwe
+from zig_tfhe_tpu.key import CloudKey
+from zig_tfhe_tpu.models import lut as L
+from zig_tfhe_tpu.params import SecurityParams
+
+BASE = 8          # radix of the encrypted integers
+M = 16            # PBS message modulus per digit (headroom factor 2)
+
+
+# ---------------------------------------------------------------------------
+# LUT bank (static per parameter set)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _luts(params: SecurityParams):
+    gen = L.Generator.new(M, params)
+    bank = {
+        "mod": gen.generate_lookup_table(lambda t: t % BASE),
+        "div": gen.generate_lookup_table(lambda t: t // BASE),
+    }
+    for k in range(3):  # BASE = 2^3 bit-planes
+        # outputs 8*bit directly so the packing add w = x + bits8 never
+        # scales a ciphertext (scalar-multiplying a PBS output by 8 would
+        # amplify its noise 8x and break real-noise parameter sets)
+        bank[f"bit{k}"] = gen.generate_lookup_table(
+            lambda y, k=k: 8 * ((y >> k) & 1))
+        # w = x + 8*b packs (x, b); the LUT returns x*b*2^k split base-8
+        bank[f"pp{k}lo"] = gen.generate_lookup_table(
+            lambda w, k=k: ((w % 8) * (w // 8) << k) % BASE)
+        bank[f"pp{k}hi"] = gen.generate_lookup_table(
+            lambda w, k=k: ((w % 8) * (w // 8) << k) // BASE)
+    return bank
+
+
+def _pbs(cts, table_names, ck: CloudKey):
+    """One batched heterogeneous bootstrap: lane i of ``cts`` [B, n0+1]
+    gets the LUT named table_names[i] (a single shared name is allowed)."""
+    bank = _luts(ck.params)
+    if isinstance(table_names, str):
+        tv = bank[table_names].as_jax()
+    else:
+        tv = jnp.stack([bank[n].as_jax() for n in table_names])
+    return L.bootstrap_lut(cts, tv, ck)
+
+
+# ---------------------------------------------------------------------------
+# Codec
+# ---------------------------------------------------------------------------
+
+
+def encrypt_radix(key, value: int, n_digits: int, alpha: float, sk):
+    """Encrypt ``value`` as n_digits little-endian base-8 digits.
+
+    Returns int32 [n_digits, n0+1].
+    """
+    digits = [(value >> (3 * i)) & (BASE - 1) for i in range(n_digits)]
+    return _tlwe.encrypt_message(key, jnp.asarray(digits, jnp.int32),
+                                 M, alpha, sk)
+
+
+def decrypt_radix(ct_digits, sk) -> int:
+    msgs = np.asarray(_tlwe.decrypt_message(ct_digits, M, sk))
+    return int(sum(int(m % BASE) << (3 * i) for i, m in enumerate(msgs)))
+
+
+def _const_zero_digit(ck: CloudKey, batch: int = 1):
+    return jnp.zeros((batch, ck.params.n0 + 1), jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Addition
+# ---------------------------------------------------------------------------
+
+
+def radix_add(a_digits, b_digits, ck: CloudKey):
+    """Exact homomorphic addition: [D, n0+1] + [D, n0+1] -> [D+1, n0+1].
+
+    Sequential carry chain; each digit is one batched 2-lane bootstrap
+    (sum = t mod 8, carry = t div 8 with t = a + b + carry <= 15).
+    """
+    D = a_digits.shape[0]
+    carry = _const_zero_digit(ck)
+    out = []
+    for i in range(D):
+        t = a_digits[i:i + 1] + b_digits[i:i + 1] + carry
+        both = _pbs(jnp.concatenate([t, t], axis=0), ("mod", "div"), ck)
+        out.append(both[0:1])
+        carry = both[1:2]
+    out.append(carry)
+    return jnp.concatenate(out, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Multiplication
+# ---------------------------------------------------------------------------
+
+
+def digit_mul(x_ct, y_ct, ck: CloudKey):
+    """Exact product of two encrypted digits (< 8): returns (lo, hi).
+
+    5 sequential PBS rounds, every message <= 15:
+      1. bits of y (3 lanes);
+      2. partial products via the w = x + 8*b packing (6 lanes:
+         lo_k = (x*y_k*2^k) mod 8, hi_k = (x*y_k*2^k) div 8);
+      3. low-part carry normalization of lo_0 + lo_1 (2 lanes);
+      4. final low digit + carry from + lo_2 (2 lanes);
+      5. high-digit refresh (1 lane).
+
+    Bound check for step 5: hi_0 <= 0, hi_1 <= 1, hi_2 <= 3 and the two
+    carries are <= 1 each, so the linear hi sum is <= 6 < 8 — a single
+    mod-8 refresh is exact.
+    """
+    x = x_ct.reshape(1, -1)
+    y = y_ct.reshape(1, -1)
+    bits8 = _pbs(jnp.concatenate([y, y, y], axis=0),
+                 ("bit0", "bit1", "bit2"), ck)         # messages 8*y_k
+    w = x + bits8                                       # w_k = x + 8*y_k
+    parts = _pbs(jnp.concatenate([w, w], axis=0),
+                 ("pp0lo", "pp1lo", "pp2lo", "pp0hi", "pp1hi", "pp2hi"),
+                 ck)                                    # [6, n0+1]
+    lo0, lo1, lo2 = parts[0:1], parts[1:2], parts[2:3]
+    hi_parts = parts[3:4] + parts[4:5] + parts[5:6]     # <= 0 + 1 + 3
+
+    t01 = lo0 + lo1                                     # <= 14
+    s01 = _pbs(jnp.concatenate([t01, t01], axis=0), ("mod", "div"), ck)
+    t = s01[0:1] + lo2                                  # <= 14
+    fin = _pbs(jnp.concatenate([t, t], axis=0), ("mod", "div"), ck)
+    lo = fin[0:1]
+    hi_lin = hi_parts + s01[1:2] + fin[1:2]             # <= 6 < 8
+    hi = _pbs(hi_lin, "mod", ck)
+    return lo, hi
+
+
+def radix_scale(a_digits, y_ct, ck: CloudKey):
+    """[D]-digit x single digit -> [D+1] digits (exact schoolbook row)."""
+    D = a_digits.shape[0]
+    los, his = [], []
+    for i in range(D):
+        lo, hi = digit_mul(a_digits[i], y_ct, ck)
+        los.append(lo)
+        his.append(hi)
+    row_lo = jnp.concatenate(los + [_const_zero_digit(ck)], axis=0)
+    row_hi = jnp.concatenate([_const_zero_digit(ck)] + his, axis=0)
+    return radix_add(row_lo, row_hi, ck)[: D + 1]
+
+
+def radix_mul(a_digits, b_digits, ck: CloudKey):
+    """Full product: [Da] x [Db] -> [Da+Db] digits (exact schoolbook)."""
+    Da, Db = a_digits.shape[0], b_digits.shape[0]
+    acc = jnp.concatenate([_const_zero_digit(ck)] * (Da + Db), axis=0)
+    for j in range(Db):
+        row = radix_scale(a_digits, b_digits[j], ck)     # [Da+1]
+        padded = jnp.concatenate(
+            [_const_zero_digit(ck)] * j + [row]
+            + [_const_zero_digit(ck)] * (Da + Db - Da - 1 - j), axis=0)
+        acc = radix_add(acc, padded, ck)[: Da + Db]
+    return acc

@@ -5,4 +5,5 @@ cd "$(dirname "$0")"
 echo "== gates (128-bit) ==";      python bench.py
 echo "== PBS (uint4) ==";          python bench_lut.py
 echo "== proxy re-encryption =="; python bench_pre.py
+echo "== encrypted integer mul ==";  python bench_integer.py
 echo "== multichip ==";            python bench_multichip.py

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Encrypted integer multiply throughput: batched radix-8 6-bit x 6-bit.
+
+Each product is an exact composition of programmable bootstraps
+(models/integer.py); the batch axis shares every PBS round, so the cost
+per integer amortizes like the gate benches.  Accuracy is checked against
+plain multiplication (must be 1.0 at uint4 real noise).
+
+Env: BENCH_BATCH (default 256), BENCH_PARAMS (default uint4),
+     BENCH_ITERS (default 3).
+Prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from zig_tfhe_tpu import key as K  # noqa: E402
+from zig_tfhe_tpu import params as P  # noqa: E402
+from zig_tfhe_tpu.models import integer as I  # noqa: E402
+
+
+def _sync(x):
+    np.asarray(x).ravel()[:1]
+    return x
+
+
+def main():
+    B = int(os.environ.get("BENCH_BATCH", "256"))
+    pname = os.environ.get("BENCH_PARAMS", "uint4")
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    params = P.PARAMS_BY_NAME[pname]
+
+    t0 = time.time()
+    sk = K.SecretKey.generate(jax.random.key(0), params)
+    ck = K.CloudKey.generate(jax.random.key(1), sk, params)
+    np.asarray(jax.tree_util.tree_leaves(ck)[1].ravel()[:1])
+    print(f"# keygen (cold, incl jit compile): {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 64, B)
+    b = rng.integers(0, 64, B)
+    ca = I.encrypt_radix(jax.random.key(2), a, 2, params.tlwe_lv0.alpha,
+                         sk.key_lv0)
+    cb = I.encrypt_radix(jax.random.key(3), b, 2, params.tlwe_lv0.alpha,
+                         sk.key_lv0)
+
+    mul = jax.jit(lambda x, y, k: I.radix_mul(x, y, k))
+    t0 = time.time()
+    out = _sync(mul(ca, cb, ck))
+    print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    dec = I.decrypt_radix(out, sk.key_lv0)
+    acc = float((dec == a * b).mean())
+    print(f"# accuracy: {acc:.4f}", file=sys.stderr)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        _sync(mul(ca, cb, ck))
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
+    print(f"# median: {dt*1e3:.1f} ms for {B} products "
+          f"({dt/B*1e3:.2f} ms each)", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"encrypted_int6_mults_per_s_{pname}_batch{B}",
+        "value": round(B / dt, 2),
+        "unit": "mults/s",
+        "accuracy": acc,
+    }))
+
+
+if __name__ == "__main__":
+    main()

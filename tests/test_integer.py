@@ -55,7 +55,7 @@ def test_digit_mul_exact(ip, isk, ick):
             cy = I.encrypt_radix(jax.random.key(20 + y), y, 1, 0.0,
                                  isk.key_lv0)
             lo, hi = I.digit_mul(cx[0], cy[0], ick)
-            got = I.decrypt_radix(np.concatenate([lo, hi]), isk.key_lv0)
+            got = I.decrypt_radix(np.stack([lo, hi]), isk.key_lv0)
             assert got == x * y, (x, y, got)
 
 
@@ -65,3 +65,18 @@ def test_radix_mul_exact(ip, isk, ick):
         cb = I.encrypt_radix(jax.random.key(200 + b), b, 2, 0.0, isk.key_lv0)
         cp = I.radix_mul(ca, cb, ick)
         assert I.decrypt_radix(cp, isk.key_lv0) == a * b, (a, b)
+
+
+def test_batched_radix_ops(ip, isk, ick):
+    """Batch-first: a leading batch axis of independent integers flows
+    through add/mul with every PBS round shared across the batch."""
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 64, 5)
+    b = rng.integers(0, 64, 5)
+    ca = I.encrypt_radix(jax.random.key(300), a, 2, 0.0, isk.key_lv0)
+    cb = I.encrypt_radix(jax.random.key(301), b, 2, 0.0, isk.key_lv0)
+    assert ca.shape[:2] == (5, 2)
+    s = I.radix_add(ca, cb, ick)
+    assert np.array_equal(I.decrypt_radix(s, isk.key_lv0), a + b)
+    p = I.radix_mul(ca, cb, ick)
+    assert np.array_equal(I.decrypt_radix(p, isk.key_lv0), a * b)

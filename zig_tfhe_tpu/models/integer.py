@@ -79,28 +79,53 @@ def _pbs(cts, table_names, ck: CloudKey):
     return L.bootstrap_lut(cts, tv, ck)
 
 
+def _pbs_rows(rows, table_names, ck: CloudKey):
+    """Batched multi-lane bootstrap: rows [L, ..., n0+1], one LUT per lane
+    broadcast over the batch dims.  Returns [L, ..., n0+1].
+
+    This is the batch-first workhorse: ALL lanes of ALL batch elements run
+    as one bootstrap (the per-gate cost amortizes to the ~0.2 ms/op batched
+    rate instead of one scan per value)."""
+    bank = _luts(ck.params)
+    Lanes = rows.shape[0]
+    batch = rows.shape[1:-1]
+    n1 = rows.shape[-1]
+    B = int(np.prod(batch)) if batch else 1
+    flat = rows.reshape(Lanes * B, n1)
+    tv = jnp.stack([bank[n].as_jax() for n in table_names])    # [L, 2, N]
+    tv = jnp.repeat(tv, B, axis=0)                             # [L*B, 2, N]
+    out = L.bootstrap_lut(flat, tv, ck)
+    return out.reshape((Lanes,) + batch + (n1,))
+
+
 # ---------------------------------------------------------------------------
 # Codec
 # ---------------------------------------------------------------------------
 
 
-def encrypt_radix(key, value: int, n_digits: int, alpha: float, sk):
-    """Encrypt ``value`` as n_digits little-endian base-8 digits.
+def encrypt_radix(key, value, n_digits: int, alpha: float, sk):
+    """Encrypt value(s) as n_digits little-endian base-8 digits.
 
-    Returns int32 [n_digits, n0+1].
+    value: python int or int array [...].  Returns int32 [..., n_digits,
+    n0+1] (batch-first: a batch of integers is just a leading axis).
     """
-    digits = [(value >> (3 * i)) & (BASE - 1) for i in range(n_digits)]
-    return _tlwe.encrypt_message(key, jnp.asarray(digits, jnp.int32),
-                                 M, alpha, sk)
+    v = jnp.asarray(value, jnp.int32)
+    shifts = jnp.arange(n_digits, dtype=jnp.int32) * 3
+    digits = (v[..., None] >> shifts) & (BASE - 1)
+    return _tlwe.encrypt_message(key, digits, M, alpha, sk)
 
 
-def decrypt_radix(ct_digits, sk) -> int:
-    msgs = np.asarray(_tlwe.decrypt_message(ct_digits, M, sk))
-    return int(sum(int(m % BASE) << (3 * i) for i, m in enumerate(msgs)))
+def decrypt_radix(ct_digits, sk):
+    """[..., D, n0+1] -> int or int64 array [...]."""
+    msgs = np.asarray(_tlwe.decrypt_message(ct_digits, M, sk)) % BASE
+    D = msgs.shape[-1]
+    weights = (1 << (3 * np.arange(D, dtype=np.int64)))
+    out = (msgs.astype(np.int64) * weights).sum(axis=-1)
+    return int(out) if out.ndim == 0 else out
 
 
-def _const_zero_digit(ck: CloudKey, batch: int = 1):
-    return jnp.zeros((batch, ck.params.n0 + 1), jnp.int32)
+def _zeros_like_digit(d):
+    return jnp.zeros_like(d)
 
 
 # ---------------------------------------------------------------------------
@@ -109,21 +134,22 @@ def _const_zero_digit(ck: CloudKey, batch: int = 1):
 
 
 def radix_add(a_digits, b_digits, ck: CloudKey):
-    """Exact homomorphic addition: [D, n0+1] + [D, n0+1] -> [D+1, n0+1].
+    """Exact homomorphic addition: [..., D, n0+1] x2 -> [..., D+1, n0+1].
 
-    Sequential carry chain; each digit is one batched 2-lane bootstrap
-    (sum = t mod 8, carry = t div 8 with t = a + b + carry <= 15).
+    Sequential carry chain over digits; each digit position is one
+    batched 2-lane bootstrap over the whole batch (sum = t mod 8,
+    carry = t div 8 with t = a + b + carry <= 15).
     """
-    D = a_digits.shape[0]
-    carry = _const_zero_digit(ck)
+    D = a_digits.shape[-2]
+    carry = _zeros_like_digit(a_digits[..., 0, :])
     out = []
     for i in range(D):
-        t = a_digits[i:i + 1] + b_digits[i:i + 1] + carry
-        both = _pbs(jnp.concatenate([t, t], axis=0), ("mod", "div"), ck)
-        out.append(both[0:1])
-        carry = both[1:2]
+        t = a_digits[..., i, :] + b_digits[..., i, :] + carry
+        both = _pbs_rows(jnp.stack([t, t]), ("mod", "div"), ck)
+        out.append(both[0])
+        carry = both[1]
     out.append(carry)
-    return jnp.concatenate(out, axis=0)
+    return jnp.stack(out, axis=-2)
 
 
 # ---------------------------------------------------------------------------
@@ -146,48 +172,50 @@ def digit_mul(x_ct, y_ct, ck: CloudKey):
     carries are <= 1 each, so the linear hi sum is <= 6 < 8 — a single
     mod-8 refresh is exact.
     """
-    x = x_ct.reshape(1, -1)
-    y = y_ct.reshape(1, -1)
-    bits8 = _pbs(jnp.concatenate([y, y, y], axis=0),
-                 ("bit0", "bit1", "bit2"), ck)         # messages 8*y_k
-    w = x + bits8                                       # w_k = x + 8*y_k
-    parts = _pbs(jnp.concatenate([w, w], axis=0),
-                 ("pp0lo", "pp1lo", "pp2lo", "pp0hi", "pp1hi", "pp2hi"),
-                 ck)                                    # [6, n0+1]
-    lo0, lo1, lo2 = parts[0:1], parts[1:2], parts[2:3]
-    hi_parts = parts[3:4] + parts[4:5] + parts[5:6]     # <= 0 + 1 + 3
+    x, y = x_ct, y_ct                                   # [..., n0+1]
+    bits8 = _pbs_rows(jnp.stack([y, y, y]),
+                      ("bit0", "bit1", "bit2"), ck)     # messages 8*y_k
+    w = x[None] + bits8                                 # w_k = x + 8*y_k
+    parts = _pbs_rows(jnp.concatenate([w, w], axis=0),
+                      ("pp0lo", "pp1lo", "pp2lo",
+                       "pp0hi", "pp1hi", "pp2hi"), ck)  # [6, ..., n0+1]
+    lo0, lo1, lo2 = parts[0], parts[1], parts[2]
+    hi_parts = parts[3] + parts[4] + parts[5]           # <= 0 + 1 + 3
 
     t01 = lo0 + lo1                                     # <= 14
-    s01 = _pbs(jnp.concatenate([t01, t01], axis=0), ("mod", "div"), ck)
-    t = s01[0:1] + lo2                                  # <= 14
-    fin = _pbs(jnp.concatenate([t, t], axis=0), ("mod", "div"), ck)
-    lo = fin[0:1]
-    hi_lin = hi_parts + s01[1:2] + fin[1:2]             # <= 6 < 8
-    hi = _pbs(hi_lin, "mod", ck)
+    s01 = _pbs_rows(jnp.stack([t01, t01]), ("mod", "div"), ck)
+    t = s01[0] + lo2                                    # <= 14
+    fin = _pbs_rows(jnp.stack([t, t]), ("mod", "div"), ck)
+    lo = fin[0]
+    hi_lin = hi_parts + s01[1] + fin[1]                 # <= 6 < 8
+    hi = _pbs_rows(hi_lin[None], ("mod",), ck)[0]
     return lo, hi
 
 
 def radix_scale(a_digits, y_ct, ck: CloudKey):
-    """[D]-digit x single digit -> [D+1] digits (exact schoolbook row)."""
-    D = a_digits.shape[0]
-    los, his = [], []
-    for i in range(D):
-        lo, hi = digit_mul(a_digits[i], y_ct, ck)
-        los.append(lo)
-        his.append(hi)
-    row_lo = jnp.concatenate(los + [_const_zero_digit(ck)], axis=0)
-    row_hi = jnp.concatenate([_const_zero_digit(ck)] + his, axis=0)
-    return radix_add(row_lo, row_hi, ck)[: D + 1]
+    """[..., D, n0+1] x digit [..., n0+1] -> [..., D+1, n0+1].
+
+    All D digit products run as ONE batched mul (the digit axis folds
+    into digit_mul's batch dims)."""
+    D = a_digits.shape[-2]
+    a_rows = jnp.moveaxis(a_digits, -2, 0)               # [D, ..., n0+1]
+    y_rows = jnp.broadcast_to(y_ct[None], a_rows.shape)
+    lo, hi = digit_mul(a_rows, y_rows, ck)               # [D, ..., n0+1]
+    z = _zeros_like_digit(lo[0])[None]
+    row_lo = jnp.moveaxis(jnp.concatenate([lo, z]), 0, -2)
+    row_hi = jnp.moveaxis(jnp.concatenate([z, hi]), 0, -2)
+    return radix_add(row_lo, row_hi, ck)[..., : D + 1, :]
 
 
 def radix_mul(a_digits, b_digits, ck: CloudKey):
-    """Full product: [Da] x [Db] -> [Da+Db] digits (exact schoolbook)."""
-    Da, Db = a_digits.shape[0], b_digits.shape[0]
-    acc = jnp.concatenate([_const_zero_digit(ck)] * (Da + Db), axis=0)
+    """Full product: [..., Da, n0+1] x [..., Db, n0+1] -> [..., Da+Db, n0+1]
+    (exact schoolbook over batched rows)."""
+    Da, Db = a_digits.shape[-2], b_digits.shape[-2]
+    zero = _zeros_like_digit(a_digits[..., 0, :])[..., None, :]
+    acc = jnp.concatenate([zero] * (Da + Db), axis=-2)
     for j in range(Db):
-        row = radix_scale(a_digits, b_digits[j], ck)     # [Da+1]
+        row = radix_scale(a_digits, b_digits[..., j, :], ck)  # [..., Da+1]
         padded = jnp.concatenate(
-            [_const_zero_digit(ck)] * j + [row]
-            + [_const_zero_digit(ck)] * (Da + Db - Da - 1 - j), axis=0)
-        acc = radix_add(acc, padded, ck)[: Da + Db]
+            [zero] * j + [row] + [zero] * (Db - 1 - j), axis=-2)
+        acc = radix_add(acc, padded, ck)[..., : Da + Db, :]
     return acc

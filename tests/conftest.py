@@ -44,6 +44,21 @@ def tiny_ck(tiny, tiny_sk):
     return K.CloudKey.generate(jax.random.key(8), tiny_sk, tiny)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: each test draws from a fresh seeded stream, so a
+    # failure reproduces in isolation regardless of which tests ran before
     return np.random.default_rng(42)
+
+
+# Plain-boolean truth tables for the 10 two-input gates (single source;
+# test_gates/test_multibit/test_scheduler all assert against this).
+import operator  # noqa: E402
+
+TRUTH_TABLES = {
+    "nand": lambda x, y: not (x and y), "or": operator.or_,
+    "and": operator.and_, "xor": operator.xor,
+    "xnor": lambda x, y: x == y, "nor": lambda x, y: not (x or y),
+    "andny": lambda x, y: (not x) and y, "andyn": lambda x, y: x and not y,
+    "orny": lambda x, y: (not x) or y, "oryn": lambda x, y: x or not y,
+}

@@ -9,18 +9,13 @@ import pytest
 from zig_tfhe_tpu import tlwe
 from zig_tfhe_tpu.models import gates as G
 
-TRUTH = {
-    "nand":  [1, 1, 1, 0],
-    "or":    [0, 1, 1, 1],
-    "and":   [0, 0, 0, 1],
-    "xor":   [0, 1, 1, 0],
-    "xnor":  [1, 0, 0, 1],
-    "nor":   [1, 0, 0, 0],
-    "andny": [0, 1, 0, 0],   # (not a) and b
-    "andyn": [0, 0, 1, 0],   # a and (not b)
-    "orny":  [1, 1, 0, 1],   # (not a) or b
-    "oryn":  [1, 0, 1, 1],   # a or (not b)
-}
+from tests.conftest import TRUTH_TABLES
+
+# rows evaluate the shared truth-table lambdas over (a, b) in
+# [(0,0), (0,1), (1,0), (1,1)] — one source of gate semantics for all suites
+TRUTH = {name: [int(f(bool(a), bool(b)))
+                for a, b in [(0, 0), (0, 1), (1, 0), (1, 1)]]
+         for name, f in TRUTH_TABLES.items()}
 
 
 @pytest.fixture(scope="module")
@@ -89,4 +84,10 @@ def test_bootstrap_refreshes_noise(tiny, tiny_sk, tiny_ck):
     ph = np.asarray(tlwe.phase(out, tiny_sk.key_lv0)).astype(np.int64)
     target = np.where(np.asarray(bits), 1 << 29, -(1 << 29))
     err = np.abs(ph - target)
-    assert np.all(err < (1 << 26)), (ph, target)
+    # design bound at alpha=0: modswitch phase error <= (n0+1)/(4N) of the
+    # torus (params.py) plus the key-switch decomposition rounding
+    # n0 * 2^(32 - basebit*iks_t - 1) — a structural bound, not a
+    # seed-dependent constant
+    p = tiny
+    bound = ((p.n0 + 1) * (1 << 32)) // (4 * p.N)         + p.n0 * (1 << (32 - p.basebit * p.iks_t - 1))
+    assert np.all(err <= bound), (ph, target, bound)

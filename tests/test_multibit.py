@@ -80,15 +80,7 @@ def test_keygen_deterministic(tiny):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
-import operator
-
-_TT = {
-    "nand": lambda x, y: not (x and y), "or": operator.or_,
-    "and": operator.and_, "xor": operator.xor,
-    "xnor": lambda x, y: x == y, "nor": lambda x, y: not (x or y),
-    "andny": lambda x, y: (not x) and y, "andyn": lambda x, y: x and not y,
-    "orny": lambda x, y: (not x) or y, "oryn": lambda x, y: x or not y,
-}
+from tests.conftest import TRUTH_TABLES as _TT
 
 
 @pytest.mark.parametrize("group", [1, 2])

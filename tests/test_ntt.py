@@ -94,22 +94,20 @@ def test_crt_margin_at_worst_case_magnitudes(tiny):
     digits at -Bg/2 and keys at the centered extreme.  Any CRT m-rounding
     slip would corrupt the result by ~P (gigantic), so exact equality with
     the Toeplitz engine is a sharp probe of the P/4 margin."""
-    import jax.numpy as jnp
-
-    from zig_tfhe_tpu import trgsw as T
-    from zig_tfhe_tpu.ops import ntt
-    from zig_tfhe_tpu.ops.blind_rotate import external_product
-    from zig_tfhe_tpu.ops.blind_rotate_ntt import external_product_ntt
-
     N, L = tiny.N, tiny.L
     # TRGSW rows all at the most-negative torus value (centered extreme)
     trgsw_ct = jnp.full((2 * L, 2, N), -(2**31), jnp.int32)
-    # ciphertext whose gadget digits all hit -Bg/2: x = sum_l (-Bg/2) h_l
-    dig = -(1 << (tiny.bgbit - 1))
-    val = sum(dig * (1 << (32 - (i + 1) * tiny.bgbit))
-              for i in range(L)) - tiny.decomposition_offset
-    ct = jnp.full((2, 2, N), np.int32(np.uint32(val % (1 << 32)).view(np.int32)),
+    # ciphertext whose gadget digits ALL hit -Bg/2: the decomposition adds
+    # decomposition_offset internally, so x = -offset makes tmp = 0 and
+    # every extracted digit exactly 0 - Bg/2 (self-checked below; the old
+    # probe used x = sum(-Bg/2 h) - offset = -2*offset, whose digits are
+    # near zero — it never actually stressed the margin)
+    val = (-tiny.decomposition_offset) % (1 << 32)
+    ct = jnp.full((2, 2, N), np.int32(np.uint32(val).view(np.int32)),
                   jnp.int32)
+    from zig_tfhe_tpu.ops.decomposition import gadget_decompose
+    digs = np.asarray(gadget_decompose(ct, tiny))
+    assert np.all(digs == -(1 << (tiny.bgbit - 1))), "probe not at worst case"
     plan = ntt.plan_for_params(tiny, 0)
     t_ntt = ntt.to_ntt_form(trgsw_ct, plan)
     out_ntt = np.asarray(external_product_ntt(t_ntt, ct, tiny, 0))

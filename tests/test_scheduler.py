@@ -99,13 +99,19 @@ def test_bristol_errors():
 
 
 def test_cycle_detection():
-    # a gate graph where an output wire is written twice -> scheduler error
+    # valid DAG schedules fine
     c = S.Circuit()
     a = c.input()
     w1 = c.gate("and", a, a)
     _ = c.gate("or", w1, a)
-    plan = c.schedule()  # valid DAG: fine
+    plan = c.schedule()
     assert plan.n_gates == 2
+    # a self-referential gate (reads its own output wire) is a cycle
+    with pytest.raises(ValueError, match="cycle"):
+        S.parse_bristol("1 3\n2 0 1\n2 1 0 2 2 AND\n")
+    # an output wire written twice is rejected
+    with pytest.raises(ValueError, match="written twice"):
+        S.parse_bristol("2 3\n2 0 1\n2 1 0 1 2 AND\n2 1 1 0 2 OR\n")
 
 
 def test_duplicate_operand_slot_reuse(tiny, tiny_sk, tiny_ck):
@@ -119,28 +125,26 @@ def test_duplicate_operand_slot_reuse(tiny, tiny_sk, tiny_ck):
     w4 = c.not_(w3)
     w5 = c.gate("and", w3, i0)      # w4 and w5 are simultaneously live
     w6 = c.gate("and", w4, w5)
-    c.output(w6)
+    # output w4 and w5 DIRECTLY (not just a derived w6, whose value here
+    # is constant-False and would mask some aliasing corruptions)
+    for w in (w4, w5, w6):
+        c.output(w)
     plan = c.schedule()
-    # structural: w4 and w5 must land in distinct slots
-    slots = {}
+    # structural invariant: within a level, gate outputs get distinct slots
     for lvl in plan.levels:
-        for op, s0, s1, s2, sout in lvl:
-            slots.setdefault(sout, 0)
-            slots[sout] += 1
-    # evaluate end-to-end: expected w6 = AND(NOT(a&b&...), ...) — compute
-    # plain-boolean reference for all 4 input combos
+        souts = [int(g[4]) for g in lvl]
+        assert len(souts) == len(set(souts)), lvl
     for bits in [(0, 0), (0, 1), (1, 0), (1, 1)]:
         x0, x1 = map(bool, bits)
-        v2 = x0 and x1
-        v3 = v2 and v2
-        v4 = not v3
-        v5 = v3 and x0
-        v6 = v4 and v5
+        v3 = x0 and x1
+        v4, v5 = (not v3), (v3 and x0)
+        expected = [v4, v5, v4 and v5]
         cts = tlwe.encrypt_bool(jax.random.key(7), jnp.asarray(bits, bool),
                                 0.0, tiny_sk.key_lv0)
         out = S.evaluate(plan, cts, tiny_ck)
-        dec = bool(np.asarray(tlwe.decrypt_bool(out, tiny_sk.key_lv0))[0])
-        assert dec == v6, bits
+        dec = [bool(v) for v in
+               np.asarray(tlwe.decrypt_bool(out, tiny_sk.key_lv0))]
+        assert dec == expected, (bits, dec, expected)
 
 
 def test_malformed_bristol_is_an_error_not_a_crash():
@@ -172,15 +176,8 @@ def test_random_circuits_match_boolean_simulation(tiny, tiny_sk, tiny_ck):
 
         # plain-python mirror: wire id -> lambda over input bits
         sim = {w: (lambda bits, i=i: bits[i]) for i, w in enumerate(wires)}
+        from tests.conftest import TRUTH_TABLES as _TT
         two_in = list(G.GATE_NAMES)
-        _TT = {
-            "nand": lambda x, y: not (x and y), "or": lambda x, y: x or y,
-            "and": lambda x, y: x and y, "xor": lambda x, y: x != y,
-            "xnor": lambda x, y: x == y, "nor": lambda x, y: not (x or y),
-            "andny": lambda x, y: (not x) and y,
-            "andyn": lambda x, y: x and not y,
-            "orny": lambda x, y: (not x) or y, "oryn": lambda x, y: x or not y,
-        }
         all_wires = list(wires)
         for _ in range(14):
             kind = rng.integers(0, 8)

@@ -102,6 +102,37 @@ def main():
         "vs_baseline": round(gates_per_s / REFERENCE_GATES_PER_S, 2),
         "accuracy": acc,
     }
+
+    # single-gate / small-batch p50 latency (BASELINE.json names this
+    # metric; reference single gate = 37.31 ms, CHANGELOG.md:86).  The
+    # axon tunnel adds a ~25 ms dispatch+readback floor to EVERY call;
+    # report it alongside so on-device latency is reconstructable.
+    # BENCH_LATENCY=0 skips (two extra jit shapes => two tunnel compiles).
+    if os.environ.get("BENCH_LATENCY", "1") not in ("0", "false"):
+        floor_jit = jax.jit(lambda x: x.ravel()[0] + 1)
+        _sync2 = lambda x: np.asarray(x)
+        _sync2(floor_jit(cta))
+        fts = []
+        for _ in range(10):
+            t0 = time.time()
+            _sync2(floor_jit(cta))
+            fts.append(time.time() - t0)
+        floor_ms = float(np.median(fts)) * 1e3
+        for bl in (1, 16):
+            ca, cb = cta[:bl], ctb[:bl]
+            _sync(nand_fn(ca, cb))         # compile
+            lts = []
+            for _ in range(10):
+                t0 = time.time()
+                _sync(nand_fn(ca, cb))
+                lts.append(time.time() - t0)
+            p50 = float(np.median(lts)) * 1e3
+            result[f"latency_ms_p50_b{bl}"] = round(p50, 2)
+            print(f"# latency p50 B={bl}: {p50:.1f} ms "
+                  f"(incl. ~{floor_ms:.1f} ms tunnel floor; reference "
+                  f"single gate 37.31 ms)", file=sys.stderr)
+        result["dispatch_floor_ms"] = round(floor_ms, 2)
+
     print(json.dumps(result))
 
 

@@ -116,6 +116,19 @@ Circuit* circuit_parse_bristol(const char* text) {
     c->error = "bad io header";
     return c;
   }
+  // validate ALL header counts before any loop sized by them: a malformed
+  // header like "999999999999 0 1" must become an error string, not a
+  // multi-hour push_back loop / OOM in the embedding process
+  if (n_gates < 0 || n_wires < 0 || n_gates > (1 << 28) ||
+      n_wires > (1 << 28)) {
+    c->error = "unreasonable gate/wire counts in header";
+    return c;
+  }
+  if (n_in1 < 0 || n_in2 < 0 || n_out < 0 || n_in1 + n_in2 > n_wires ||
+      n_out > n_wires) {
+    c->error = "unreasonable io counts in header";
+    return c;
+  }
   c->n_wires = static_cast<int32_t>(n_wires);
   for (int64_t i = 0; i < n_in1 + n_in2; ++i)
     c->inputs.push_back(static_cast<int32_t>(i));
@@ -128,12 +141,6 @@ Circuit* circuit_parse_bristol(const char* text) {
       {"ANDNY", ANDNY}, {"ANDYN", ANDYN}, {"ORNY", ORNY}, {"ORYN", ORYN},
       {"COPY", COPY}, {"EQW", COPY},  {"MUX", MUX},
   };
-
-  if (n_gates < 0 || n_wires < 0 || n_gates > (1 << 28) ||
-      n_wires > (1 << 28)) {
-    c->error = "unreasonable gate/wire counts in header";
-    return c;
-  }
   for (int64_t gi = 0; gi < n_gates; ++gi) {
     int n_gin = 0, n_gout = 0;
     if (!(in >> n_gin >> n_gout)) {
@@ -425,6 +432,12 @@ int32_t tfhe_plan_n_gates(Plan* p) {
   return static_cast<int32_t>(p->gates.size());
 }
 int32_t tfhe_plan_n_slots(Plan* p) { return p->n_slots; }
+int32_t tfhe_plan_n_inputs(Plan* p) {
+  return static_cast<int32_t>(p->input_slots.size());
+}
+int32_t tfhe_plan_n_outputs(Plan* p) {
+  return static_cast<int32_t>(p->output_slots.size());
+}
 const int32_t* tfhe_plan_level_offsets(Plan* p) { return p->level_off.data(); }
 // gates as a flat [n_gates, 5] int32 array: op, s0, s1, s2, sout
 void tfhe_plan_gates(Plan* p, int32_t* out) {

@@ -106,3 +106,50 @@ def test_bootstrap_lut_m16_multilimb_digits():
     out = L.bootstrap_lut(ct, table, ck)
     dec = np.asarray(tlwe.decrypt_message(out, m, sk.key_lv0))
     assert np.array_equal(dec, np.array([f(x) for x in range(m)]))
+
+
+def test_encode_with_scale():
+    # encoder.zig:83-93: per-call scale override, message still wrapped
+    # by the encoder's modulus
+    enc = L.Encoder.new(4)
+    assert enc.encode_with_scale(1, enc.scale) == enc.encode(1)
+    assert enc.encode_with_scale(5, enc.scale) == enc.encode(1)  # 5 % 4
+    # double scale == encoding at half the modulus's bin width
+    assert enc.encode_with_scale(1, 0.25) == L.Encoder.new(2).encode(1)
+
+
+def test_lookup_table_from_poly_get_poly(tiny, tiny_sk, tiny_ck):
+    # lookup_table.zig:33-48: construct a LUT from an existing TRLWE and
+    # read the polynomial back
+    g = L.Generator.new(2, tiny)
+    base = g.generate_lookup_table(lambda x: 1 - x)
+    lut = L.LookupTable.from_poly(base.get_poly())
+    assert np.array_equal(lut.get_poly(), base.get_poly())
+    assert not lut.is_empty()
+    # from_poly copies: mutating the source must not alias
+    base.clear()
+    assert not lut.is_empty()
+    # a from_poly LUT drives the PBS identically to its source
+    msgs = jnp.arange(2)
+    ct = tlwe.encrypt_message(jax.random.key(52), msgs, 2, 0.0,
+                              tiny_sk.key_lv0)
+    out = L.bootstrap_lut(ct, lut, tiny_ck)
+    dec = np.asarray(tlwe.decrypt_message(out, 2, tiny_sk.key_lv0))
+    assert np.array_equal(dec, np.array([1, 0]))
+    with pytest.raises(ValueError):
+        L.LookupTable.from_poly(np.zeros((3, 8), np.int32))
+
+
+def test_bootstrap_strategy_protocol(tiny, tiny_sk, tiny_ck):
+    # bootstrap.zig:30-52: strategy interface + default
+    from zig_tfhe_tpu import bootstrap as B
+
+    strat = B.default_bootstrap()
+    assert strat.name == "vanilla"
+    bits = jnp.asarray(np.array([False, True]))
+    ct = tlwe.encrypt_bool(jax.random.key(53), bits, 0.0, tiny_sk.key_lv0)
+    out = strat.bootstrap(ct, tiny_ck)
+    dec = np.asarray(tlwe.decrypt_bool(out, tiny_sk.key_lv0))
+    assert list(dec) == [False, True]
+    lv1 = strat.bootstrap_without_key_switch(ct, tiny_ck)
+    assert lv1.shape == (2, tiny.n1 + 1)

@@ -62,6 +62,15 @@ def test_uint4_lut_real_noise():
 @pytest.mark.parametrize("pname,min_acc", [
     ("uint1", 1.0), ("uint2", 1.0), ("uint3", 1.0),
     ("uint5", 0.70), ("uint6", 0.45),
+    # uint7/uint8 are modswitch-limited to partial accuracy (NOISE.md §8):
+    # measured 0.38 / 0.29 over 24 samples (seeds below), with miss
+    # distances concentrated on multiples of the LUT slope (5) — i.e. the
+    # INPUT phase landing in a neighboring 1/(2m) bin, exactly the
+    # modswitch physics, not an implementation bug.  The floors pin
+    # "partially works, noise-limited" (random guessing would be 1/m:
+    # 0.008/0.004); improving beyond them needs multi-PBS carry
+    # decomposition or a larger N, same as every mainstream TFHE library.
+    ("uint7", 0.10), ("uint8", 0.08),
 ])
 def test_uint_family_lut_real_noise(pname, min_acc):
     """LUT bootstrap sweep across the multi-bit family (uint4 is covered

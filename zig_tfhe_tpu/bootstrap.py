@@ -16,12 +16,40 @@ for API parity.
 from __future__ import annotations
 
 
+import dataclasses
+from typing import Any, Callable
+
 from zig_tfhe_tpu import trlwe as _trlwe
 from zig_tfhe_tpu.key import CloudKey
 from zig_tfhe_tpu.ops.blind_rotate import blind_rotate
 from zig_tfhe_tpu.ops.keyswitch import identity_key_switch
 
 STRATEGY_NAME = "vanilla"
+
+
+@dataclasses.dataclass(frozen=True)
+class BootstrapStrategy:
+    """Pluggable bootstrap strategy (bootstrap.zig:30-47's fn-pointer
+    vtable, as a frozen dataclass of callables).
+
+    Members mirror the reference interface: ``bootstrap`` (full pipeline),
+    ``bootstrap_without_key_switch`` (result under the lv1 key), ``name``.
+    All callables are batch-first ``(tlwe_batch, cloud_key) -> batch`` and
+    jittable, so a strategy can be passed as a static argument.
+    """
+
+    bootstrap: Callable[[Any, CloudKey], Any]
+    bootstrap_without_key_switch: Callable[[Any, CloudKey], Any]
+    name: str = "custom"
+
+
+def default_bootstrap() -> BootstrapStrategy:
+    """The vanilla strategy (bootstrap.zig:50-52, vanilla.zig:72-75)."""
+    return BootstrapStrategy(
+        bootstrap=bootstrap,
+        bootstrap_without_key_switch=bootstrap_to_lv1,
+        name=STRATEGY_NAME,
+    )
 
 
 def bootstrap(tlwe_batch, ck: CloudKey):

@@ -98,20 +98,27 @@ class CloudKey:
     @classmethod
     def generate(cls, key, secret_key: SecretKey, params: SecurityParams,
                  engines=("ntt",), bsk_limbs: int = 4,
-                 ntt_drop: int | None = None, group: int = 2) -> "CloudKey":
+                 ntt_drop: int | None = None, group: int = 2,
+                 decomp_levels: int | None = None) -> "CloudKey":
         """engines selects the BSK forms to materialize ('ntt' and/or
         'toeplitz').  group=2 builds the multi-bit NTT bootstrapping key
         (s1, s2, s1*s2 per coefficient pair — halves the blind-rotate scan);
         ntt_drop (BSK rounding bits) defaults per params; bsk_limbs < 4 is
-        the Toeplitz engines' analogous knob."""
+        the Toeplitz engines' analogous knob.  decomp_levels < L selects
+        the approximate gadget (the NTT BSK keeps only the top
+        decomp_levels rows per component — ops/ntt.py:default_decomp_levels
+        has the noise budget; pass params.L for the exact gadget)."""
         from zig_tfhe_tpu.ops import ntt as _nttmod
 
         if ntt_drop is None:
             ntt_drop = _nttmod.default_drop_bits(params, group)
+        if decomp_levels is None:
+            decomp_levels = _nttmod.default_decomp_levels(params)
         testvec, ksk1, bsk_ntt, bsk_ext = _gen_cloud_key_arrays(
             key, secret_key, params=params,
             with_ntt="ntt" in engines, with_toeplitz="toeplitz" in engines,
-            bsk_limbs=bsk_limbs, ntt_drop=ntt_drop, group=group)
+            bsk_limbs=bsk_limbs, ntt_drop=ntt_drop, group=group,
+            levels=decomp_levels)
         return cls(
             testvec=testvec,
             ksk1=ksk1,
@@ -124,7 +131,8 @@ class CloudKey:
 
     @classmethod
     def generate_no_ksk(cls, params: SecurityParams,
-                        engines=("ntt",), group: int = 1) -> "CloudKey":
+                        engines=("ntt",), group: int = 1,
+                        decomp_levels: int | None = None) -> "CloudKey":
         """Cheap test fixture: dummy all-zero BSK, zero KSK (key.zig:80-100).
 
         group=2 gives the multi-bit BSK layout that CloudKey.generate()
@@ -133,14 +141,18 @@ class CloudKey:
         from zig_tfhe_tpu.ops import ntt as _nttmod
 
         ntt_drop = _nttmod.default_drop_bits(params, group)
+        if decomp_levels is None:
+            decomp_levels = _nttmod.default_decomp_levels(params)
         bsk_ntt = None
         if "ntt" in engines:
-            plan = _nttmod.plan_for_params(params, ntt_drop, group)
+            plan = _nttmod.plan_for_params(params, ntt_drop, group,
+                                           decomp_levels)
             if group == 1:
-                shape = (params.n0, plan.n_primes, 2 * params.L, 2, params.N)
+                shape = (params.n0, plan.n_primes, 2 * decomp_levels, 2,
+                         params.N)
             else:
                 G = (params.n0 + 1) // 2
-                shape = (G, 3, plan.n_primes, 2 * params.L, 2, params.N)
+                shape = (G, 3, plan.n_primes, 2 * decomp_levels, 2, params.N)
             bsk_ntt = jnp.zeros(shape, jnp.int16)
         bsk_ext = None
         if "toeplitz" in engines:
@@ -160,11 +172,11 @@ class CloudKey:
 
 @functools.partial(
     jax.jit, static_argnames=("params", "with_ntt", "with_toeplitz",
-                              "bsk_limbs", "ntt_drop", "group"))
+                              "bsk_limbs", "ntt_drop", "group", "levels"))
 def _gen_cloud_key_arrays(key, secret_key: "SecretKey", *,
                           params: SecurityParams, with_ntt: bool,
                           with_toeplitz: bool, bsk_limbs: int,
-                          ntt_drop: int, group: int):
+                          ntt_drop: int, group: int, levels: int | None = None):
     """One jitted graph for the whole cloud keygen.
 
     Unjitted, each of the few hundred constituent ops pays the axon
@@ -175,7 +187,7 @@ def _gen_cloud_key_arrays(key, secret_key: "SecretKey", *,
     # relations (c_ntt[r] - c_toep[r] = (m_ntt - m_toep) * h)
     k_ksk, k_bsk_ntt, k_bsk_toep = jax.random.split(key, 3)
     bsk_ntt = (gen_bootstrapping_key_ntt(k_bsk_ntt, secret_key, params,
-                                         ntt_drop, group)
+                                         ntt_drop, group, levels)
                if with_ntt else None)
     bsk_ext = (gen_bootstrapping_key(k_bsk_toep, secret_key, params,
                                      bsk_limbs)
@@ -214,17 +226,24 @@ def gen_bootstrapping_key(key, secret_key: SecretKey, params: SecurityParams,
 
 
 def gen_bootstrapping_key_ntt(key, secret_key: SecretKey,
-                              params: SecurityParams, drop: int, group: int):
+                              params: SecurityParams, drop: int, group: int,
+                              levels: int | None = None):
     """BSK in NTT residue form (the fast engine's key).
 
-    group=1: TRGSW(s[i]) per coefficient -> int16 [n0, P, 2L, 2, N].
+    group=1: TRGSW(s[i]) per coefficient -> int16 [n0, P, 2L', 2, N].
     group=2: TRGSW of (s1, s2, s1*s2) per coefficient pair (multi-bit
-    blind rotation) -> int16 [G, 3, P, 2L, 2, N], G = ceil(n0/2); odd n0
+    blind rotation) -> int16 [G, 3, P, 2L', 2, N], G = ceil(n0/2); odd n0
     is padded with a zero key bit (TRGSW(0) = CMux no-op).
+
+    levels = L' < L keeps only the TOP L' gadget rows per component
+    (rows 0..L'-1 of a and of b) — the approximate-gadget key.  Each kept
+    row is an unchanged TRGSW row (a valid encryption of s*Bg^-(i+1)), so
+    slicing costs no security; blind_rotate_ntt reads L' off this shape.
     """
     from zig_tfhe_tpu.ops import ntt as _nttmod
 
-    plan = _nttmod.plan_for_params(params, drop, group)
+    levels = params.L if levels is None else levels
+    plan = _nttmod.plan_for_params(params, drop, group, levels)
     s = secret_key.key_lv0
     if group == 1:
         values = s
@@ -237,8 +256,11 @@ def gen_bootstrapping_key_ntt(key, secret_key: SecretKey,
         values = jnp.stack([s1, s2, s1 * s2], axis=1).reshape(3 * G)
     trgsw_ct = _trgsw.encrypt_torus(
         key, values, params.bsk_alpha, secret_key.key_lv1, params)
+    if levels < params.L:
+        rows = list(range(levels)) + [params.L + i for i in range(levels)]
+        trgsw_ct = trgsw_ct[:, jnp.asarray(rows)]
     res = jnp.moveaxis(_nttmod.to_ntt_form(trgsw_ct, plan, drop), 0, 1)
     if group == 2:
         G = (params.n0 + 1) // 2
-        res = res.reshape(G, 3, plan.n_primes, 2 * params.L, 2, params.N)
+        res = res.reshape(G, 3, plan.n_primes, 2 * levels, 2, params.N)
     return res

@@ -50,6 +50,11 @@ class Encoder:
         m = message % self.message_modulus
         return int(np.uint32(f64_to_torus(m * self.scale)))
 
+    def encode_with_scale(self, message: int, scale: float) -> int:
+        """Encode with a per-call scale override (encoder.zig:83-93)."""
+        m = message % self.message_modulus
+        return int(np.uint32(f64_to_torus(m * scale)))
+
     def decode(self, torus_value: int) -> int:
         f = (int(torus_value) & 0xFFFFFFFF) / float(1 << 32)
         return int(f / self.scale + 0.5) % self.message_modulus
@@ -68,6 +73,22 @@ class LookupTable:
     @classmethod
     def new(cls, N: int) -> "LookupTable":
         return cls(np.zeros((2, N), np.int32))
+
+    @classmethod
+    def from_poly(cls, poly) -> "LookupTable":
+        """Wrap an existing TRLWE [2, N] as a LUT (lookup_table.zig:33-36).
+
+        Unlike ``new``, the testvec may be a real (non-trivial, a != 0)
+        TRLWE — e.g. a previous bootstrap's output re-used as a table.
+        """
+        arr = np.array(poly, np.int32, copy=True)
+        if arr.ndim != 2 or arr.shape[0] != 2:
+            raise ValueError(f"LUT poly must be [2, N], got {arr.shape}")
+        return cls(arr)
+
+    def get_poly(self) -> np.ndarray:
+        """The underlying TRLWE polynomial (lookup_table.zig:38-48)."""
+        return self.poly
 
     def is_empty(self) -> bool:
         return not np.any(self.poly)

@@ -65,7 +65,8 @@ def _load():
     lib.tfhe_schedule.argtypes = [ctypes.c_void_p]
     lib.tfhe_plan_error.restype = ctypes.c_char_p
     lib.tfhe_plan_error.argtypes = [ctypes.c_void_p]
-    for f in ("tfhe_plan_n_levels", "tfhe_plan_n_gates", "tfhe_plan_n_slots"):
+    for f in ("tfhe_plan_n_levels", "tfhe_plan_n_gates", "tfhe_plan_n_slots",
+              "tfhe_plan_n_inputs", "tfhe_plan_n_outputs"):
         getattr(lib, f).argtypes = [ctypes.c_void_p]
         getattr(lib, f).restype = ctypes.c_int32
     lib.tfhe_plan_level_offsets.restype = ctypes.POINTER(ctypes.c_int32)
@@ -140,6 +141,8 @@ class Circuit:
 
 
 def _plan_from_native(lib, p) -> Plan:
+    """Construct a COMPLETE Plan from a native plan handle (the plan owns
+    its input/output slot arrays via tfhe_plan_n_inputs/n_outputs)."""
     err = lib.tfhe_plan_error(p).decode()
     if err:
         lib.tfhe_plan_free(p)
@@ -152,13 +155,18 @@ def _plan_from_native(lib, p) -> Plan:
     if n_gates:
         lib.tfhe_plan_gates(p, gates.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     n_slots = lib.tfhe_plan_n_slots(p)
-    # inputs/outputs
-    # (sizes are not exposed directly on the plan; fetch via circuit counts is
-    # awkward here, so infer from stored arrays lengths passed by caller)
+    ins = np.zeros(lib.tfhe_plan_n_inputs(p), np.int32)
+    outs = np.zeros(lib.tfhe_plan_n_outputs(p), np.int32)
+    if len(ins):
+        lib.tfhe_plan_input_slots(
+            p, ins.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if len(outs):
+        lib.tfhe_plan_output_slots(
+            p, outs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return Plan(levels=[gates[offs[i]:offs[i + 1]] for i in range(n_levels)],
                 n_slots=n_slots,
-                input_slots=np.empty(0, np.int32),
-                output_slots=np.empty(0, np.int32))
+                input_slots=ins,
+                output_slots=outs)
 
 
 def parse_bristol(text: str) -> Plan:
@@ -177,16 +185,6 @@ def parse_bristol(text: str) -> Plan:
 def _schedule_circuit_handle(lib, c) -> Plan:
     p = lib.tfhe_schedule(c)
     plan = _plan_from_native(lib, p)
-    n_in = lib.tfhe_circuit_n_inputs(c)
-    n_out = lib.tfhe_circuit_n_outputs(c)
-    ins = np.zeros(n_in, np.int32)
-    outs = np.zeros(n_out, np.int32)
-    if n_in:
-        lib.tfhe_plan_input_slots(p, ins.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
-    if n_out:
-        lib.tfhe_plan_output_slots(p, outs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
-    plan.input_slots = ins
-    plan.output_slots = outs
     lib.tfhe_plan_free(p)
     _check_no_unresolved_slots(plan)
     return plan

@@ -41,16 +41,19 @@ def default_engine() -> str:
     return os.environ.get("ZTFHE_ENGINE") or "ntt"
 
 
-def _decompose_to_rows(ct, params: SecurityParams):
-    """[..., 2, N] -> signed digit rows [..., 2L, N] (a-levels then b-levels).
+def _decompose_to_rows(ct, params: SecurityParams,
+                       levels: int | None = None):
+    """[..., 2, N] -> signed digit rows [..., 2L', N] (a-levels then b-levels).
 
     Matches decompositionIntoStorage row order (trgsw.zig:193-219).  Digits
     are stacked level-major directly (no N-axis transpose — the moveaxis
     relayout was a measurable per-step cost at blind-rotate batch sizes).
+    levels < L is the approximate-gadget fast path (see gadget_decompose).
     """
-    digs = gadget_decompose(ct, params, level_axis=-2)  # [..., 2, L, N]
+    L = params.L if levels is None else levels
+    digs = gadget_decompose(ct, params, level_axis=-2, levels=L)
     sh = digs.shape
-    return digs.reshape(sh[:-3] + (2 * params.L, params.N))
+    return digs.reshape(sh[:-3] + (2 * L, params.N))
 
 
 def _trgsw_matrices(ext_limbs, params: SecurityParams):
@@ -143,21 +146,31 @@ def blind_rotate(tlwe_batch, testvec, ck, params: SecurityParams,
     (trgsw.zig:290-400): rotate the testvec by -b (mod X^N+1), then fold in
     each LWE coefficient with a CMux against BSK[i].
     """
+    explicit = engine is not None or bool(os.environ.get("ZTFHE_ENGINE"))
     engine = engine or default_engine()
     if unroll is None:
         try:
             unroll = int(os.environ.get("ZTFHE_UNROLL", "1"))
         except ValueError:
             unroll = 1
-    if engine == "ntt" and ck.bsk_ntt is None and ck.bsk_ext_limbs is not None:
+    if (engine == "ntt" and ck.bsk_ntt is None
+            and ck.bsk_ext_limbs is not None and not explicit):
         engine = "xla"      # e.g. a cloud key saved by an older version
+    # real exceptions (not asserts): an explicitly requested engine whose
+    # key form is missing must fail loudly, including under python -O
     if engine == "ntt":
         from zig_tfhe_tpu.ops.blind_rotate_ntt import blind_rotate_ntt
-        assert ck.bsk_ntt is not None, "CloudKey lacks bsk_ntt (engines=...)"
+        if ck.bsk_ntt is None:
+            raise ValueError(
+                "engine 'ntt' requested but CloudKey lacks bsk_ntt "
+                "(generate with engines=('ntt', ...))")
         return blind_rotate_ntt(tlwe_batch, testvec, ck.bsk_ntt, params,
                                 ck.bsk_ntt_drop, unroll=unroll,
                                 group=ck.bsk_group)
-    assert ck.bsk_ext_limbs is not None, "CloudKey lacks bsk_ext_limbs"
+    if ck.bsk_ext_limbs is None:
+        raise ValueError(
+            f"engine '{engine}' requested but CloudKey lacks bsk_ext_limbs "
+            "(generate with engines=('toeplitz', ...))")
     return blind_rotate_toeplitz(tlwe_batch, testvec, ck.bsk_ext_limbs,
                                  params, unroll=unroll, engine=engine)
 

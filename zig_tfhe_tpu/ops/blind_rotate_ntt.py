@@ -60,9 +60,15 @@ def rotate_via_ntt(polys, t, plan):
 def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
                      drop_bits: int, unroll: int = 1, group: int = 1):
     """tlwe_batch int32 [B, n0+1]; testvec int32 [2,N] or [B,2,N];
-    bsk_ntt int16 [n0, P, 2L, 2, N] (group=1) or [G, 3, P, 2L, 2, N]
-    (group=2 multi-bit, G = ceil(n0/2)).  Returns int32 [B, 2, N]."""
-    plan = _ntt.plan_for_params(params, drop_bits, group)
+    bsk_ntt int16 [n0, P, 2L', 2, N] (group=1) or [G, 3, P, 2L', 2, N]
+    (group=2 multi-bit, G = ceil(n0/2)).  Returns int32 [B, 2, N].
+
+    L' (the decomposition level count) is read off the key's row axis:
+    keys built with default_decomp_levels < L select the approximate
+    gadget (only the top L' digits of the accumulator feed the external
+    product — 2L' rows through forward NTT + pointwise instead of 2L)."""
+    levels = (bsk_ntt.shape[2] if group == 1 else bsk_ntt.shape[3]) // 2
+    plan = _ntt.plan_for_params(params, drop_bits, group, levels)
     n0, N = params.n0, params.N
     B = tlwe_batch.shape[0]
     dbound = _ntt.top_limb_bound(1 << (params.bgbit - 1), params.digit_limbs)
@@ -79,7 +85,7 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
     pallas_inv = _use_pallas()
 
     def fwd(acc):
-        rows = _decompose_to_rows(acc, params)         # [B, 2L, N] int32
+        rows = _decompose_to_rows(acc, params, levels)  # [B, 2L', N] int32
         return _ntt.ntt_forward(rows, plan, params.digit_limbs, dbound)
 
     pallas_path = pallas_inv and B % 64 == 0
@@ -127,7 +133,7 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
             bsk_g, a_pair = xs
             t1 = modswitch(a_pair[0], params) & jnp.int32(2 * N - 1)
             t2 = modswitch(a_pair[1], params) & jnp.int32(2 * N - 1)
-            digits = _decompose_to_rows(acc, params).astype(jnp.int8)
+            digits = _decompose_to_rows(acc, params, levels).astype(jnp.int8)
             rows1 = jnp.stack([jnp.take(t, t1, axis=0) for t in rot_tabs])
             rows2 = jnp.stack([jnp.take(t, t2, axis=0) for t in rot_tabs])
             x = ntt_step_fused_pallas(digits, bsk_g, rows1, rows2,
@@ -164,12 +170,14 @@ def external_product_ntt(trgsw_ntt, ct, params: SecurityParams,
                          drop_bits: int = 0):
     """Standalone NTT external product (oracle/tests).
 
-    trgsw_ntt: int16 [n_primes, 2L, 2, N]; ct: int32 [..., 2, N].
-    Exact vs the Toeplitz engine when drop_bits matches the key form.
+    trgsw_ntt: int16 [n_primes, 2L', 2, N]; ct: int32 [..., 2, N].
+    Exact vs the Toeplitz engine when drop_bits matches the key form and
+    L' == L (row-sliced keys select the approximate gadget).
     """
-    plan = _ntt.plan_for_params(params, drop_bits)
+    levels = trgsw_ntt.shape[1] // 2
+    plan = _ntt.plan_for_params(params, drop_bits, levels=levels)
     dbound = _ntt.top_limb_bound(1 << (params.bgbit - 1), params.digit_limbs)
-    rows = _decompose_to_rows(ct, params)
+    rows = _decompose_to_rows(ct, params, levels)
     d_hat = _ntt.ntt_forward(rows, plan, params.digit_limbs, dbound)
     u_hat = _ntt.pointwise_extprod(d_hat, trgsw_ntt, plan)
     out = _ntt.ntt_inverse_to_crt(u_hat, plan)

@@ -20,7 +20,8 @@ from zig_tfhe_tpu.params import SecurityParams
 from zig_tfhe_tpu.utils.torus import shift_right_logical, to_i32
 
 
-def gadget_decompose(x, params: SecurityParams, level_axis: int = -1):
+def gadget_decompose(x, params: SecurityParams, level_axis: int = -1,
+                     levels: int | None = None):
     """Signed gadget digits of torus values.
 
     x: int32 [...]; returns int32 [..., L] (level_axis=-1, default) or the
@@ -30,13 +31,23 @@ def gadget_decompose(x, params: SecurityParams, level_axis: int = -1):
     (trgsw.zig:193-219) digit-for-digit (the reference stores digits as
     wrapped u32; values are identical mod 2^32 and small, so our signed
     form is the same integer).
+
+    levels < L selects APPROXIMATE decomposition: only the top ``levels``
+    digits are produced, truncating x to levels*bgbit bits.  The standard
+    L-level offset (params.decomposition_offset) already centers the
+    truncation remainder: its dropped terms sum to ~2^(32-levels*bgbit-1),
+    so the remainder is ~uniform in ±2^(32-levels*bgbit-1) (docs/NOISE.md
+    §6 gives the noise budget).  No reference analog (the reference always
+    uses all L levels); this is the classic TFHE approximate-gadget trick.
     """
     bgbit, L = params.bgbit, params.L
+    levels = L if levels is None else levels
+    assert 1 <= levels <= L, (levels, L)
     mask = jnp.int32((1 << bgbit) - 1)
     half = jnp.int32(1 << (bgbit - 1))
     tmp = x + to_i32(params.decomposition_offset)
     digs = []
-    for i in range(L):
+    for i in range(levels):
         sh = 32 - (i + 1) * bgbit
         digs.append((shift_right_logical(tmp, sh) & mask) - half)
     return jnp.stack(digs, axis=level_axis)

@@ -31,6 +31,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -134,6 +135,11 @@ class NTTPlan:
     inv_hi: tuple
     inv_cat_lo: tuple   # int8 [2N, N]: limb-lo of [Minv ; 256*Minv mod p]
     inv_cat_hi: tuple   # int8 [2N, N]: limb-hi of the same stack
+    inv_ilv_lo: tuple   # int8 [2N, N]: inv_cat with rows interleaved
+    inv_ilv_hi: tuple   #   (2k <- k, 2k+1 <- N+k) for the i16-bitcast operand
+    inv_pk_lo: tuple    # int8 [2N, N]: rows ordered for the pack32 operand
+    inv_pk_hi: tuple    #   (4q+r <- {q, N+q, N/2+q, 3N/2+q}[r])
+    inv_corr: tuple     # int32 [N]: centered 128*colsum(Minv + 256Minv) mod p
     rot: tuple
     rot_merged: np.ndarray
     crt_e: tuple
@@ -184,9 +190,18 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
         raise ValueError(
             f"not enough NTT primes for N={N}, bound 2^{bound_bits}")
     primes.sort()
+    # row_group / rotate_combine2 bounds use the 0.55p barrett envelope,
+    # valid only for p >= 7680 (NOISE.md §3); enforce rather than rely on
+    # largest-first selection happening to pick large primes
+    if primes[0] < 7680:
+        raise ValueError(
+            f"plan prime {primes[0]} < 7680 breaks the 0.55p barrett "
+            f"envelope (N={N}, bound 2^{bound_bits})")
 
     fwd_lo, fwd_hi, inv_lo, inv_hi, rot = [], [], [], [], []
     inv_cat_lo, inv_cat_hi = [], []
+    inv_ilv_lo, inv_ilv_hi = [], []
+    inv_pk_lo, inv_pk_hi, inv_corr = [], [], []
     crt_e, crt_theta = [], []
     P = 1
     for p in primes:
@@ -219,6 +234,28 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
         clo, chi = _i8_split(inv_cat)
         inv_cat_lo.append(clo)
         inv_cat_hi.append(chi)
+        # byte-bitcast operand variants (see ntt_inverse_to_crt): residues
+        # are canonicalized to [0,p), their little-endian bytes XOR 0x80
+        # become signed (byte-128) operands, and the missing 128*colsum
+        # term is restored by inv_corr after the matmul.
+        #   i16cast row order: (lo_0, hi_0, lo_1, hi_1, ...)
+        perm = np.empty(2 * N, np.int64)
+        perm[0::2] = np.arange(N)
+        perm[1::2] = np.arange(N) + N
+        inv_ilv_lo.append(np.ascontiguousarray(clo[perm]))
+        inv_ilv_hi.append(np.ascontiguousarray(chi[perm]))
+        #   pack32 row order: bytes of (v_q | v_{q+N/2} << 16), q < N/2:
+        #   (lo_q, hi_q, lo_{q+N/2}, hi_{q+N/2})
+        perm4 = np.empty(2 * N, np.int64)
+        q = np.arange(N // 2)
+        perm4[0::4] = q
+        perm4[1::4] = N + q
+        perm4[2::4] = N // 2 + q
+        perm4[3::4] = N + N // 2 + q
+        inv_pk_lo.append(np.ascontiguousarray(clo[perm4]))
+        inv_pk_hi.append(np.ascontiguousarray(chi[perm4]))
+        corr = _center((128 * inv_cat.sum(axis=0)) % p, p).astype(np.int32)
+        inv_corr.append(corr)
         rot.append(_center(rot_t, p).astype(np.int16))
 
         pp = P // p
@@ -231,6 +268,9 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
         fwd_lo=tuple(fwd_lo), fwd_hi=tuple(fwd_hi),
         inv_lo=tuple(inv_lo), inv_hi=tuple(inv_hi),
         inv_cat_lo=tuple(inv_cat_lo), inv_cat_hi=tuple(inv_cat_hi),
+        inv_ilv_lo=tuple(inv_ilv_lo), inv_ilv_hi=tuple(inv_ilv_hi),
+        inv_pk_lo=tuple(inv_pk_lo), inv_pk_hi=tuple(inv_pk_hi),
+        inv_corr=tuple(inv_corr),
         rot=tuple(rot),
         rot_merged=np.concatenate(rot, axis=1),
         crt_e=tuple(crt_e), crt_theta=tuple(crt_theta),
@@ -239,18 +279,34 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
 
 
 def plan_for_params(params: SecurityParams, drop_bits: int = 0,
-                    group: int = 1) -> NTTPlan:
+                    group: int = 1, levels: int | None = None) -> NTTPlan:
     """Plan covering one external product + NTT-domain rotation.
 
     group=1: true integer magnitude <= 2 (X^t - 1) * 2L rows * N terms
     * Bg/2 digit * 2^(31-drop) key.  group=2 (multi-bit step) combines
     (X^a1-1) u1 + (X^a2-1) u2 + (X^a1-1)(X^a2-1) u12 => multiplier 8.
-    The CRT prime product must exceed 4x the bound.
+    The CRT prime product must exceed 4x the bound.  levels < L
+    (approximate gadget) shrinks the row count, tightening the bound.
     """
+    L = params.L if levels is None else levels
     digit_bound = 1 << (params.bgbit - 1)
     mult = {1: 2, 2: 8}[group]
-    bound = mult * (2 * params.L) * params.N * digit_bound * (1 << (31 - drop_bits))
+    bound = mult * (2 * L) * params.N * digit_bound * (1 << (31 - drop_bits))
     return make_plan(params.N, bound.bit_length())
+
+
+def default_decomp_levels(params: SecurityParams) -> int:
+    """Decomposition levels for the NTT blind rotation (approximate gadget).
+
+    Keeping levels*bgbit >= 12 bits of decomposition precision bounds the
+    truncation noise at sigma ~ 2^24.5 over a 350-double-step rotation —
+    >10x inside the 2^28 boolean margin (docs/NOISE.md §6; validated by
+    batch-4096 on-device accuracy).  The boolean sets (L=3, bgbit=6) get
+    levels=2 (4 rows instead of 6 through forward+pointwise); every uint
+    set already satisfies the precision floor at its full L and is
+    unchanged.
+    """
+    return min(params.L, max(1, -(-12 // params.bgbit)))
 
 
 def default_drop_bits(params: SecurityParams, group: int = 1) -> int:
@@ -303,7 +359,9 @@ def _limb_pair_combine(lo, hi, p: int, N: int, in_bound: int):
     Fast path (single add) when 256*|hi| provably fits int32.
     """
     hi_max = p // 512 + 1
-    if N * in_bound * hi_max * 256 < 2**31:
+    # the reduced value is lo + (hi << 8); the guard must bound BOTH terms
+    # (|lo| <= N*in_bound*128), not just the shifted hi term
+    if N * in_bound * (128 + 256 * hi_max) < 2**31:
         return barrett_reduce(lo + jax.lax.shift_left(hi, jnp.int32(8)), p)
     # safe path: reduce limbs separately, then combine (<= 0.55p*257 < 2^24)
     return barrett_reduce(
@@ -387,6 +445,64 @@ def residue_limbs(v):
     return lo.astype(jnp.int8), hi.astype(jnp.int8)
 
 
+def _inverse_operand_mode() -> str:
+    """How the inverse matmul's int8 operand is produced from residues.
+
+    'i16cast' (default): truncate int32 residues to int16 (exact — barrett
+    outputs fit int16) and BITCAST to byte pairs.  The little-endian bytes
+    of a two's-complement int16 are exactly the centered limb pair
+    (lo, hi) with v == lo + 256*hi, so the bitcast + minor-dim reshape
+    replaces the measured ~190 us/step standalone s32->s8 relayout +
+    lane-axis concatenate; the matrix rows are interleaved to match
+    (plan.inv_ilv_*).
+    'concat': the round-1 formulation (residue_limbs + lane concat).
+    Override with ZTFHE_INV=concat|i16cast for A/B measurement.
+    """
+    return os.environ.get("ZTFHE_INV") or "i16cast"
+
+
+def _canonical_mod_p(v, p: int):
+    """Centered residue (|v| <= 0.55p) -> canonical [0, p) int32."""
+    v = v.astype(jnp.int32)
+    return v + jnp.int32(p) * (v < 0).astype(jnp.int32)
+
+
+def residue_bytes_interleaved(v, p: int):
+    """Residues int32 [..., N] -> int8 [..., 2N] biased byte pairs.
+
+    Canonicalize to [0, p) (< 2^16), XOR each byte with 0x80 (== subtract
+    128 per byte, carry-free), truncate to int16 and bitcast: element 2k
+    is (low_byte - 128), 2k+1 is (high_byte - 128) of residue k, so
+    v_k == b_{2k} + 256*b_{2k+1} + 0x8080 exactly.  The constant 0x8080
+    term becomes plan.inv_corr after the matmul.  Pure elementwise int ops
+    + bitcast + minor-dim merge — no lane-axis concatenate, and the only
+    width change is s32->s16 (vs the measured ~190 us/step s32->s8
+    relayout of the concat form).
+    """
+    w = (_canonical_mod_p(v, p) ^ jnp.int32(0x8080)).astype(jnp.int16)
+    b = jax.lax.bitcast_convert_type(w, jnp.int8)     # [..., N, 2]
+    return b.reshape(b.shape[:-2] + (2 * b.shape[-2],))
+
+
+def residue_bytes_pack32(v, p: int):
+    """Residues int32 [..., N] -> int8 [..., 2N] biased bytes, packed form.
+
+    Packs residue pairs (q, q+N/2) into one int32 word entirely with
+    int32 arithmetic (NO width-changing convert at all), then bitcasts
+    the words to bytes: order (lo_q, hi_q, lo_{q+N/2}, hi_{q+N/2}),
+    each byte biased by -128 (XOR 0x80).  Matches plan.inv_pk_* rows +
+    inv_corr.
+    """
+    vc = _canonical_mod_p(v, p)
+    n = vc.shape[-1]
+    a = vc[..., : n // 2]
+    bb = vc[..., n // 2:]
+    w = (a | jax.lax.shift_left(bb, jnp.int32(16))) ^ jnp.int32(
+        np.uint32(0x80808080).view(np.int32))
+    b = jax.lax.bitcast_convert_type(w, jnp.int8)     # [..., N/2, 4]
+    return b.reshape(b.shape[:-2] + (4 * b.shape[-2],))
+
+
 def ntt_inverse_to_crt(res_list, plan: NTTPlan):
     """Inverse NTT per prime + exact CRT lift to int32 (mod 2^32).
 
@@ -395,21 +511,37 @@ def ntt_inverse_to_crt(res_list, plan: NTTPlan):
     Returns int32 [..., N] == centered-exact convolution mod 2^32, provided
     the true integer convolution magnitude is < P/4.
 
-    The [lo|hi] @ [Minv ; 256*Minv mod p] concatenated contraction keeps
+    The [limbs] @ [Minv ; 256*Minv mod p] concatenated contraction keeps
     the MXU on one 2N-deep streaming matmul per output-limb matrix; a
     4-matmul split form (contraction N) was measured ~6% slower end-to-end.
+    The operand layout is picked by _inverse_operand_mode().
     """
+    mode = _inverse_operand_mode()
     xs = []
     for i, p in enumerate(plan.primes):
         item = res_list[i]
+        corr = None
         if isinstance(item, tuple):
             lo8, hi8 = item
+            limbs = jnp.concatenate([lo8, hi8], axis=-1)        # [.., 2N]
+            m_lo, m_hi = plan.inv_cat_lo[i], plan.inv_cat_hi[i]
+        elif mode == "i16cast":
+            limbs = residue_bytes_interleaved(item, p)          # [.., 2N]
+            m_lo, m_hi = plan.inv_ilv_lo[i], plan.inv_ilv_hi[i]
+            corr = plan.inv_corr[i]
+        elif mode == "pack32":
+            limbs = residue_bytes_pack32(item, p)               # [.., 2N]
+            m_lo, m_hi = plan.inv_pk_lo[i], plan.inv_pk_hi[i]
+            corr = plan.inv_corr[i]
         else:
             lo8, hi8 = residue_limbs(item)
-        limbs = jnp.concatenate([lo8, hi8], axis=-1)            # [.., 2N]
-        z_lo = _dot_i8(limbs, jnp.asarray(plan.inv_cat_lo[i]))  # <= 2^25
-        z_hi = _dot_i8(limbs, jnp.asarray(plan.inv_cat_hi[i]))
+            limbs = jnp.concatenate([lo8, hi8], axis=-1)        # [.., 2N]
+            m_lo, m_hi = plan.inv_cat_lo[i], plan.inv_cat_hi[i]
+        z_lo = _dot_i8(limbs, jnp.asarray(m_lo))                # <= 2^25
+        z_hi = _dot_i8(limbs, jnp.asarray(m_hi))
         y = z_lo + barrett_reduce(z_hi, p) * jnp.int32(256)     # <= 2^25.1
+        if corr is not None:
+            y = y + jnp.asarray(corr)                           # +p/2: safe
         xs.append(barrett_reduce(y, p))
     return crt_combine(xs, plan)
 

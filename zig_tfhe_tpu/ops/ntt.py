@@ -142,6 +142,10 @@ class NTTPlan:
     inv_corr: tuple     # int32 [N]: centered 128*colsum(Minv + 256Minv) mod p
     rot: tuple
     rot_merged: np.ndarray
+    rot_merged_half: np.ndarray  # int16 [2N, P*(N/2)]: lanes k < N/2 only;
+                                 # rot[t, k+N/2] == (-1)^t * rot[t, k]
+                                 # (psi^N = -1), so the upper half is a
+                                 # per-row sign flip — half the gather bytes
     crt_e: tuple
     crt_theta: tuple
     p_mod: int
@@ -273,6 +277,7 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
         inv_corr=tuple(inv_corr),
         rot=tuple(rot),
         rot_merged=np.concatenate(rot, axis=1),
+        rot_merged_half=np.concatenate([r[:, : N // 2] for r in rot], axis=1),
         crt_e=tuple(crt_e), crt_theta=tuple(crt_theta),
         p_mod=int(np.uint32(P % (1 << 32)).view(np.int32)),
     )
@@ -607,6 +612,28 @@ def pointwise_extprod(d_hat, key_hat, plan: NTTPlan):
     return outs
 
 
+def _rot_mode() -> str:
+    """'half' gathers N/2-lane psi rows and reconstructs the upper half by
+    the (-1)^t sign (half the gather bytes); 'full' gathers full rows.
+    Override with ZTFHE_ROT=half|full for A/B measurement."""
+    return os.environ.get("ZTFHE_ROT") or "half"
+
+
+def _rot_rows(t_cat, plan: NTTPlan):
+    """Gather psi rows for a batch of rotation amounts.
+
+    Returns (rows_all int32 [T, P*W], signs int32 [T] or None, W) where
+    W == N (full mode, signs None) or N/2 (half mode; row k + N/2 ==
+    sign * row k)."""
+    if _rot_mode() == "half":
+        merged = jnp.asarray(plan.rot_merged_half)          # [2N, P*N/2]
+        rows = jnp.take(merged, t_cat, axis=0).astype(jnp.int32)
+        signs = 1 - 2 * (t_cat & 1)                          # (-1)^t
+        return rows, signs, plan.N // 2
+    merged = jnp.asarray(plan.rot_merged)                   # [2N, P*N]
+    return jnp.take(merged, t_cat, axis=0).astype(jnp.int32), None, plan.N
+
+
 def rotate_combine2(u1, u2, u12, t1, t2, plan: NTTPlan):
     """(psi^t1 - 1) u1 + (psi^t2 - 1) u2 + (psi^t1 - 1)(psi^t2 - 1) u12.
 
@@ -627,21 +654,36 @@ def rotate_combine2(u1, u2, u12, t1, t2, plan: NTTPlan):
     t_cat = jnp.concatenate([t1, t2])
     # ONE gather for all primes: per-prime rows are lane-slices of the
     # precomputed merged table (measured ~12% faster than three separate
-    # takes at B=1536).
-    merged = jnp.asarray(plan.rot_merged)                   # int16 [2N, P*N]
-    rows_all = jnp.take(merged, t_cat, axis=0).astype(jnp.int32)  # [2B, P*N]
+    # takes at B=1536); 'half' mode additionally halves the gathered bytes
+    # via the psi^N = -1 row symmetry (see _rot_rows).
+    rows_all, signs, W = _rot_rows(t_cat, plan)             # [2B, P*W]
+    n_half = N // W
     outs = []
     for i, p in enumerate(plan.primes):
-        rows = rows_all[:, i * N:(i + 1) * N] - 1       # [2B, N]
-        d1, d2 = rows[:B], rows[B:]
-        d12 = barrett_reduce(d1 * d2, p)                # <= 0.52p
+        raw = rows_all[:, i * W:(i + 1) * W]            # [2B, W]
+        r1raw, r2raw = raw[:B], raw[B:]
         v1 = u1[i].astype(jnp.int32)
         v2 = u2[i].astype(jnp.int32)
         v12 = u12[i].astype(jnp.int32)
-        while d1.ndim < v1.ndim:
-            d1, d2, d12 = d1[:, None], d2[:, None], d12[:, None]
-        r1 = barrett_reduce(d1 * v1 + d2 * v2, p)
-        outs.append(barrett_reduce(d12 * v12 + r1, p))
+        halves = []
+        for h in range(n_half):
+            if h and signs is not None:
+                s1 = signs[:B, None]
+                s2 = signs[B:, None]
+                d1 = s1 * r1raw - 1                     # |.| <= p/2 + 1
+                d2 = s2 * r2raw - 1
+            else:
+                d1 = r1raw - 1
+                d2 = r2raw - 1
+            d12 = barrett_reduce(d1 * d2, p)            # <= 0.52p
+            w1, w2, w12 = (v[..., h * W:(h + 1) * W] for v in (v1, v2, v12))
+            e1, e2, e12 = d1, d2, d12
+            while e1.ndim < w1.ndim:
+                e1, e2, e12 = e1[:, None], e2[:, None], e12[:, None]
+            r1 = barrett_reduce(e1 * w1 + e2 * w2, p)
+            halves.append(barrett_reduce(e12 * w12 + r1, p))
+        outs.append(halves[0] if n_half == 1
+                    else jnp.concatenate(halves, axis=-1))
     return outs
 
 
@@ -653,15 +695,22 @@ def rotate_diag(res_list, t, plan: NTTPlan, minus_one: bool = True):
     """
     t = jnp.asarray(t) & jnp.int32(2 * plan.N - 1)      # X^(2N) == X^0
     N = plan.N
-    merged = jnp.asarray(plan.rot_merged)               # int16 [2N, P*N]
-    rows_all = jnp.take(merged, t, axis=0).astype(jnp.int32)  # [B, P*N]
+    rows_all, signs, W = _rot_rows(t, plan)             # [B, P*W]
+    n_half = N // W
     outs = []
     for i, p in enumerate(plan.primes):
-        row = rows_all[..., i * N:(i + 1) * N]          # [B, N]
-        if minus_one:
-            row = row - 1                                # |.| <= p/2 + 1
+        raw = rows_all[..., i * W:(i + 1) * W]          # [B, W]
         v = res_list[i].astype(jnp.int32)
-        while row.ndim < v.ndim:
-            row = row[:, None]
-        outs.append(barrett_reduce(v * row, p))
+        halves = []
+        for h in range(n_half):
+            row = signs[:, None] * raw if (h and signs is not None) else raw
+            if minus_one:
+                row = row - 1                            # |.| <= p/2 + 1
+            w = v[..., h * W:(h + 1) * W]
+            e = row
+            while e.ndim < w.ndim:
+                e = e[:, None]
+            halves.append(barrett_reduce(w * e, p))
+        outs.append(halves[0] if n_half == 1
+                    else jnp.concatenate(halves, axis=-1))
     return outs

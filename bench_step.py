@@ -41,7 +41,10 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "1536"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     levels = os.environ.get("BENCH_LEVELS")
-    levels = int(levels) if levels else None
+    if levels and "-" in levels:
+        levels = tuple(int(x) for x in levels.split("-"))
+    else:
+        levels = int(levels) if levels else None
 
     ck = K.CloudKey.generate_no_ksk(params, group=group,
                                     decomp_levels=levels)

@@ -83,7 +83,7 @@ def test_keygen_deterministic(tiny):
 from tests.conftest import TRUTH_TABLES as _TT
 
 
-@pytest.mark.parametrize("group", [1, 2])
+@pytest.mark.parametrize("group", [1, 2, 3, 4])
 def test_all_gates_truth_tables_by_group(tiny, tiny_sk, group):
     """Every two-input gate, all four input combinations, both blind-rotate
     groupings — exact decrypts (gates.zig:374-544 parity)."""
@@ -106,3 +106,51 @@ def test_all_gates_truth_tables_by_group(tiny, tiny_sk, group):
             assert bool(dec[k]) == bool(_TT[name](bool(x), bool(y))), \
                 (name, x, y, group)
             k += 1
+
+
+def test_group4_matches_group1_truth_table(tiny):
+    """Group-4 multi-bit rotation (one decompose/fwd/inv per FOUR LWE
+    coefficients; BSK encrypts all 15 subset products) decrypts exactly
+    like the single-bit path.  tiny has n0=8 -> exactly 2 groups."""
+    expected = _gate_roundtrip(tiny, group=1)
+    assert _gate_roundtrip(tiny, group=4) == expected
+
+
+def test_group3_ragged_n0():
+    """n0=8 with group=3 -> G=3 with one zero-padded key bit."""
+    from zig_tfhe_tpu import params as P
+    expected = _gate_roundtrip(P.TEST_TINY, group=1, seed=30)
+    assert _gate_roundtrip(P.TEST_TINY, group=3, seed=30) == expected
+
+
+@pytest.mark.parametrize("levels", [(2, 1), (1, 2)])
+def test_asymmetric_gadget_truth_table(levels):
+    """Asymmetric decomposition levels (la a-rows, lb b-rows — the
+    a-component keeps more precision because its truncation error is
+    key-convolution-amplified in the phase, ops/ntt.py:norm_levels).
+    TEST_TINY margins absorb the truncation; truth table stays exact."""
+    params = P.TEST_TINY
+    sk = K.SecretKey.generate(jax.random.key(40), params)
+    ck = K.CloudKey.generate(jax.random.key(41), sk, params,
+                             decomp_levels=levels)
+    assert ck.bsk_levels == levels
+    assert ck.bsk_ntt.shape[3] == levels[0] + levels[1]
+    bits_a = jnp.asarray(np.array([0, 0, 1, 1], bool))
+    bits_b = jnp.asarray(np.array([0, 1, 0, 1], bool))
+    cta = tlwe.encrypt_bool(jax.random.key(42), bits_a,
+                            params.tlwe_lv0.alpha, sk.key_lv0)
+    ctb = tlwe.encrypt_bool(jax.random.key(43), bits_b,
+                            params.tlwe_lv0.alpha, sk.key_lv0)
+    out = G.gate("nand", cta, ctb, ck)
+    assert list(np.asarray(tlwe.decrypt_bool(out, sk.key_lv0))) == \
+        [True, True, True, False]
+
+
+def test_asymmetric_key_serialization_roundtrip(tmp_path, tiny, tiny_sk):
+    ck = K.CloudKey.generate(jax.random.key(44), tiny_sk, tiny,
+                             decomp_levels=(2, 1))
+    path = tmp_path / "ck_asym.npz"
+    S.save_cloud_key(path, ck)
+    ck2 = S.load_cloud_key(path)
+    assert ck2.bsk_levels == (2, 1)
+    assert np.array_equal(np.asarray(ck.bsk_ntt), np.asarray(ck2.bsk_ntt))

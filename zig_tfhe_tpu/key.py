@@ -85,15 +85,20 @@ class CloudKey:
         default=0, metadata=dict(static=True))
     bsk_group: int = dataclasses.field(
         default=1, metadata=dict(static=True))
+    # (a_levels, b_levels) of the NTT BSK's gadget rows; None = exact
+    # symmetric, read off the key shape (pre-asymmetric saved keys)
+    bsk_levels: tuple | None = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     def tree_flatten(self):
         return ((self.testvec, self.ksk1, self.bsk_ntt, self.bsk_ext_limbs),
-                (self.params, self.bsk_ntt_drop, self.bsk_group))
+                (self.params, self.bsk_ntt_drop, self.bsk_group,
+                 self.bsk_levels))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, params=aux[0], bsk_ntt_drop=aux[1],
-                   bsk_group=aux[2])
+                   bsk_group=aux[2], bsk_levels=aux[3])
 
     @classmethod
     def generate(cls, key, secret_key: SecretKey, params: SecurityParams,
@@ -114,6 +119,7 @@ class CloudKey:
             ntt_drop = _nttmod.default_drop_bits(params, group)
         if decomp_levels is None:
             decomp_levels = _nttmod.default_decomp_levels(params)
+        decomp_levels = _nttmod.norm_levels(params, decomp_levels)
         testvec, ksk1, bsk_ntt, bsk_ext = _gen_cloud_key_arrays(
             key, secret_key, params=params,
             with_ntt="ntt" in engines, with_toeplitz="toeplitz" in engines,
@@ -127,6 +133,7 @@ class CloudKey:
             params=params,
             bsk_ntt_drop=ntt_drop,
             bsk_group=group if "ntt" in engines else 1,
+            bsk_levels=decomp_levels if "ntt" in engines else None,
         )
 
     @classmethod
@@ -143,16 +150,18 @@ class CloudKey:
         ntt_drop = _nttmod.default_drop_bits(params, group)
         if decomp_levels is None:
             decomp_levels = _nttmod.default_decomp_levels(params)
+        decomp_levels = _nttmod.norm_levels(params, decomp_levels)
+        la, lb = decomp_levels
         bsk_ntt = None
         if "ntt" in engines:
             plan = _nttmod.plan_for_params(params, ntt_drop, group,
                                            decomp_levels)
             if group == 1:
-                shape = (params.n0, plan.n_primes, 2 * decomp_levels, 2,
-                         params.N)
+                shape = (params.n0, plan.n_primes, la + lb, 2, params.N)
             else:
-                G = (params.n0 + 1) // 2
-                shape = (G, 3, plan.n_primes, 2 * decomp_levels, 2, params.N)
+                G = -(-params.n0 // group)
+                shape = (G, (1 << group) - 1, plan.n_primes,
+                         la + lb, 2, params.N)
             bsk_ntt = jnp.zeros(shape, jnp.int16)
         bsk_ext = None
         if "toeplitz" in engines:
@@ -167,6 +176,7 @@ class CloudKey:
             params=params,
             bsk_ntt_drop=ntt_drop,
             bsk_group=group if "ntt" in engines else 1,
+            bsk_levels=decomp_levels if "ntt" in engines else None,
         )
 
 
@@ -231,36 +241,54 @@ def gen_bootstrapping_key_ntt(key, secret_key: SecretKey,
     """BSK in NTT residue form (the fast engine's key).
 
     group=1: TRGSW(s[i]) per coefficient -> int16 [n0, P, 2L', 2, N].
-    group=2: TRGSW of (s1, s2, s1*s2) per coefficient pair (multi-bit
-    blind rotation) -> int16 [G, 3, P, 2L', 2, N], G = ceil(n0/2); odd n0
-    is padded with a zero key bit (TRGSW(0) = CMux no-op).
+    group=g>1: TRGSW of every nonempty subset product of g secret bits
+    per coefficient group (multi-bit blind rotation) -> int16
+    [G, 2^g - 1, P, 2L', 2, N], G = ceil(n0/g); ragged n0 is padded with
+    zero key bits (TRGSW(0) = CMux no-op).
 
     levels = L' < L keeps only the TOP L' gadget rows per component
     (rows 0..L'-1 of a and of b) — the approximate-gadget key.  Each kept
     row is an unchanged TRGSW row (a valid encryption of s*Bg^-(i+1)), so
-    slicing costs no security; blind_rotate_ntt reads L' off this shape.
+    slicing costs no security.  An (la, lb) tuple keeps la a-rows and lb
+    b-rows (asymmetric gadget — ops/ntt.py:norm_levels explains why the
+    a-component must stay more precise); the row axis becomes la + lb.
     """
     from zig_tfhe_tpu.ops import ntt as _nttmod
 
-    levels = params.L if levels is None else levels
-    plan = _nttmod.plan_for_params(params, drop, group, levels)
+    la, lb = _nttmod.norm_levels(params, levels)
+    plan = _nttmod.plan_for_params(params, drop, group, (la, lb))
     s = secret_key.key_lv0
     if group == 1:
         values = s
     else:
-        assert group == 2, group
-        G = (params.n0 + 1) // 2
-        s_pad = jnp.concatenate(
-            [s, jnp.zeros(2 * G - params.n0, s.dtype)]) if params.n0 % 2 else s
-        s1, s2 = s_pad[0::2], s_pad[1::2]
-        values = jnp.stack([s1, s2, s1 * s2], axis=1).reshape(3 * G)
+        # group-g multi-bit key: per coefficient group, TRGSW-encrypt the
+        # secret-bit PRODUCT of every nonempty subset (mask bit i <->
+        # group coefficient i) — BMMP16-style.  The mask order matches
+        # ops/ntt.py:rotate_combine_multi; for g=2 it is (s1, s2, s1*s2)
+        # = masks (1, 2, 3), identical to the measured-tuned group-2
+        # combiner's expectation.  Padding bits are zero (TRGSW(0) =
+        # CMux no-op).
+        G = -(-params.n0 // group)
+        pad = group * G - params.n0
+        s_pad = jnp.concatenate([s, jnp.zeros(pad, s.dtype)]) if pad else s
+        bits = [s_pad[i::group] for i in range(group)]       # each [G]
+        subset_vals = []
+        for m in range(1, 1 << group):
+            v = None
+            for i in range(group):
+                if m >> i & 1:
+                    v = bits[i] if v is None else v * bits[i]
+            subset_vals.append(v)
+        n_masks = (1 << group) - 1
+        values = jnp.stack(subset_vals, axis=1).reshape(n_masks * G)
     trgsw_ct = _trgsw.encrypt_torus(
         key, values, params.bsk_alpha, secret_key.key_lv1, params)
-    if levels < params.L:
-        rows = list(range(levels)) + [params.L + i for i in range(levels)]
+    if (la, lb) != (params.L, params.L):
+        rows = list(range(la)) + [params.L + i for i in range(lb)]
         trgsw_ct = trgsw_ct[:, jnp.asarray(rows)]
     res = jnp.moveaxis(_nttmod.to_ntt_form(trgsw_ct, plan, drop), 0, 1)
-    if group == 2:
-        G = (params.n0 + 1) // 2
-        res = res.reshape(G, 3, plan.n_primes, 2 * levels, 2, params.N)
+    if group > 1:
+        G = -(-params.n0 // group)
+        res = res.reshape(G, (1 << group) - 1, plan.n_primes,
+                          la + lb, 2, params.N)
     return res

@@ -41,19 +41,27 @@ def default_engine() -> str:
     return os.environ.get("ZTFHE_ENGINE") or "ntt"
 
 
-def _decompose_to_rows(ct, params: SecurityParams,
-                       levels: int | None = None):
-    """[..., 2, N] -> signed digit rows [..., 2L', N] (a-levels then b-levels).
+def _decompose_to_rows(ct, params: SecurityParams, levels=None):
+    """[..., 2, N] -> signed digit rows [..., la+lb, N] (a-levels then
+    b-levels).
 
     Matches decompositionIntoStorage row order (trgsw.zig:193-219).  Digits
     are stacked level-major directly (no N-axis transpose — the moveaxis
     relayout was a measurable per-step cost at blind-rotate batch sizes).
-    levels < L is the approximate-gadget fast path (see gadget_decompose).
-    """
-    L = params.L if levels is None else levels
-    digs = gadget_decompose(ct, params, level_axis=-2, levels=L)
-    sh = digs.shape
-    return digs.reshape(sh[:-3] + (2 * L, params.N))
+    levels may be an int (symmetric, < L is the approximate-gadget fast
+    path) or an (a_levels, b_levels) tuple (asymmetric: the a-component's
+    truncation is key-convolution-amplified, so it keeps more levels —
+    ops/ntt.py:norm_levels)."""
+    from zig_tfhe_tpu.ops.ntt import norm_levels
+
+    la, lb = norm_levels(params, levels)
+    if la == lb:
+        digs = gadget_decompose(ct, params, level_axis=-2, levels=la)
+        sh = digs.shape
+        return digs.reshape(sh[:-3] + (2 * la, params.N))
+    da = gadget_decompose(ct[..., 0, :], params, level_axis=-2, levels=la)
+    db = gadget_decompose(ct[..., 1, :], params, level_axis=-2, levels=lb)
+    return jnp.concatenate([da, db], axis=-2)      # [..., la+lb, N]
 
 
 def _trgsw_matrices(ext_limbs, params: SecurityParams):
@@ -166,7 +174,7 @@ def blind_rotate(tlwe_batch, testvec, ck, params: SecurityParams,
                 "(generate with engines=('ntt', ...))")
         return blind_rotate_ntt(tlwe_batch, testvec, ck.bsk_ntt, params,
                                 ck.bsk_ntt_drop, unroll=unroll,
-                                group=ck.bsk_group)
+                                group=ck.bsk_group, levels=ck.bsk_levels)
     if ck.bsk_ext_limbs is None:
         raise ValueError(
             f"engine '{engine}' requested but CloudKey lacks bsk_ext_limbs "

@@ -58,16 +58,25 @@ def rotate_via_ntt(polys, t, plan):
 
 
 def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
-                     drop_bits: int, unroll: int = 1, group: int = 1):
+                     drop_bits: int, unroll: int = 1, group: int = 1,
+                     levels=None):
     """tlwe_batch int32 [B, n0+1]; testvec int32 [2,N] or [B,2,N];
-    bsk_ntt int16 [n0, P, 2L', 2, N] (group=1) or [G, 3, P, 2L', 2, N]
-    (group=2 multi-bit, G = ceil(n0/2)).  Returns int32 [B, 2, N].
+    bsk_ntt int16 [n0, P, la+lb, 2, N] (group=1) or
+    [G, 2^g-1, P, la+lb, 2, N] (multi-bit, G = ceil(n0/g)).
+    Returns int32 [B, 2, N].
 
-    L' (the decomposition level count) is read off the key's row axis:
-    keys built with default_decomp_levels < L select the approximate
-    gadget (only the top L' digits of the accumulator feed the external
-    product — 2L' rows through forward NTT + pointwise instead of 2L)."""
-    levels = (bsk_ntt.shape[2] if group == 1 else bsk_ntt.shape[3]) // 2
+    levels is the (a_levels, b_levels) of the key's gadget rows (an int
+    means symmetric; None infers a symmetric count from the key's row
+    axis — pre-asymmetric saved keys).  levels < L selects the
+    approximate gadget: only the top digits of the accumulator feed the
+    external product — la+lb rows through forward NTT + pointwise
+    instead of 2L (ops/ntt.py:norm_levels for the asymmetric rationale)."""
+    if levels is None:
+        levels = (bsk_ntt.shape[2] if group == 1 else bsk_ntt.shape[3]) // 2
+    levels = _ntt.norm_levels(params, levels)
+    n_rows = levels[0] + levels[1]
+    assert n_rows == (bsk_ntt.shape[2] if group == 1 else bsk_ntt.shape[3]), \
+        (levels, bsk_ntt.shape)
     plan = _ntt.plan_for_params(params, drop_bits, group, levels)
     n0, N = params.n0, params.N
     B = tlwe_batch.shape[0]
@@ -88,7 +97,7 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
         rows = _decompose_to_rows(acc, params, levels)  # [B, 2L', N] int32
         return _ntt.ntt_forward(rows, plan, params.digit_limbs, dbound)
 
-    pallas_path = pallas_inv and B % 64 == 0
+    pallas_path = pallas_inv and B % 128 == 0
 
     def finish(acc, v_hat):
         if pallas_path:
@@ -112,12 +121,31 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
         acc, _ = jax.lax.scan(step, acc, (bsk_ntt, a_cols), unroll=unroll)
         return acc
 
-    assert group == 2, group
     G = bsk_ntt.shape[0]
-    if a_cols.shape[0] < 2 * G:                        # odd n0: pad with a=0
+    if a_cols.shape[0] < group * G:                    # ragged n0: pad a=0
         a_cols = jnp.concatenate(
-            [a_cols, jnp.zeros((2 * G - n0, B), jnp.int32)])
-    a_pairs = a_cols.reshape(G, 2, B)
+            [a_cols, jnp.zeros((group * G - n0, B), jnp.int32)])
+    a_pairs = a_cols.reshape(G, group, B)
+
+    if group > 2:
+        def step_multi(acc, xs):
+            """acc += sum over nonempty subsets S of prod_{i in S}
+            (X^t_i - 1) * ExtProd(s_S, acc) — group-g multi-bit rotation,
+            ONE decompose + forward + inverse per g LWE coefficients
+            (BSK rows encrypt all subset products of the g key bits)."""
+            bsk_g, a_grp = xs          # [2^g-1, P, 2L', 2, N], [g, B]
+            ts = [modswitch(a_grp[j], params) for j in range(group)]
+            d_hat = fwd(acc)
+            us = [_ntt.pointwise_extprod(d_hat, bsk_g[m], plan)
+                  for m in range((1 << group) - 1)]
+            v_hat = _ntt.rotate_combine_multi(us, ts, plan)
+            return finish(acc, v_hat), None
+
+        acc, _ = jax.lax.scan(step_multi, acc, (bsk_ntt, a_pairs),
+                              unroll=unroll)
+        return acc
+
+    assert group == 2, group
 
     # fused-kernel fast path: digit magnitude must fit the in-kernel
     # combine bound (N * Bg/2 * (p/512+1) * 256 < 2^31 => Bg/2 <= 32);
@@ -167,14 +195,17 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
 
 
 def external_product_ntt(trgsw_ntt, ct, params: SecurityParams,
-                         drop_bits: int = 0):
+                         drop_bits: int = 0, levels=None):
     """Standalone NTT external product (oracle/tests).
 
-    trgsw_ntt: int16 [n_primes, 2L', 2, N]; ct: int32 [..., 2, N].
+    trgsw_ntt: int16 [n_primes, la+lb, 2, N]; ct: int32 [..., 2, N].
     Exact vs the Toeplitz engine when drop_bits matches the key form and
-    L' == L (row-sliced keys select the approximate gadget).
+    levels == L (row-sliced keys select the approximate gadget; an
+    (la, lb) tuple selects the asymmetric slicing).
     """
-    levels = trgsw_ntt.shape[1] // 2
+    if levels is None:
+        levels = trgsw_ntt.shape[1] // 2
+    levels = _ntt.norm_levels(params, levels)
     plan = _ntt.plan_for_params(params, drop_bits, levels=levels)
     dbound = _ntt.top_limb_bound(1 << (params.bgbit - 1), params.digit_limbs)
     rows = _decompose_to_rows(ct, params, levels)

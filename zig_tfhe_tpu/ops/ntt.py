@@ -288,30 +288,57 @@ def plan_for_params(params: SecurityParams, drop_bits: int = 0,
     """Plan covering one external product + NTT-domain rotation.
 
     group=1: true integer magnitude <= 2 (X^t - 1) * 2L rows * N terms
-    * Bg/2 digit * 2^(31-drop) key.  group=2 (multi-bit step) combines
-    (X^a1-1) u1 + (X^a2-1) u2 + (X^a1-1)(X^a2-1) u12 => multiplier 8.
+    * Bg/2 digit * 2^(31-drop) key.  group=g (multi-bit step) combines
+    sum over nonempty subsets S of {1..g} of prod_{i in S}(X^ai - 1) u_S:
+    each |S|=k term contributes 2^k, so the multiplier is
+    sum_k C(g,k) 2^k = 3^g - 1 (2, 8, 26, 80 for g = 1..4).
     The CRT prime product must exceed 4x the bound.  levels < L
     (approximate gadget) shrinks the row count, tightening the bound.
     """
-    L = params.L if levels is None else levels
+    la, lb = norm_levels(params, levels)
     digit_bound = 1 << (params.bgbit - 1)
-    mult = {1: 2, 2: 8}[group]
-    bound = mult * (2 * L) * params.N * digit_bound * (1 << (31 - drop_bits))
+    mult = 3 ** group - 1
+    bound = mult * (la + lb) * params.N * digit_bound * (1 << (31 - drop_bits))
     return make_plan(params.N, bound.bit_length())
 
 
-def default_decomp_levels(params: SecurityParams) -> int:
+def norm_levels(params: SecurityParams, levels) -> tuple[int, int]:
+    """Normalize a decomposition-level spec to (a_levels, b_levels).
+
+    int -> symmetric; None -> exact (L, L).  Asymmetric levels exist
+    because the two components' truncation errors are NOT symmetric in
+    the phase: the a-component remainder rho_a enters as s * rho_a (a
+    negacyclic convolution with the N-coefficient binary lv1 key — an
+    ~sqrt(N/2) = 22x amplitude amplification), while rho_b enters bare.
+    (a=L exact, b approximate) therefore buys almost the full row saving
+    at a tiny noise cost (docs/NOISE.md §6, measured).
+    """
+    if levels is None:
+        return params.L, params.L
+    if isinstance(levels, tuple):
+        la, lb = levels
+    else:
+        la = lb = int(levels)
+    assert 1 <= la <= params.L and 1 <= lb <= params.L, (la, lb, params.L)
+    return la, lb
+
+
+def default_decomp_levels(params: SecurityParams) -> tuple[int, int]:
     """Decomposition levels for the NTT blind rotation (approximate gadget).
 
-    Keeping levels*bgbit >= 12 bits of decomposition precision bounds the
-    truncation noise at sigma ~ 2^24.5 over a 350-double-step rotation —
-    >10x inside the 2^28 boolean margin (docs/NOISE.md §6; validated by
-    batch-4096 on-device accuracy).  The boolean sets (L=3, bgbit=6) get
-    levels=2 (4 rows instead of 6 through forward+pointwise); every uint
-    set already satisfies the precision floor at its full L and is
-    unchanged.
+    Returns (a_levels, b_levels).  The two components' truncation errors
+    are NOT symmetric in the phase: the a-remainder rho_a enters as
+    s * rho_a — a negacyclic convolution with the N-coefficient binary
+    lv1 key, an ~sqrt(N/2) = 22x amplitude amplification — while rho_b
+    enters bare.  Truncating `a` below the full L measurably fails
+    (symmetric levels=2 at 128-bit: ~1e-3 gate errors on-device, a
+    ~3.5-sigma tail); truncating `b` to 12 bits of precision adds only
+    sigma ~ 2^22.6 against the 2^28 margin (docs/NOISE.md §6).  The
+    boolean 128-bit set (L=3, bgbit=6) therefore gets (3, 2) — 5 rows
+    instead of 6 through forward NTT + pointwise; every uint set already
+    satisfies the b-precision floor at its full L and is unchanged.
     """
-    return min(params.L, max(1, -(-12 // params.bgbit)))
+    return (params.L, min(params.L, max(1, -(-12 // params.bgbit))))
 
 
 def default_drop_bits(params: SecurityParams, group: int = 1) -> int:
@@ -330,8 +357,13 @@ def default_drop_bits(params: SecurityParams, group: int = 1) -> int:
     # The rounding error per external product scales with the digit
     # magnitude Bg/2 = 2^(bgbit-1): keep (Bg/2 * 2^drop) at the validated
     # boolean-set level (bgbit=6 -> drop 6/7).  Uint sets with large Bg
-    # (e.g. uint4: bgbit=22, L=1) must keep the key exact.
-    base = 12 if group == 1 else 13
+    # (e.g. uint4: bgbit=22, L=1) must keep the key exact.  Larger groups
+    # amplify the drop error by (3^g - 1)*(steps = n0/g); the bases below
+    # hold total drop variance at or below the group=2/drop=7 level that
+    # sits 2x inside the measured cliff (docs/NOISE.md §6).  With the
+    # default asymmetric (L, 2) gadget the 5-row plan bound at drop=7 is
+    # 2^44.3 — still 3 primes (P = 2^47.09).
+    base = {1: 12, 2: 13, 3: 11, 4: 10}[group]
     return max(0, base - params.bgbit)
 
 
@@ -453,17 +485,21 @@ def residue_limbs(v):
 def _inverse_operand_mode() -> str:
     """How the inverse matmul's int8 operand is produced from residues.
 
-    'i16cast' (default): truncate int32 residues to int16 (exact — barrett
-    outputs fit int16) and BITCAST to byte pairs.  The little-endian bytes
-    of a two's-complement int16 are exactly the centered limb pair
-    (lo, hi) with v == lo + 256*hi, so the bitcast + minor-dim reshape
-    replaces the measured ~190 us/step standalone s32->s8 relayout +
-    lane-axis concatenate; the matrix rows are interleaved to match
-    (plan.inv_ilv_*).
-    'concat': the round-1 formulation (residue_limbs + lane concat).
-    Override with ZTFHE_INV=concat|i16cast for A/B measurement.
+    'concat' (default, MEASURED FASTEST): residue_limbs + lane-axis
+    concatenate (the s32->s8 relayout costs ~190 us/step at B=1536, but
+    every alternative tried costs more).
+    'i16cast': canonicalize + XOR-bias + s32->s16 convert + BITCAST to
+    byte pairs against interleaved matrices.  Algebraically clean but
+    MEASURED +48% step time vs concat (1.109 vs 0.753 ms/step): XLA
+    lowers the narrowing convert + byte bitcast + minor-dim reshape as
+    relayout kernels costlier than the one it replaces.
+    'pack32': pure-int32 packing of residue pairs + s32->s8[4] bitcast
+    (no width-changing convert at all).  MEASURED +27% (0.956 ms/step):
+    the bitcast-with-trailing-dim itself lowers as an expensive relayout.
+    Both kept as bit-exact oracles (tests run all modes); override with
+    ZTFHE_INV=concat|i16cast|pack32.
     """
-    return os.environ.get("ZTFHE_INV") or "i16cast"
+    return os.environ.get("ZTFHE_INV") or "concat"
 
 
 def _canonical_mod_p(v, p: int):
@@ -538,6 +574,19 @@ def ntt_inverse_to_crt(res_list, plan: NTTPlan):
             limbs = residue_bytes_pack32(item, p)               # [.., 2N]
             m_lo, m_hi = plan.inv_pk_lo[i], plan.inv_pk_hi[i]
             corr = plan.inv_corr[i]
+        elif mode == "split4":
+            # 4-dot form: lo/hi limbs as SEPARATE [., N] contractions —
+            # two s8 converts but NO lane-axis concatenate
+            lo8, hi8 = residue_limbs(item)
+            ilo = jnp.asarray(plan.inv_lo[i])
+            ihi = jnp.asarray(plan.inv_hi[i])
+            i2lo = jnp.asarray(plan.inv_cat_lo[i][plan.N:])   # (256*Minv)_lo
+            i2hi = jnp.asarray(plan.inv_cat_hi[i][plan.N:])
+            z_lo = _dot_i8(lo8, ilo) + _dot_i8(hi8, i2lo)     # <= 2^25
+            z_hi = _dot_i8(lo8, ihi) + _dot_i8(hi8, i2hi)
+            y = z_lo + barrett_reduce(z_hi, p) * jnp.int32(256)
+            xs.append(barrett_reduce(y, p))
+            continue
         else:
             lo8, hi8 = residue_limbs(item)
             limbs = jnp.concatenate([lo8, hi8], axis=-1)        # [.., 2N]
@@ -613,10 +662,13 @@ def pointwise_extprod(d_hat, key_hat, plan: NTTPlan):
 
 
 def _rot_mode() -> str:
-    """'half' gathers N/2-lane psi rows and reconstructs the upper half by
-    the (-1)^t sign (half the gather bytes); 'full' gathers full rows.
-    Override with ZTFHE_ROT=half|full for A/B measurement."""
-    return os.environ.get("ZTFHE_ROT") or "half"
+    """'full' (default, MEASURED FASTEST) gathers full psi rows; 'half'
+    gathers N/2-lane rows and reconstructs the upper half by the (-1)^t
+    sign.  Half saves gather bytes but MEASURED +5% step time (0.793 vs
+    0.753 ms/step at B=1536): the per-half outputs must be re-joined with
+    a lane-axis concatenate that costs more than the bytes saved.  Kept
+    as a bit-exact oracle; override with ZTFHE_ROT=half|full."""
+    return os.environ.get("ZTFHE_ROT") or "full"
 
 
 def _rot_rows(t_cat, plan: NTTPlan):
@@ -682,6 +734,69 @@ def rotate_combine2(u1, u2, u12, t1, t2, plan: NTTPlan):
                 e1, e2, e12 = e1[:, None], e2[:, None], e12[:, None]
             r1 = barrett_reduce(e1 * w1 + e2 * w2, p)
             halves.append(barrett_reduce(e12 * w12 + r1, p))
+        outs.append(halves[0] if n_half == 1
+                    else jnp.concatenate(halves, axis=-1))
+    return outs
+
+
+def rotate_combine_multi(us, ts, plan: NTTPlan):
+    """Generic multi-bit combiner: sum over nonempty subsets S of
+    prod_{i in S}(psi^{t_i} - 1) * u_S.
+
+    us:  list of 2^g - 1 per-prime residue lists, indexed by subset mask
+         m - 1 (mask bit i <-> coefficient i); each u int16/int32
+         [B, ..., N] with |.| <= 0.55p.
+    ts:  list of g int32 [B] rotation amounts.
+    Returns per-prime int32 residues (|.| <= 0.52p).
+
+    Overflow accounting (worst prime 63000): every d_m is either a
+    singleton psi-row minus 1 (|.| <= p/2 + 1 = 31501) or a barrett
+    output (<= p/2 + 384 = 31884); |u| <= 31884.  A product
+    d_m * u_m <= 31884^2 = 1.017e9, so terms are reduced in PAIRS
+    (2 * 1.017e9 = 2.033e9 < 2^31); the <= 2^(g-1) pair-partials
+    (each <= 31884) then sum far below 2^31 before one final barrett.
+    The subset diagonals build by binary DP: d[m] =
+    barrett(d[m w/o lowest bit] * d[lowest bit]), 2^g - 1 - g barretts
+    on [B, N] planes.
+    """
+    g = len(ts)
+    mask_all = jnp.int32(2 * plan.N - 1)
+    t_cat = jnp.concatenate([jnp.asarray(t) & mask_all for t in ts])
+    B = ts[0].shape[0]
+    rows_all, signs, W = _rot_rows(t_cat, plan)
+    n_half = plan.N // W
+    outs = []
+    for i, p in enumerate(plan.primes):
+        raw = rows_all[:, i * W:(i + 1) * W]
+        halves = []
+        for h in range(n_half):
+            d = {}
+            for j in range(g):
+                r = raw[j * B:(j + 1) * B]
+                if h and signs is not None:
+                    r = signs[j * B:(j + 1) * B, None] * r
+                d[1 << j] = r - 1                    # |.| <= p/2 + 1
+            for m in range(1, 1 << g):
+                if m & (m - 1):                      # >= 2 bits set
+                    low = m & -m
+                    d[m] = barrett_reduce(d[m ^ low] * d[low], p)
+            # pair-reduced sum over all subset terms
+            terms = []
+            for m in range(1, 1 << g):
+                u = us[m - 1][i].astype(jnp.int32)
+                if n_half > 1:
+                    u = u[..., h * W:(h + 1) * W]
+                e = d[m]
+                while e.ndim < u.ndim:
+                    e = e[:, None]
+                terms.append((e, u))
+            partials = []
+            for a in range(0, len(terms), 2):
+                pair = terms[a][0] * terms[a][1]
+                if a + 1 < len(terms):
+                    pair = pair + terms[a + 1][0] * terms[a + 1][1]
+                partials.append(barrett_reduce(pair, p))
+            halves.append(barrett_reduce(sum(partials), p))
         outs.append(halves[0] if n_half == 1
                     else jnp.concatenate(halves, axis=-1))
     return outs

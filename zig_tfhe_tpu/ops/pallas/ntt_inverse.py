@@ -98,7 +98,7 @@ def _scalar_tables(plan: NTTPlan):
 
 @functools.partial(jax.jit, static_argnames=("plan", "drop", "tile_b"))
 def ntt_inverse_to_crt_pallas(v_stack, acc, plan: NTTPlan, drop: int,
-                              tile_b: int = 64):
+                              tile_b: int = 128):
     """v_stack int32 [P, B, 2, N] (per-prime residues, |.| <= 0.55p);
     acc int32 [B, 2, N].  Returns acc + (CRT(invNTT(v)) << drop)."""
     Pn = plan.n_primes

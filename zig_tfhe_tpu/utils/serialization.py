@@ -116,7 +116,9 @@ def save_cloud_key(path, ck: K.CloudKey) -> None:
         arrays["bsk_ext_limbs"] = np.asarray(ck.bsk_ext_limbs)
     np.savez(path, __manifest__=_manifest(
         _KIND_CLOUD, ck.params,
-        {"bsk_ntt_drop": ck.bsk_ntt_drop, "bsk_group": ck.bsk_group}),
+        {"bsk_ntt_drop": ck.bsk_ntt_drop, "bsk_group": ck.bsk_group,
+         "bsk_levels": (list(ck.bsk_levels)
+                        if ck.bsk_levels is not None else None)}),
         **arrays)
 
 
@@ -132,6 +134,8 @@ def load_cloud_key(path) -> K.CloudKey:
             params=_params_from_doc(m),
             bsk_ntt_drop=m.get("bsk_ntt_drop", 0),
             bsk_group=m.get("bsk_group", 1),
+            bsk_levels=(tuple(m["bsk_levels"])
+                        if m.get("bsk_levels") is not None else None),
         )
 
 

@@ -89,42 +89,59 @@ class CloudKey:
     # symmetric, read off the key shape (pre-asymmetric saved keys)
     bsk_levels: tuple | None = dataclasses.field(
         default=None, metadata=dict(static=True))
+    # ENGINE gadget base of the NTT BSK (ops/ntt.py:default_engine_gadget);
+    # None = the parameter set's bgbit (pre-engine-gadget saved keys)
+    bsk_bgbit: int | None = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     def tree_flatten(self):
         return ((self.testvec, self.ksk1, self.bsk_ntt, self.bsk_ext_limbs),
                 (self.params, self.bsk_ntt_drop, self.bsk_group,
-                 self.bsk_levels))
+                 self.bsk_levels, self.bsk_bgbit))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, params=aux[0], bsk_ntt_drop=aux[1],
-                   bsk_group=aux[2], bsk_levels=aux[3])
+                   bsk_group=aux[2], bsk_levels=aux[3], bsk_bgbit=aux[4])
 
     @classmethod
     def generate(cls, key, secret_key: SecretKey, params: SecurityParams,
                  engines=("ntt",), bsk_limbs: int = 4,
                  ntt_drop: int | None = None, group: int = 2,
-                 decomp_levels: int | None = None) -> "CloudKey":
+                 decomp_levels: int | None = None,
+                 engine_bgbit: int | None = None) -> "CloudKey":
         """engines selects the BSK forms to materialize ('ntt' and/or
         'toeplitz').  group=2 builds the multi-bit NTT bootstrapping key
         (s1, s2, s1*s2 per coefficient pair — halves the blind-rotate scan);
         ntt_drop (BSK rounding bits) defaults per params; bsk_limbs < 4 is
-        the Toeplitz engines' analogous knob.  decomp_levels < L selects
-        the approximate gadget (the NTT BSK keeps only the top
-        decomp_levels rows per component — ops/ntt.py:default_decomp_levels
-        has the noise budget; pass params.L for the exact gadget)."""
+        the Toeplitz engines' analogous knob.
+
+        (engine_bgbit, decomp_levels) is the NTT BSK's ENGINE gadget
+        (ops/ntt.py:default_engine_gadget — the gadget inside the bootstrap
+        is an implementation detail; the boolean sets default to Bg_e = 2^8
+        with (2, 2) levels, 4 rows of 16-bit precision).  Passing
+        decomp_levels alone keeps the parameter base (the approximate
+        gadget on the reference's Bg); pass (params.bgbit, params.L) to
+        force the exact reference gadget."""
         from zig_tfhe_tpu.ops import ntt as _nttmod
 
+        if engine_bgbit is None:
+            if decomp_levels is None:
+                engine_bgbit, decomp_levels = _nttmod.default_engine_gadget(
+                    params)
+            else:
+                engine_bgbit = params.bgbit
+        # decomp_levels=None with an explicit engine_bgbit -> all
+        # floor(32/bgbit) levels (full precision at that base)
+        decomp_levels = _nttmod.norm_levels(params, decomp_levels,
+                                            bgbit=engine_bgbit)
         if ntt_drop is None:
-            ntt_drop = _nttmod.default_drop_bits(params, group)
-        if decomp_levels is None:
-            decomp_levels = _nttmod.default_decomp_levels(params)
-        decomp_levels = _nttmod.norm_levels(params, decomp_levels)
+            ntt_drop = _nttmod.default_drop_bits(params, group, engine_bgbit)
         testvec, ksk1, bsk_ntt, bsk_ext = _gen_cloud_key_arrays(
             key, secret_key, params=params,
             with_ntt="ntt" in engines, with_toeplitz="toeplitz" in engines,
             bsk_limbs=bsk_limbs, ntt_drop=ntt_drop, group=group,
-            levels=decomp_levels)
+            levels=decomp_levels, bgbit=engine_bgbit)
         return cls(
             testvec=testvec,
             ksk1=ksk1,
@@ -134,12 +151,14 @@ class CloudKey:
             bsk_ntt_drop=ntt_drop,
             bsk_group=group if "ntt" in engines else 1,
             bsk_levels=decomp_levels if "ntt" in engines else None,
+            bsk_bgbit=engine_bgbit if "ntt" in engines else None,
         )
 
     @classmethod
     def generate_no_ksk(cls, params: SecurityParams,
                         engines=("ntt",), group: int = 1,
-                        decomp_levels: int | None = None) -> "CloudKey":
+                        decomp_levels: int | None = None,
+                        engine_bgbit: int | None = None) -> "CloudKey":
         """Cheap test fixture: dummy all-zero BSK, zero KSK (key.zig:80-100).
 
         group=2 gives the multi-bit BSK layout that CloudKey.generate()
@@ -147,15 +166,20 @@ class CloudKey:
         """
         from zig_tfhe_tpu.ops import ntt as _nttmod
 
-        ntt_drop = _nttmod.default_drop_bits(params, group)
-        if decomp_levels is None:
-            decomp_levels = _nttmod.default_decomp_levels(params)
-        decomp_levels = _nttmod.norm_levels(params, decomp_levels)
+        if engine_bgbit is None:
+            if decomp_levels is None:
+                engine_bgbit, decomp_levels = _nttmod.default_engine_gadget(
+                    params)
+            else:
+                engine_bgbit = params.bgbit
+        decomp_levels = _nttmod.norm_levels(params, decomp_levels,
+                                            bgbit=engine_bgbit)
+        ntt_drop = _nttmod.default_drop_bits(params, group, engine_bgbit)
         la, lb = decomp_levels
         bsk_ntt = None
         if "ntt" in engines:
             plan = _nttmod.plan_for_params(params, ntt_drop, group,
-                                           decomp_levels)
+                                           decomp_levels, bgbit=engine_bgbit)
             if group == 1:
                 shape = (params.n0, plan.n_primes, la + lb, 2, params.N)
             else:
@@ -177,16 +201,19 @@ class CloudKey:
             bsk_ntt_drop=ntt_drop,
             bsk_group=group if "ntt" in engines else 1,
             bsk_levels=decomp_levels if "ntt" in engines else None,
+            bsk_bgbit=engine_bgbit if "ntt" in engines else None,
         )
 
 
 @functools.partial(
     jax.jit, static_argnames=("params", "with_ntt", "with_toeplitz",
-                              "bsk_limbs", "ntt_drop", "group", "levels"))
+                              "bsk_limbs", "ntt_drop", "group", "levels",
+                              "bgbit"))
 def _gen_cloud_key_arrays(key, secret_key: "SecretKey", *,
                           params: SecurityParams, with_ntt: bool,
                           with_toeplitz: bool, bsk_limbs: int,
-                          ntt_drop: int, group: int, levels: int | None = None):
+                          ntt_drop: int, group: int, levels: int | None = None,
+                          bgbit: int | None = None):
     """One jitted graph for the whole cloud keygen.
 
     Unjitted, each of the few hundred constituent ops pays the axon
@@ -197,7 +224,7 @@ def _gen_cloud_key_arrays(key, secret_key: "SecretKey", *,
     # relations (c_ntt[r] - c_toep[r] = (m_ntt - m_toep) * h)
     k_ksk, k_bsk_ntt, k_bsk_toep = jax.random.split(key, 3)
     bsk_ntt = (gen_bootstrapping_key_ntt(k_bsk_ntt, secret_key, params,
-                                         ntt_drop, group, levels)
+                                         ntt_drop, group, levels, bgbit)
                if with_ntt else None)
     bsk_ext = (gen_bootstrapping_key(k_bsk_toep, secret_key, params,
                                      bsk_limbs)
@@ -237,7 +264,8 @@ def gen_bootstrapping_key(key, secret_key: SecretKey, params: SecurityParams,
 
 def gen_bootstrapping_key_ntt(key, secret_key: SecretKey,
                               params: SecurityParams, drop: int, group: int,
-                              levels: int | None = None):
+                              levels: int | None = None,
+                              bgbit: int | None = None):
     """BSK in NTT residue form (the fast engine's key).
 
     group=1: TRGSW(s[i]) per coefficient -> int16 [n0, P, 2L', 2, N].
@@ -246,17 +274,20 @@ def gen_bootstrapping_key_ntt(key, secret_key: SecretKey,
     [G, 2^g - 1, P, 2L', 2, N], G = ceil(n0/g); ragged n0 is padded with
     zero key bits (TRGSW(0) = CMux no-op).
 
-    levels = L' < L keeps only the TOP L' gadget rows per component
-    (rows 0..L'-1 of a and of b) — the approximate-gadget key.  Each kept
-    row is an unchanged TRGSW row (a valid encryption of s*Bg^-(i+1)), so
-    slicing costs no security.  An (la, lb) tuple keeps la a-rows and lb
-    b-rows (asymmetric gadget — ops/ntt.py:norm_levels explains why the
-    a-component must stay more precise); the row axis becomes la + lb.
+    (bgbit, levels) is the ENGINE gadget (ops/ntt.py:default_engine_gadget):
+    the key's rows are ordinary TRLWE encryptions of s * Bg_e^-(i+1) — la
+    a-rows then lb b-rows (trgsw.encrypt_gadget_rows) — so the gadget base
+    is free to differ from the parameter set's; each row is a fresh
+    encryption under the same security assumption.  levels < the full
+    count selects the approximate gadget (only the top digits of the
+    accumulator feed the external product; ops/ntt.py:norm_levels explains
+    the a/b asymmetry).
     """
     from zig_tfhe_tpu.ops import ntt as _nttmod
 
-    la, lb = _nttmod.norm_levels(params, levels)
-    plan = _nttmod.plan_for_params(params, drop, group, (la, lb))
+    e = params.bgbit if bgbit is None else bgbit
+    la, lb = _nttmod.norm_levels(params, levels, bgbit=e)
+    plan = _nttmod.plan_for_params(params, drop, group, (la, lb), bgbit=e)
     s = secret_key.key_lv0
     if group == 1:
         values = s
@@ -281,11 +312,8 @@ def gen_bootstrapping_key_ntt(key, secret_key: SecretKey,
             subset_vals.append(v)
         n_masks = (1 << group) - 1
         values = jnp.stack(subset_vals, axis=1).reshape(n_masks * G)
-    trgsw_ct = _trgsw.encrypt_torus(
-        key, values, params.bsk_alpha, secret_key.key_lv1, params)
-    if (la, lb) != (params.L, params.L):
-        rows = list(range(la)) + [params.L + i for i in range(lb)]
-        trgsw_ct = trgsw_ct[:, jnp.asarray(rows)]
+    trgsw_ct = _trgsw.encrypt_gadget_rows(
+        key, values, params.bsk_alpha, secret_key.key_lv1, params, e, la, lb)
     res = jnp.moveaxis(_nttmod.to_ntt_form(trgsw_ct, plan, drop), 0, 1)
     if group > 1:
         G = -(-params.n0 // group)

@@ -41,7 +41,8 @@ def default_engine() -> str:
     return os.environ.get("ZTFHE_ENGINE") or "ntt"
 
 
-def _decompose_to_rows(ct, params: SecurityParams, levels=None):
+def _decompose_to_rows(ct, params: SecurityParams, levels=None,
+                       bgbit: int | None = None):
     """[..., 2, N] -> signed digit rows [..., la+lb, N] (a-levels then
     b-levels).
 
@@ -51,16 +52,20 @@ def _decompose_to_rows(ct, params: SecurityParams, levels=None):
     levels may be an int (symmetric, < L is the approximate-gadget fast
     path) or an (a_levels, b_levels) tuple (asymmetric: the a-component's
     truncation is key-convolution-amplified, so it keeps more levels —
-    ops/ntt.py:norm_levels)."""
+    ops/ntt.py:norm_levels).  bgbit overrides the decomposition base
+    (ENGINE gadget, ops/ntt.py:default_engine_gadget)."""
     from zig_tfhe_tpu.ops.ntt import norm_levels
 
-    la, lb = norm_levels(params, levels)
+    la, lb = norm_levels(params, levels, bgbit=bgbit)
     if la == lb:
-        digs = gadget_decompose(ct, params, level_axis=-2, levels=la)
+        digs = gadget_decompose(ct, params, level_axis=-2, levels=la,
+                                bgbit=bgbit)
         sh = digs.shape
         return digs.reshape(sh[:-3] + (2 * la, params.N))
-    da = gadget_decompose(ct[..., 0, :], params, level_axis=-2, levels=la)
-    db = gadget_decompose(ct[..., 1, :], params, level_axis=-2, levels=lb)
+    da = gadget_decompose(ct[..., 0, :], params, level_axis=-2, levels=la,
+                          bgbit=bgbit)
+    db = gadget_decompose(ct[..., 1, :], params, level_axis=-2, levels=lb,
+                          bgbit=bgbit)
     return jnp.concatenate([da, db], axis=-2)      # [..., la+lb, N]
 
 
@@ -174,7 +179,8 @@ def blind_rotate(tlwe_batch, testvec, ck, params: SecurityParams,
                 "(generate with engines=('ntt', ...))")
         return blind_rotate_ntt(tlwe_batch, testvec, ck.bsk_ntt, params,
                                 ck.bsk_ntt_drop, unroll=unroll,
-                                group=ck.bsk_group, levels=ck.bsk_levels)
+                                group=ck.bsk_group, levels=ck.bsk_levels,
+                                bgbit=getattr(ck, "bsk_bgbit", None))
     if ck.bsk_ext_limbs is None:
         raise ValueError(
             f"engine '{engine}' requested but CloudKey lacks bsk_ext_limbs "

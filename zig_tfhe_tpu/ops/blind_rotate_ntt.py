@@ -59,28 +59,32 @@ def rotate_via_ntt(polys, t, plan):
 
 def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
                      drop_bits: int, unroll: int = 1, group: int = 1,
-                     levels=None):
+                     levels=None, bgbit: int | None = None):
     """tlwe_batch int32 [B, n0+1]; testvec int32 [2,N] or [B,2,N];
     bsk_ntt int16 [n0, P, la+lb, 2, N] (group=1) or
     [G, 2^g-1, P, la+lb, 2, N] (multi-bit, G = ceil(n0/g)).
     Returns int32 [B, 2, N].
 
-    levels is the (a_levels, b_levels) of the key's gadget rows (an int
-    means symmetric; None infers a symmetric count from the key's row
-    axis — pre-asymmetric saved keys).  levels < L selects the
+    (bgbit, levels) is the key's ENGINE gadget (None -> the parameter
+    base; ops/ntt.py:default_engine_gadget).  levels is the
+    (a_levels, b_levels) of the key's gadget rows (an int means
+    symmetric; None infers a symmetric count from the key's row axis —
+    pre-asymmetric saved keys).  levels below the full count selects the
     approximate gadget: only the top digits of the accumulator feed the
     external product — la+lb rows through forward NTT + pointwise
     instead of 2L (ops/ntt.py:norm_levels for the asymmetric rationale)."""
+    e = params.bgbit if bgbit is None else bgbit
     if levels is None:
         levels = (bsk_ntt.shape[2] if group == 1 else bsk_ntt.shape[3]) // 2
-    levels = _ntt.norm_levels(params, levels)
+    levels = _ntt.norm_levels(params, levels, bgbit=e)
     n_rows = levels[0] + levels[1]
     assert n_rows == (bsk_ntt.shape[2] if group == 1 else bsk_ntt.shape[3]), \
         (levels, bsk_ntt.shape)
-    plan = _ntt.plan_for_params(params, drop_bits, group, levels)
+    plan = _ntt.plan_for_params(params, drop_bits, group, levels, bgbit=e)
     n0, N = params.n0, params.N
     B = tlwe_batch.shape[0]
-    dbound = _ntt.top_limb_bound(1 << (params.bgbit - 1), params.digit_limbs)
+    e_limbs = _ntt.engine_digit_limbs(e)
+    dbound = _ntt.top_limb_bound(1 << (e - 1), e_limbs)
 
     b = tlwe_batch[..., n0]
     b_tilda = jnp.int32(2 * N) - modswitch(b, params)
@@ -94,8 +98,8 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
     pallas_inv = _use_pallas()
 
     def fwd(acc):
-        rows = _decompose_to_rows(acc, params, levels)  # [B, 2L', N] int32
-        return _ntt.ntt_forward(rows, plan, params.digit_limbs, dbound)
+        rows = _decompose_to_rows(acc, params, levels, bgbit=e)
+        return _ntt.ntt_forward(rows, plan, e_limbs, dbound)
 
     pallas_path = pallas_inv and B % 128 == 0
 
@@ -151,8 +155,8 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
     # combine bound (N * Bg/2 * (p/512+1) * 256 < 2^31 => Bg/2 <= 32);
     # some kernel tile size must divide B
     _tile = next((t for t in (256, 128, 64) if B % t == 0), None)
-    if (pallas_inv and params.digit_limbs == 1
-            and (1 << (params.bgbit - 1)) <= 32 and _tile is not None):
+    if (pallas_inv and e_limbs == 1
+            and (1 << (e - 1)) <= 32 and _tile is not None):
         from zig_tfhe_tpu.ops.pallas.ntt_step import ntt_step_fused_pallas
 
         rot_tabs = [jnp.asarray(t) for t in plan.rot]
@@ -161,7 +165,8 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
             bsk_g, a_pair = xs
             t1 = modswitch(a_pair[0], params) & jnp.int32(2 * N - 1)
             t2 = modswitch(a_pair[1], params) & jnp.int32(2 * N - 1)
-            digits = _decompose_to_rows(acc, params, levels).astype(jnp.int8)
+            digits = _decompose_to_rows(acc, params, levels,
+                                        bgbit=e).astype(jnp.int8)
             rows1 = jnp.stack([jnp.take(t, t1, axis=0) for t in rot_tabs])
             rows2 = jnp.stack([jnp.take(t, t2, axis=0) for t in rot_tabs])
             x = ntt_step_fused_pallas(digits, bsk_g, rows1, rows2,
@@ -195,21 +200,25 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
 
 
 def external_product_ntt(trgsw_ntt, ct, params: SecurityParams,
-                         drop_bits: int = 0, levels=None):
+                         drop_bits: int = 0, levels=None,
+                         bgbit: int | None = None):
     """Standalone NTT external product (oracle/tests).
 
     trgsw_ntt: int16 [n_primes, la+lb, 2, N]; ct: int32 [..., 2, N].
     Exact vs the Toeplitz engine when drop_bits matches the key form and
     levels == L (row-sliced keys select the approximate gadget; an
-    (la, lb) tuple selects the asymmetric slicing).
+    (la, lb) tuple selects the asymmetric slicing; bgbit selects an
+    engine-gadget key's base).
     """
+    e = params.bgbit if bgbit is None else bgbit
     if levels is None:
         levels = trgsw_ntt.shape[1] // 2
-    levels = _ntt.norm_levels(params, levels)
-    plan = _ntt.plan_for_params(params, drop_bits, levels=levels)
-    dbound = _ntt.top_limb_bound(1 << (params.bgbit - 1), params.digit_limbs)
-    rows = _decompose_to_rows(ct, params, levels)
-    d_hat = _ntt.ntt_forward(rows, plan, params.digit_limbs, dbound)
+    levels = _ntt.norm_levels(params, levels, bgbit=e)
+    plan = _ntt.plan_for_params(params, drop_bits, levels=levels, bgbit=e)
+    e_limbs = _ntt.engine_digit_limbs(e)
+    dbound = _ntt.top_limb_bound(1 << (e - 1), e_limbs)
+    rows = _decompose_to_rows(ct, params, levels, bgbit=e)
+    d_hat = _ntt.ntt_forward(rows, plan, e_limbs, dbound)
     u_hat = _ntt.pointwise_extprod(d_hat, trgsw_ntt, plan)
     out = _ntt.ntt_inverse_to_crt(u_hat, plan)
     if drop_bits:

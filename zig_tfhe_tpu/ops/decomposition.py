@@ -20,8 +20,26 @@ from zig_tfhe_tpu.params import SecurityParams
 from zig_tfhe_tpu.utils.torus import shift_right_logical, to_i32
 
 
+def gadget_offset(bgbit: int, n_terms: int) -> int:
+    """sum_{i=1..n_terms} (Bg/2) * 2^(32 - i*bgbit), mod 2^32.
+
+    The reference's offset (key.zig:121-131) is this with n_terms = L.
+    ENGINE gadgets (a base chosen by the NTT engine, decoupled from the
+    parameter set — ops/ntt.py:default_engine_gadget) use n_terms =
+    floor(32/bgbit) so the truncation remainder at ANY kept level count
+    stays centered.
+    """
+    off, half = 0, 1 << (bgbit - 1)
+    for i in range(n_terms):
+        sh = 32 - (i + 1) * bgbit
+        if sh < 0:
+            break
+        off = (off + half * (1 << sh)) % (1 << 32)
+    return off
+
+
 def gadget_decompose(x, params: SecurityParams, level_axis: int = -1,
-                     levels: int | None = None):
+                     levels: int | None = None, bgbit: int | None = None):
     """Signed gadget digits of torus values.
 
     x: int32 [...]; returns int32 [..., L] (level_axis=-1, default) or the
@@ -39,13 +57,24 @@ def gadget_decompose(x, params: SecurityParams, level_axis: int = -1,
     so the remainder is ~uniform in ±2^(32-levels*bgbit-1) (docs/NOISE.md
     §6 gives the noise budget).  No reference analog (the reference always
     uses all L levels); this is the classic TFHE approximate-gadget trick.
+
+    bgbit overrides the decomposition base (ENGINE gadget — the NTT BSK's
+    gadget is an implementation detail decoupled from the parameter set;
+    ops/ntt.py:default_engine_gadget).  The offset then uses all
+    floor(32/bgbit) terms so the remainder is centered at every level
+    count; levels may range up to floor(32/bgbit).
     """
-    bgbit, L = params.bgbit, params.L
+    if bgbit is None or bgbit == params.bgbit:
+        bgbit, L = params.bgbit, params.L
+        offset = params.decomposition_offset
+    else:
+        L = 32 // bgbit
+        offset = gadget_offset(bgbit, L)
     levels = L if levels is None else levels
     assert 1 <= levels <= L, (levels, L)
     mask = jnp.int32((1 << bgbit) - 1)
     half = jnp.int32(1 << (bgbit - 1))
-    tmp = x + to_i32(params.decomposition_offset)
+    tmp = x + to_i32(offset)
     digs = []
     for i in range(levels):
         sh = 32 - (i + 1) * bgbit

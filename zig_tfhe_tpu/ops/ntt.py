@@ -284,7 +284,8 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
 
 
 def plan_for_params(params: SecurityParams, drop_bits: int = 0,
-                    group: int = 1, levels: int | None = None) -> NTTPlan:
+                    group: int = 1, levels: int | None = None,
+                    bgbit: int | None = None) -> NTTPlan:
     """Plan covering one external product + NTT-domain rotation.
 
     group=1: true integer magnitude <= 2 (X^t - 1) * 2L rows * N terms
@@ -294,15 +295,42 @@ def plan_for_params(params: SecurityParams, drop_bits: int = 0,
     sum_k C(g,k) 2^k = 3^g - 1 (2, 8, 26, 80 for g = 1..4).
     The CRT prime product must exceed 4x the bound.  levels < L
     (approximate gadget) shrinks the row count, tightening the bound.
+
+    bgbit selects an ENGINE gadget base (default_engine_gadget).  When it
+    differs from the parameter set's base, the bound switches from
+    worst-case to a Hoeffding tail bound (docs/NOISE.md §2b): the
+    convolution is a sum of T = (3^g-1)*(la+lb)*N products of digits
+    (|d| <= Bg_e/2) against the BSK's uniformly pseudorandom residues
+    (|K| <= 2^(31-drop)), so P(|conv| >= tau) <= 2 exp(-tau^2 / (2 S))
+    with S = T * (Bg_e/2)^2 * 2^(2(31-drop)); tau is set for failure
+    < 2^-128 PER COEFFICIENT (tau = sqrt(2 ln(2^129) S) ~ 13.4 sqrt(S)).
+    This keeps the Bg_e = 2^8 gadget on the 3-prime plan where the
+    worst-case bound would force a 4th prime — the entire point of the
+    engine gadget.  ZTFHE_WORSTCASE_BOUND=1 forces the worst-case bound
+    (paranoia/debug; plans then differ from generated keys' plans, so set
+    it for keygen too).  Paths with caller-controlled adversarial inputs
+    (the standalone oracles at the PARAMETER gadget) keep the worst-case
+    bound — plans there are unchanged.
     """
-    la, lb = norm_levels(params, levels)
-    digit_bound = 1 << (params.bgbit - 1)
+    e = params.bgbit if bgbit is None else bgbit
+    la, lb = norm_levels(params, levels, bgbit=e)
+    digit_bound = 1 << (e - 1)
     mult = 3 ** group - 1
-    bound = mult * (la + lb) * params.N * digit_bound * (1 << (31 - drop_bits))
-    return make_plan(params.N, bound.bit_length())
+    key_bound = 1 << (31 - drop_bits)
+    bound = mult * (la + lb) * params.N * digit_bound * key_bound
+    bits = bound.bit_length()
+    if e != params.bgbit and os.environ.get(
+            "ZTFHE_WORSTCASE_BOUND", "") not in ("1", "true"):
+        # Hoeffding: tau = sqrt(2 * ln(2^129) * T) * d_max * K_max
+        tau = (math.sqrt(2 * math.log(2) * 129
+                         * mult * (la + lb) * params.N)
+               * digit_bound * key_bound)
+        bits = min(bits, math.ceil(math.log2(tau)))
+    return make_plan(params.N, bits)
 
 
-def norm_levels(params: SecurityParams, levels) -> tuple[int, int]:
+def norm_levels(params: SecurityParams, levels,
+                bgbit: int | None = None) -> tuple[int, int]:
     """Normalize a decomposition-level spec to (a_levels, b_levels).
 
     int -> symmetric; None -> exact (L, L).  Asymmetric levels exist
@@ -312,15 +340,46 @@ def norm_levels(params: SecurityParams, levels) -> tuple[int, int]:
     ~sqrt(N/2) = 22x amplitude amplification), while rho_b enters bare.
     (a=L exact, b approximate) therefore buys almost the full row saving
     at a tiny noise cost (docs/NOISE.md §6, measured).
+
+    With an ENGINE gadget base bgbit != params.bgbit the level ceiling is
+    floor(32/bgbit) (the engine gadget has no reference-L tie).
     """
+    l_max = (params.L if bgbit in (None, params.bgbit) else 32 // bgbit)
     if levels is None:
-        return params.L, params.L
+        return (params.L, params.L) if l_max == params.L else (l_max, l_max)
     if isinstance(levels, tuple):
         la, lb = levels
     else:
         la = lb = int(levels)
-    assert 1 <= la <= params.L and 1 <= lb <= params.L, (la, lb, params.L)
+    assert 1 <= la <= l_max and 1 <= lb <= l_max, (la, lb, l_max)
     return la, lb
+
+
+def default_engine_gadget(params: SecurityParams) -> tuple[int, tuple[int, int]]:
+    """(bgbit_e, (la, lb)) — the gadget the NTT blind rotation actually runs.
+
+    The gadget inside the bootstrap's external products is an
+    IMPLEMENTATION DETAIL: the BSK freshly encrypts the lv0 key bits with
+    whatever gadget the engine picks; reference parity is at the decrypt
+    level (SURVEY.md §4), and only the noise budget constrains the choice.
+    The reference's boolean sets use (bgbit=6, L=3) = 18-bit precision
+    asymmetric-truncated to (3, 2) rows = 5 rows.  The engine default for
+    those sets is Bg_e = 2^8 with (2, 2) levels: 16-bit precision on BOTH
+    components in 4 rows — fewer rows through forward NTT + pointwise at
+    a STRICTLY SMALLER a-truncation (rho_a +-2^15 vs the exact path's 0
+    but far under budget, rho_b +-2^15 vs +-2^19; docs/NOISE.md §6), with
+    digits still one int8 limb.  Uint sets keep the parameter gadget
+    (their Bg is already tuned to the message precision).
+    """
+    if params.bgbit == 6 and params.L == 3 and params.N >= 1024:
+        return 8, (2, 2)
+    return params.bgbit, default_decomp_levels(params)
+
+
+def engine_digit_limbs(bgbit: int) -> int:
+    """int8 limbs per engine-gadget digit (digits in [-2^(b-1), 2^(b-1)),
+    so b <= 8 fits one signed byte)."""
+    return -(-bgbit // 8)
 
 
 def default_decomp_levels(params: SecurityParams) -> tuple[int, int]:
@@ -341,7 +400,8 @@ def default_decomp_levels(params: SecurityParams) -> tuple[int, int]:
     return (params.L, min(params.L, max(1, -(-12 // params.bgbit))))
 
 
-def default_drop_bits(params: SecurityParams, group: int = 1) -> int:
+def default_drop_bits(params: SecurityParams, group: int = 1,
+                      bgbit: int | None = None) -> int:
     """BSK rounding (bits) for the NTT engine.
 
     At N=1024 the fewest-pass plan is the THREE largest sub-2^16 primes
@@ -362,9 +422,11 @@ def default_drop_bits(params: SecurityParams, group: int = 1) -> int:
     # hold total drop variance at or below the group=2/drop=7 level that
     # sits 2x inside the measured cliff (docs/NOISE.md §6).  With the
     # default asymmetric (L, 2) gadget the 5-row plan bound at drop=7 is
-    # 2^44.3 — still 3 primes (P = 2^47.09).
+    # 2^44.3 — still 3 primes (P = 2^47.09).  An ENGINE gadget base
+    # (bgbit argument) scales the same way: Bg_e = 2^8 at group 2 gives
+    # drop 5, the identical 128*2^5 = 32*2^7 rounding amplitude.
     base = {1: 12, 2: 13, 3: 11, 4: 10}[group]
-    return max(0, base - params.bgbit)
+    return max(0, base - (params.bgbit if bgbit is None else bgbit))
 
 
 # ---------------------------------------------------------------------------

@@ -58,6 +58,34 @@ def encrypt_torus(key, p, alpha: float, sk_poly, params: SecurityParams):
     return ct
 
 
+def encrypt_gadget_rows(key, p, alpha: float, sk_poly,
+                        params: SecurityParams, bgbit: int, la: int, lb: int):
+    """TRGSW-style gadget rows with an ENGINE gadget base.
+
+    Returns int32 [..., la+lb, 2, N]: rows 0..la-1 are TRLWE(p * Bg_e^-(i+1))
+    added into a[0], rows la..la+lb-1 into b[0], Bg_e = 2^bgbit.  This is
+    the generalization of encrypt_torus (trgsw.zig:16-72) to a gadget base
+    chosen by the NTT engine rather than the parameter set
+    (ops/ntt.py:default_engine_gadget): the BSK freshly encrypts the lv0
+    key bits, so the gadget inside the bootstrap is an implementation
+    detail — each row is an ordinary TRLWE encryption under the SAME
+    security assumption, only the public scaling constants differ.
+    """
+    p = jnp.asarray(p, jnp.int32)
+    zeros = jnp.zeros(p.shape + (la + lb, params.N), jnp.int32)
+    ct = _trlwe.encrypt_torus(key, zeros, alpha, sk_poly)  # [..., la+lb, 2, N]
+    h = np.array(
+        [to_i32(1 << (32 - (i + 1) * bgbit)) if (i + 1) * bgbit < 32
+         else to_i32(1) if (i + 1) * bgbit == 32 else 0
+         for i in range(max(la, lb))], dtype=np.int32)
+    if la:
+        ct = ct.at[..., 0:la, _trlwe.A, 0].add(p[..., None] * jnp.asarray(h[:la]))
+    if lb:
+        ct = ct.at[..., la:la + lb, _trlwe.B, 0].add(
+            p[..., None] * jnp.asarray(h[:lb]))
+    return ct
+
+
 def to_ext_limbs(trgsw_ct, n_klimbs: int = N_KLIMBS):
     """TRGSW int32 [..., 2L, 2, N] -> int8 [..., n_klimbs, 2L, 2, 2N].
 

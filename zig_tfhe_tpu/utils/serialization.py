@@ -118,7 +118,8 @@ def save_cloud_key(path, ck: K.CloudKey) -> None:
         _KIND_CLOUD, ck.params,
         {"bsk_ntt_drop": ck.bsk_ntt_drop, "bsk_group": ck.bsk_group,
          "bsk_levels": (list(ck.bsk_levels)
-                        if ck.bsk_levels is not None else None)}),
+                        if ck.bsk_levels is not None else None),
+         "bsk_bgbit": ck.bsk_bgbit}),
         **arrays)
 
 
@@ -136,6 +137,8 @@ def load_cloud_key(path) -> K.CloudKey:
             bsk_group=m.get("bsk_group", 1),
             bsk_levels=(tuple(m["bsk_levels"])
                         if m.get("bsk_levels") is not None else None),
+            # absent in pre-engine-gadget files -> None = parameter base
+            bsk_bgbit=m.get("bsk_bgbit"),
         )
 
 

@@ -80,3 +80,16 @@ def test_batched_radix_ops(ip, isk, ick):
     assert np.array_equal(I.decrypt_radix(s, isk.key_lv0), a + b)
     p = I.radix_mul(ca, cb, ick)
     assert np.array_equal(I.decrypt_radix(p, isk.key_lv0), a * b)
+
+
+def test_multivalue_vs_per_lane_paths(ip, isk, ick, monkeypatch):
+    """The multi-value fast path (default) and the plain per-lane path
+    (ZTFHE_NO_MULTIVALUE=1) produce identical decrypts (alpha=0)."""
+    a, b = 1234, 4321
+    cta = I.encrypt_radix(jax.random.key(80), a, 5, 0.0, isk.key_lv0)
+    ctb = I.encrypt_radix(jax.random.key(81), b, 5, 0.0, isk.key_lv0)
+    out_mv = I.radix_add(cta, ctb, ick)
+    assert I.decrypt_radix(out_mv, isk.key_lv0) == a + b
+    monkeypatch.setenv("ZTFHE_NO_MULTIVALUE", "1")
+    out_plain = I.radix_add(cta, ctb, ick)
+    assert I.decrypt_radix(out_plain, isk.key_lv0) == a + b

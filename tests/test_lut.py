@@ -153,3 +153,67 @@ def test_bootstrap_strategy_protocol(tiny, tiny_sk, tiny_ck):
     assert list(dec) == [False, True]
     lv1 = strat.bootstrap_without_key_switch(ct, tiny_ck)
     assert lv1.shape == (2, tiny.n1 + 1)
+
+
+# ---------------------------------------------------------------------------
+# Multi-value bootstrapping (CIM17 factoring; no reference analog)
+# ---------------------------------------------------------------------------
+
+
+def test_factor_lut_reconstruction_and_norm(tiny):
+    """factor_lut verifies tv == T0*q internally; spot-check sparsity and
+    the centered-coefficient bound |c| < m."""
+    m = 8
+    g = L.Generator.new(m, tiny)
+    table = g.generate_lookup_table(lambda x: (x * 3 + 1) % m)
+    offsets, coeffs, norm1 = L.factor_lut(table, m)
+    assert len(offsets) == len(coeffs) > 0
+    assert all(0 <= o < tiny.N for o in offsets)
+    assert all(abs(c) < m and c != 0 for c in coeffs)
+    assert norm1 == sum(abs(c) for c in coeffs)
+
+
+def test_factor_lut_rejections(tiny):
+    g = L.Generator.new(8, tiny)
+    table = g.generate_lookup_table(lambda x: x)
+    with pytest.raises(ValueError, match="power-of-two"):
+        L.factor_lut(table, 6)
+    with pytest.raises(ValueError, match="trivial"):
+        bad = np.array(table.get_poly(), copy=True)
+        bad[0, 0] = 1
+        L.factor_lut(L.LookupTable.from_poly(bad), 8)
+    with pytest.raises(ValueError, match="encode grid"):
+        off_grid = g.generate_lookup_table_full(lambda x: x * 12345 + 7)
+        L.factor_lut(off_grid, 8)
+
+
+def test_bootstrap_multi_lut_matches_individual():
+    """K LUTs through ONE blind rotation decrypt exactly like K separate
+    bootstrap_lut calls.
+
+    Runs on TEST_TINY_UINT (alpha=0, bgbit=11): the factored path
+    amplifies the blind rotation's gadget-truncation error by ||q||_1
+    (~2m), so it needs the uint-style fine gadget — TEST_TINY's coarse
+    12-bit gadget is out of margin at m=8 (the same reason the integer
+    layer, multi-value's consumer, runs on the uint sets)."""
+    import jax as _jax
+    from zig_tfhe_tpu import key as _K
+    from zig_tfhe_tpu import params as _P
+
+    p = _P.TEST_TINY_UINT
+    sk = _K.SecretKey.generate(_jax.random.key(71), p)
+    ck = _K.CloudKey.generate(_jax.random.key(72), sk, p)
+    m = 8
+    g = L.Generator.new(m, p)
+    fs = [lambda x: (x * 3 + 1) % m, lambda x: x // 2,
+          lambda x: (x * x) % m, lambda x: 0]
+    tables = [g.generate_lookup_table(f) for f in fs]
+    msgs = jnp.arange(m)
+    ct = tlwe.encrypt_message(jax.random.key(70), msgs, m, 0.0, sk.key_lv0)
+    mv = L.bootstrap_multi_lut(ct, tables, m, ck)
+    assert mv.shape == (len(fs), m, p.n0 + 1)
+    for k, f in enumerate(fs):
+        ref = L.bootstrap_lut(ct, tables[k], ck)
+        dec_mv = np.asarray(tlwe.decrypt_message(mv[k], m, sk.key_lv0))
+        dec_ref = np.asarray(tlwe.decrypt_message(ref, m, sk.key_lv0))
+        assert list(dec_mv) == [f(x) for x in range(m)] == list(dec_ref), k

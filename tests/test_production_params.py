@@ -122,3 +122,27 @@ def test_110bit_gate_truth_tables_real_noise():
                           ("and", [False, False, False, True])]:
         out = G.gate(gname, cta, ctb, ck)
         assert list(np.asarray(tlwe.decrypt_bool(out, sk.key_lv0))) == expect
+
+
+@slow
+def test_uint4_multivalue_lut_real_noise():
+    """Multi-value bootstrap (mod/div pair, ONE blind rotation) at uint4
+    real noise: the ||q||_1 amplitude amplification (~30x for the mod
+    table) must stay inside the m=16 margin (docs/NOISE.md; the uint
+    sets' tiny lv1 alpha and drop=0 leave the blind-rotation output's
+    amplitude noise far below margin/norm1)."""
+    params = P.SECURITY_UINT4
+    m = 16
+    sk = K.SecretKey.generate(jax.random.key(30), params)
+    ck = K.CloudKey.generate(jax.random.key(31), sk, params)
+    gen = L.Generator.new(m, params)
+    tables = [gen.generate_lookup_table(lambda t: t % 8),
+              gen.generate_lookup_table(lambda t: t // 8)]
+    msgs = np.arange(m)
+    ct = L.encrypt_message(jax.random.key(32), jnp.asarray(msgs), m,
+                           params.tlwe_lv0.alpha, sk.key_lv0)
+    out = L.bootstrap_multi_lut(ct, tables, m, ck)
+    dec_mod = np.asarray(L.decrypt_message(out[0], m, sk.key_lv0))
+    dec_div = np.asarray(L.decrypt_message(out[1], m, sk.key_lv0))
+    assert list(dec_mod) == [x % 8 for x in msgs]
+    assert list(dec_div) == [x // 8 for x in msgs]

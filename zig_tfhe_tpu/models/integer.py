@@ -18,8 +18,14 @@ message space exactly:
 
 All heterogeneous LUT lanes of a round run as ONE batched bootstrap
 (per-lane testvecs, models/lut.py:bootstrap_lut), so the sequential
-depth is small: an add is 1 PBS round per digit; a digit mul is 4 PBS
-rounds.  Every step is exact (no message-capacity rounding), verified
+depth is small: an add is 1 PBS round per digit; a digit mul is 5 PBS
+rounds.  Rounds that apply several LUTs to the SAME input (mod/div of a
+sum, the three bit-planes, each partial product's lo/hi split) use
+multi-value bootstrapping (models/lut.py:bootstrap_multi_lut): one blind
+rotation serves all the round's LUTs, halving the dominant cost of both
+add (2 LUT lanes -> 1 rotation per digit) and mul (14 lanes -> 7
+rotations); ZTFHE_NO_MULTIVALUE=1 restores plain per-lane bootstraps.
+Every step is exact (no message-capacity rounding), verified
 digit-for-digit in tests/test_integer.py.
 
 Works on any parameter set whose PBS is reliable at m=16 (uint4,
@@ -98,6 +104,66 @@ def _pbs_rows(rows, table_names, ck: CloudKey):
     return out.reshape((Lanes,) + batch + (n1,))
 
 
+def _use_mv() -> bool:
+    """Multi-value bootstrapping for the shared-input LUT rounds (default
+    on; ZTFHE_NO_MULTIVALUE=1 forces one blind rotation per lane)."""
+    import os
+    return os.environ.get("ZTFHE_NO_MULTIVALUE", "") not in ("1", "true")
+
+
+@functools.lru_cache(maxsize=None)
+def _factored(params: SecurityParams, name: str):
+    return L.factor_lut(_luts(params)[name], M)
+
+
+def _pbs_mv(ct, table_names, ck: CloudKey):
+    """K LUTs of the SAME input for one blind rotation (multi-value
+    bootstrap, models/lut.py:bootstrap_multi_lut): ct [..., n0+1] ->
+    [K, ..., n0+1].  Falls back to one-rotation-per-lane when disabled."""
+    if not _use_mv():
+        rows = jnp.broadcast_to(ct[None], (len(table_names),) + ct.shape)
+        return _pbs_rows(rows, table_names, ck)
+    batch = ct.shape[:-1]
+    B = int(np.prod(batch)) if batch else 1
+    flat = ct.reshape(B, ct.shape[-1])
+    bank = _luts(ck.params)
+    out = L.bootstrap_multi_lut(flat, [bank[n] for n in table_names], M, ck)
+    return out.reshape((len(table_names),) + batch + (ct.shape[-1],))
+
+
+def _pbs_mv_groups(rows, name_groups, ck: CloudKey):
+    """Grouped multi-value bootstrap: rows [G, ..., n0+1]; group g's input
+    feeds the K LUTs named in name_groups[g].  ONE blind rotation over the
+    flattened G*B batch (shared T0 testvec), then per-group factored
+    applies.  Returns [G, K, ..., n0+1] (K equal across groups)."""
+    from zig_tfhe_tpu import trlwe as _trlwe
+    from zig_tfhe_tpu.ops.blind_rotate import blind_rotate
+    from zig_tfhe_tpu.ops.keyswitch import identity_key_switch
+
+    G = rows.shape[0]
+    K = len(name_groups[0])
+    assert all(len(g) == K for g in name_groups), name_groups
+    if not _use_mv():
+        flat_names = [n for g in name_groups for n in g]
+        rep = jnp.repeat(rows, K, axis=0)          # [G*K, ..., n0+1]
+        out = _pbs_rows(rep, flat_names, ck)
+        return out.reshape((G, K) + rows.shape[1:])
+    params = ck.params
+    batch = rows.shape[1:-1]
+    B = int(np.prod(batch)) if batch else 1
+    flat = rows.reshape(G * B, rows.shape[-1])
+    base = jnp.asarray(L.multi_lut_base(M, params.N))
+    acc = blind_rotate(flat, base, ck, params).reshape(G, B, 2, params.N)
+    outs = jnp.stack([
+        jnp.stack([L.apply_factored(acc[g], *_factored(params, n)[:2])
+                   for n in name_groups[g]])
+        for g in range(G)
+    ])                                             # [G, K, B, 2, N]
+    lv1 = _trlwe.sample_extract(outs.reshape(G * K * B, 2, params.N), 0)
+    out = identity_key_switch(lv1, ck.ksk1, params)
+    return out.reshape((G, K) + batch + (rows.shape[-1],))
+
+
 # ---------------------------------------------------------------------------
 # Codec
 # ---------------------------------------------------------------------------
@@ -145,7 +211,7 @@ def radix_add(a_digits, b_digits, ck: CloudKey):
     out = []
     for i in range(D):
         t = a_digits[..., i, :] + b_digits[..., i, :] + carry
-        both = _pbs_rows(jnp.stack([t, t]), ("mod", "div"), ck)
+        both = _pbs_mv(t, ("mod", "div"), ck)    # 1 rotation, 2 LUTs
         out.append(both[0])
         carry = both[1]
     out.append(carry)
@@ -160,32 +226,33 @@ def radix_add(a_digits, b_digits, ck: CloudKey):
 def digit_mul(x_ct, y_ct, ck: CloudKey):
     """Exact product of two encrypted digits (< 8): returns (lo, hi).
 
-    5 sequential PBS rounds, every message <= 15:
-      1. bits of y (3 lanes);
-      2. partial products via the w = x + 8*b packing (6 lanes:
-         lo_k = (x*y_k*2^k) mod 8, hi_k = (x*y_k*2^k) div 8);
-      3. low-part carry normalization of lo_0 + lo_1 (2 lanes);
-      4. final low digit + carry from + lo_2 (2 lanes);
-      5. high-digit refresh (1 lane).
+    5 sequential PBS rounds (7 blind rotations total with multi-value
+    bootstrapping; 14 without), every message <= 15:
+      1. bits of y (3 LUTs, 1 rotation);
+      2. partial products via the w = x + 8*b packing (6 LUTs over the
+         3 distinct w_k — lo_k = (x*y_k*2^k) mod 8, hi_k = ... div 8 —
+         3 rotations);
+      3. low-part carry normalization of lo_0 + lo_1 (2 LUTs, 1 rotation);
+      4. final low digit + carry from + lo_2 (2 LUTs, 1 rotation);
+      5. high-digit refresh (1 lane, plain).
 
     Bound check for step 5: hi_0 <= 0, hi_1 <= 1, hi_2 <= 3 and the two
     carries are <= 1 each, so the linear hi sum is <= 6 < 8 — a single
     mod-8 refresh is exact.
     """
     x, y = x_ct, y_ct                                   # [..., n0+1]
-    bits8 = _pbs_rows(jnp.stack([y, y, y]),
-                      ("bit0", "bit1", "bit2"), ck)     # messages 8*y_k
+    bits8 = _pbs_mv(y, ("bit0", "bit1", "bit2"), ck)    # 1 rotation, 3 LUTs
     w = x[None] + bits8                                 # w_k = x + 8*y_k
-    parts = _pbs_rows(jnp.concatenate([w, w], axis=0),
-                      ("pp0lo", "pp1lo", "pp2lo",
-                       "pp0hi", "pp1hi", "pp2hi"), ck)  # [6, ..., n0+1]
-    lo0, lo1, lo2 = parts[0], parts[1], parts[2]
-    hi_parts = parts[3] + parts[4] + parts[5]           # <= 0 + 1 + 3
+    parts = _pbs_mv_groups(                             # 3 rotations, 6 LUTs
+        w, (("pp0lo", "pp0hi"), ("pp1lo", "pp1hi"),
+            ("pp2lo", "pp2hi")), ck)                    # [3, 2, ..., n0+1]
+    lo0, lo1, lo2 = parts[0, 0], parts[1, 0], parts[2, 0]
+    hi_parts = parts[0, 1] + parts[1, 1] + parts[2, 1]  # <= 0 + 1 + 3
 
     t01 = lo0 + lo1                                     # <= 14
-    s01 = _pbs_rows(jnp.stack([t01, t01]), ("mod", "div"), ck)
+    s01 = _pbs_mv(t01, ("mod", "div"), ck)
     t = s01[0] + lo2                                    # <= 14
-    fin = _pbs_rows(jnp.stack([t, t]), ("mod", "div"), ck)
+    fin = _pbs_mv(t, ("mod", "div"), ck)
     lo = fin[0]
     hi_lin = hi_parts + s01[1] + fin[1]                 # <= 6 < 8
     hi = _pbs_rows(hi_lin[None], ("mod",), ck)[0]

@@ -189,3 +189,131 @@ def bootstrap_lut(ct_batch, lut, ck: CloudKey):
     """
     tv = lut.as_jax() if isinstance(lut, LookupTable) else jnp.asarray(lut)
     return _bootstrap.bootstrap_with_testvec(ct_batch, tv, ck)
+
+
+# ---------------------------------------------------------------------------
+# Multi-value bootstrapping (CIM17 factoring): K LUTs, ONE blind rotation
+# ---------------------------------------------------------------------------
+#
+# Any Generator-built testvec tv over a power-of-two message modulus m
+# factors as  tv = T0 * q  in Z_2^32[X]/(X^N + 1), where
+#   T0 = s * (1 + X + ... + X^(N-1)),  s = 2^32 / (4m),
+#   q  = tv * (1 - X) / (2s)           (integer coefficients, SPARSE:
+#                                       nonzero only at the ~m bin edges).
+# Proof: T0 * (1 - X) = s * (1 - X^N) = 2s  mod X^N + 1.
+#
+# So K LUTs of the same encrypted input cost ONE blind rotation (with T0)
+# plus, per LUT, a handful of static negacyclic rotations of the rotated
+# accumulator (X^j multiplies, ops/poly.py:negacyclic_rotate) — instead of
+# K full blind rotations.  No reference analog (the reference has no
+# bootstrapLut at all); the technique is Carpov-Izabachene-Mollimard 2017.
+#
+# Noise: the factored evaluation multiplies the blind-rotation output's
+# AMPLITUDE error — encryption noise AND gadget-truncation error alike —
+# by ||q||_1 (<= ~m * max-jump; reported by factor_lut).  It therefore
+# needs a parameter set whose gadget precision is deep relative to the
+# 1/(4m) bin half-width: the uint family (bgbit >= 10, tiny lv1 alpha,
+# drop 0) has ample margin (validated at uint4 real noise in
+# tests/test_production_params.py and exactly at TEST_TINY_UINT), while
+# the boolean sets' 12-18-bit effective gadget precision makes plain
+# bootstrap_lut the safer choice at m >= 8.
+
+
+def multi_lut_base(message_modulus: int, N: int) -> np.ndarray:
+    """The shared testvec T0 (trivial TRLWE int32 [2, N]) for modulus m."""
+    m = message_modulus
+    if m & (m - 1) or not 1 <= m <= (1 << 30):
+        raise ValueError(f"multi-value LUT needs power-of-two modulus, got {m}")
+    s = (1 << 32) // (4 * m)
+    tv = np.zeros((2, N), np.int32)
+    tv[1, :] = np.int64(s).astype(np.int32)
+    return tv
+
+
+def factor_lut(lut, message_modulus: int):
+    """Factor a Generator-built LUT: returns (offsets, coeffs, norm1).
+
+    offsets: int list (ascending); coeffs: int list (centered, |c| < m);
+    the factored identity  tv == T0 * sum_j c_j X^(o_j)  is verified
+    exactly here (host-side schoolbook, mod 2^32) before returning.
+    Raises ValueError for tables that don't factor (non-trivial a-part,
+    non-power-of-two modulus, or coefficients off the encode grid).
+    """
+    m = message_modulus
+    tv = lut.get_poly() if isinstance(lut, LookupTable) else np.asarray(lut)
+    if tv.ndim != 2 or tv.shape[0] != 2:
+        raise ValueError(f"LUT poly must be [2, N], got {tv.shape}")
+    if np.any(tv[0]):
+        raise ValueError("multi-value factoring needs a trivial (a=0) LUT")
+    if m & (m - 1) or not 1 <= m <= (1 << 30):
+        raise ValueError(f"multi-value LUT needs power-of-two modulus, got {m}")
+    N = tv.shape[1]
+    b = tv[1].astype(np.int64) & 0xFFFFFFFF
+    # d = (1 - X) * tv  (negacyclic): d_0 = tv_0 + tv_{N-1}, d_j = tv_j - tv_{j-1}
+    d = np.empty(N, np.int64)
+    d[0] = b[0] + b[N - 1]
+    d[1:] = b[1:] - b[:-1]
+    d &= 0xFFFFFFFF
+    delta = (1 << 32) // (2 * m)                     # = 2s
+    if np.any(d % delta):
+        raise ValueError(
+            "LUT values are not on the 1/(2m) encode grid; only "
+            "generate_lookup_table outputs (power-of-two m) factor")
+    c = (d // delta).astype(np.int64)                # quotients mod 2m
+    c = np.where(c >= m, c - 2 * m, c)               # centered lift
+    nz = np.nonzero(c)[0]
+    offsets = [int(j) for j in nz]
+    coeffs = [int(c[j]) for j in nz]
+    # exact verification: T0 * q == tv (schoolbook negacyclic, mod 2^32)
+    s = delta // 2
+    recon = np.zeros(N, np.int64)
+    ones = np.full(N, s, np.int64)
+    for j, cj in zip(offsets, coeffs):
+        rot = np.concatenate([-ones[N - j:], ones[:N - j]]) if j else ones
+        recon += cj * rot
+    if np.any((recon - b) & 0xFFFFFFFF):
+        raise ValueError("internal: multi-value factorization check failed")
+    return offsets, coeffs, int(np.abs(np.asarray(coeffs)).sum())
+
+
+def apply_factored(acc, offsets, coeffs):
+    """Multiply a rotated accumulator TRLWE batch [..., 2, N] by the
+    factored q = sum_j c_j X^(o_j): static negacyclic rotations + int32
+    wrapping adds (exact; fuses into a few XLA elementwise kernels)."""
+    from zig_tfhe_tpu.ops.poly import negacyclic_rotate
+
+    out = None
+    for j, c in zip(offsets, coeffs):
+        term = negacyclic_rotate(acc, j) if j else acc
+        term = term * jnp.int32(c)
+        out = term if out is None else out + term
+    if out is None:                                   # q == 0: the zero LUT
+        out = jnp.zeros_like(acc)
+    return out
+
+
+def bootstrap_multi_lut(ct_batch, luts, message_modulus: int, ck: CloudKey):
+    """K LUTs of the same inputs for ONE blind rotation.
+
+    ct_batch: int32 [B, n0+1] (PBS message codec, modulus m).
+    luts: sequence of K LookupTable / [2, N] arrays (Generator-built,
+          power-of-two m).
+    Returns int32 [K, B, n0+1]: row k encrypts f_k(message).
+
+    Decrypt-equivalent to K bootstrap_lut calls (exactly so at alpha=0
+    sets; see the noise note above for real-noise sets) at ~1/K the
+    blind-rotation cost.
+    """
+    from zig_tfhe_tpu import trlwe as _trlwe
+    from zig_tfhe_tpu.ops.blind_rotate import blind_rotate
+    from zig_tfhe_tpu.ops.keyswitch import identity_key_switch
+
+    params = ck.params
+    factored = [factor_lut(t, message_modulus) for t in luts]
+    base = jnp.asarray(multi_lut_base(message_modulus, params.N))
+    acc = blind_rotate(ct_batch, base, ck, params)          # [B, 2, N]
+    outs = jnp.stack([apply_factored(acc, o, c) for o, c, _ in factored])
+    K, B = outs.shape[0], outs.shape[1]
+    lv1 = _trlwe.sample_extract(outs.reshape(K * B, 2, params.N), 0)
+    out = identity_key_switch(lv1, ck.ksk1, params)
+    return out.reshape(K, B, -1)

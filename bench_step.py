@@ -46,8 +46,10 @@ def main():
     else:
         levels = int(levels) if levels else None
 
+    bgbit = os.environ.get("BENCH_BGBIT")   # engine-gadget base override
     ck = K.CloudKey.generate_no_ksk(params, group=group,
-                                    decomp_levels=levels)
+                                    decomp_levels=levels,
+                                    engine_bgbit=int(bgbit) if bgbit else None)
     steps = (params.n0 + group - 1) // group
     rng = np.random.default_rng(0)
     # RANDOM key material passed as a jit ARGUMENT: a closed-over (or

@@ -45,7 +45,9 @@ def main():
     from zig_tfhe_tpu.ops.blind_rotate import blind_rotate
 
     params = P.PARAMS_BY_NAME[pname]
-    ck = K.CloudKey.generate_no_ksk(params, group=group, decomp_levels=levels)
+    bgbit = os.environ.get("BENCH_BGBIT")   # engine-gadget base override
+    ck = K.CloudKey.generate_no_ksk(params, group=group, decomp_levels=levels,
+                                    engine_bgbit=int(bgbit) if bgbit else None)
     rng = np.random.default_rng(0)
     ck = dataclasses.replace(
         ck, bsk_ntt=jnp.asarray(

@@ -93,3 +93,21 @@ def test_multivalue_vs_per_lane_paths(ip, isk, ick, monkeypatch):
     monkeypatch.setenv("ZTFHE_NO_MULTIVALUE", "1")
     out_plain = I.radix_add(cta, ctb, ick)
     assert I.decrypt_radix(out_plain, isk.key_lv0) == a + b
+
+
+def test_fheuint_operator_api(ip, isk, ick):
+    """FheUint: operator-overloaded handles, mixed widths, plain-int
+    mixing via trivial ciphertexts, batch values."""
+    a = I.FheUint.encrypt(jax.random.key(90), 45, 2, isk, ick, alpha=0.0)
+    b = I.FheUint.encrypt(jax.random.key(91), 19, 3, isk, ick, alpha=0.0)
+    assert (a + b).decrypt(isk) == 64          # mixed width, widened result
+    assert (a + 100).decrypt(isk) == 145       # plain-int coercion
+    assert (3 * a).decrypt(isk) == 135         # __rmul__
+    assert (a * b).decrypt(isk) == 855
+    av = I.FheUint.encrypt(jax.random.key(92), np.array([5, 12, 63]), 2,
+                           isk, ick, alpha=0.0)
+    bv = I.FheUint.encrypt(jax.random.key(93), np.array([7, 30, 1]), 2,
+                           isk, ick, alpha=0.0)
+    assert list((av + bv).decrypt(isk)) == [12, 42, 64]
+    with pytest.raises(ValueError, match="unsigned"):
+        a + (-1)

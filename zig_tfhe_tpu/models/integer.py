@@ -286,3 +286,86 @@ def radix_mul(a_digits, b_digits, ck: CloudKey):
             [zero] * j + [row] + [zero] * (Db - 1 - j), axis=-2)
         acc = radix_add(acc, padded, ck)[..., : Da + Db, :]
     return acc
+
+
+# ---------------------------------------------------------------------------
+# High-level encrypted-integer handle
+# ---------------------------------------------------------------------------
+
+
+class FheUint:
+    """Operator-overloaded encrypted unsigned integer (tfhe-rs-style DX).
+
+    A thin immutable handle over the radix machinery: ``digits`` is the
+    int32 [..., D, n0+1] little-endian base-8 ciphertext array and ``ck``
+    the evaluation key.  ``a + b`` / ``a * b`` return new handles (widened
+    by the exact result: +1 digit for add, Da+Db for mul); mixed-width
+    operands are allowed.  Plain ints are encrypted trivially (b-only
+    ciphertexts) on the fly, so ``x + 3`` and ``x * 2`` work.
+
+    No reference analog (the reference composes nothing on its multi-bit
+    sets); works on any parameter set whose PBS is reliable at m=16
+    (uint4, TEST_TINY_UINT).
+    """
+
+    __slots__ = ("digits", "ck")
+
+    def __init__(self, digits, ck: CloudKey):
+        self.digits = digits
+        self.ck = ck
+
+    @classmethod
+    def encrypt(cls, key, value, n_digits: int, sk, ck: CloudKey,
+                alpha: float | None = None) -> "FheUint":
+        a = ck.params.tlwe_lv0.alpha if alpha is None else alpha
+        return cls(encrypt_radix(key, value, n_digits, a, sk.key_lv0), ck)
+
+    def _coerce(self, other) -> "FheUint":
+        if isinstance(other, FheUint):
+            return other
+        v = int(other)
+        if v < 0:
+            raise ValueError(f"FheUint is unsigned, got {v}")
+        D = max(1, (v.bit_length() + 2) // 3)
+        # trivial (noiseless, a=0) ciphertext of the constant
+        digits = (jnp.asarray(v, jnp.int32)[None] >> (
+            jnp.arange(D, dtype=jnp.int32) * 3)) & (BASE - 1)
+        ct = jnp.zeros(self.digits.shape[:-2] + (D, self.digits.shape[-1]),
+                       jnp.int32)
+        enc = jnp.int32(1 << 32 - 5) * digits        # PBS codec, m=16: x/32
+        ct = ct.at[..., :, -1].set(jnp.broadcast_to(enc, ct.shape[:-1]))
+        return FheUint(ct, self.ck)
+
+    @property
+    def n_digits(self) -> int:
+        return self.digits.shape[-2]
+
+    def __add__(self, other):
+        o = self._coerce(other)
+        return FheUint(radix_add(*_pad_to_match(self.digits, o.digits),
+                                 self.ck), self.ck)
+
+    __radd__ = __add__
+
+    def __mul__(self, other):
+        o = self._coerce(other)
+        return FheUint(radix_mul(self.digits, o.digits, self.ck), self.ck)
+
+    __rmul__ = __mul__
+
+    def decrypt(self, sk):
+        return decrypt_radix(self.digits, sk.key_lv0)
+
+
+def _pad_to_match(a, b):
+    """Zero-pad the narrower radix array (most-significant end) so both
+    have equal digit counts (a trivial zero digit encrypts 0 exactly)."""
+    Da, Db = a.shape[-2], b.shape[-2]
+    if Da == Db:
+        return a, b
+
+    def pad(x, extra):
+        z = jnp.zeros(x.shape[:-2] + (extra, x.shape[-1]), jnp.int32)
+        return jnp.concatenate([x, z], axis=-2)
+
+    return (a, pad(b, Da - Db)) if Da > Db else (pad(a, Db - Da), b)

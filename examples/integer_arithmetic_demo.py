@@ -57,7 +57,15 @@ def main():
     status = "OK" if result == expected else "WRONG"
     print(f"decrypted: {result} (expected {expected}) -> {status} "
           f"[{dt:.1f}s]")
-    sys.exit(0 if result == expected else 1)
+
+    # same computation through the high-level FheUint handles
+    fa = I.FheUint(ca, ck)
+    fb = I.FheUint(cb, ck)
+    fc = I.FheUint(cc, ck)
+    hi_result = (fa * fb + fc).decrypt(sk)
+    hi_status = "OK" if hi_result == expected else "WRONG"
+    print(f"FheUint:   (a * b + c).decrypt() = {hi_result} -> {hi_status}")
+    sys.exit(0 if result == expected == hi_result else 1)
 
 
 if __name__ == "__main__":

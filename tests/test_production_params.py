@@ -146,3 +146,22 @@ def test_uint4_multivalue_lut_real_noise():
     dec_div = np.asarray(L.decrypt_message(out[1], m, sk.key_lv0))
     assert list(dec_mod) == [x % 8 for x in msgs]
     assert list(dec_div) == [x // 8 for x in msgs]
+
+
+@slow
+def test_128bit_nand_truth_table_real_noise():
+    """The bench configuration itself (128-bit, engine-gadget default,
+    group-2) at real noise on CPU: decrypts must be exact."""
+    params = P.SECURITY_128_BIT
+    sk = K.SecretKey.generate(jax.random.key(40), params)
+    ck = K.CloudKey.generate(jax.random.key(41), sk, params)
+    assert ck.bsk_bgbit == 8 and ck.bsk_levels == (2, 2)  # engine gadget
+    bits_a = jnp.asarray(np.array([0, 0, 1, 1], bool))
+    bits_b = jnp.asarray(np.array([0, 1, 0, 1], bool))
+    cta = tlwe.encrypt_bool(jax.random.key(42), bits_a,
+                            params.tlwe_lv0.alpha, sk.key_lv0)
+    ctb = tlwe.encrypt_bool(jax.random.key(43), bits_b,
+                            params.tlwe_lv0.alpha, sk.key_lv0)
+    out = G.gate("nand", cta, ctb, ck)
+    assert list(np.asarray(tlwe.decrypt_bool(out, sk.key_lv0))) == \
+        [True, True, True, False]

@@ -215,3 +215,23 @@ def test_random_circuits_match_boolean_simulation(tiny, tiny_sk, tiny_ck):
             dec = [bool(x) for x in
                    np.asarray(tlwe.decrypt_bool(got, tiny_sk.key_lv0))]
             assert dec == expected, (trial, bits, dec, expected)
+
+
+def test_evaluate_batched_serving_mode(tiny, tiny_sk, tiny_ck):
+    """The same plan over a batch of client input sets ([n_inputs, B,
+    n0+1]): all 8 full-adder input combinations evaluated in ONE pass,
+    decrypts exact per client."""
+    plan = _full_adder_circuit().schedule()
+    combos = [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+    bits = jnp.asarray(np.array(combos, bool).T)          # [3, 8]
+    cts = tlwe.encrypt_bool(jax.random.key(9), bits, 0.0,
+                            tiny_sk.key_lv0)              # [3, 8, n0+1]
+    out = S.evaluate(plan, cts, tiny_ck)                  # [2, 8, n0+1]
+    assert out.shape == (2, 8, tiny.n0 + 1)
+    dec = np.asarray(tlwe.decrypt_bool(out, tiny_sk.key_lv0)).astype(int)
+    for i, (a, b, c) in enumerate(combos):
+        assert dec[0, i] == (a + b + c) % 2, (a, b, c)
+        assert dec[1, i] == (a + b + c) // 2, (a, b, c)
+    # single-instance mode still returns the unbatched shape
+    single = S.evaluate(plan, cts[:, 0], tiny_ck)
+    assert single.shape == (2, tiny.n0 + 1)

@@ -219,17 +219,30 @@ def _pad_pow2(n: int) -> int:
 def evaluate(plan: Plan, input_cts, ck: CloudKey):
     """Evaluate a scheduled circuit over encrypted inputs.
 
-    input_cts: int32 [n_inputs, n0+1] in plan input order.
-    Returns int32 [n_outputs, n0+1].
+    input_cts: int32 [n_inputs, n0+1] in plan input order, or
+    [n_inputs, B, n0+1] to run the SAME plan over a batch of B client
+    input sets (the serving mode: every level's gates fuse across the
+    whole batch, so per-client cost rides the batched-bootstrap
+    throughput curve instead of the circuit's own width).
+    Returns int32 [n_outputs, n0+1] (or [n_outputs, B, n0+1]).
 
     Each level's two-input gates run as one apply_gates batch (padded to a
     power of two so compiles are shared across levels); NOT/COPY/CONST are
     free vector ops; MUX lanes run as a batched optimized MUX.
     """
     n0 = ck.params.n0
-    arena = jnp.zeros((plan.n_slots + 1, n0 + 1), jnp.int32)  # +1 trash slot
+    input_cts = jnp.asarray(input_cts)
+    batched = input_cts.ndim == 3
+    B = input_cts.shape[1] if batched else 1
+    if not batched:
+        input_cts = input_cts[:, None]
+    # arena [n_slots+1, B, n0+1]; slot n_slots is the trash row
+    arena = jnp.zeros((plan.n_slots + 1, B, n0 + 1), jnp.int32)
     trash = plan.n_slots
     arena = arena.at[jnp.asarray(plan.input_slots)].set(input_cts)
+
+    def flat(gathered):                       # [k, B, n0+1] -> [k*B, n0+1]
+        return gathered.reshape(-1, n0 + 1)
 
     for lvl in plan.levels:
         two = lvl[lvl[:, 0] < 100]
@@ -243,9 +256,11 @@ def evaluate(plan: Plan, input_cts, ck: CloudKey):
             s0[: len(two)] = two[:, 1]
             s1[: len(two)] = two[:, 2]
             sout[: len(two)] = two[:, 4]
-            out = G.apply_gates(jnp.asarray(ids), arena[jnp.asarray(s0)],
-                                arena[jnp.asarray(s1)], ck)
-            arena = arena.at[jnp.asarray(sout)].set(out)
+            out = G.apply_gates(jnp.repeat(jnp.asarray(ids), B),
+                                flat(arena[jnp.asarray(s0)]),
+                                flat(arena[jnp.asarray(s1)]), ck)
+            arena = arena.at[jnp.asarray(sout)].set(
+                out.reshape(k, B, n0 + 1))
         mux = lvl[lvl[:, 0] == OP_MUX]
         if len(mux):
             # padded to a power of two like the two-input lanes, so the
@@ -260,9 +275,11 @@ def evaluate(plan: Plan, input_cts, ck: CloudKey):
             tv[: len(mux)] = mux[:, 2]
             fv[: len(mux)] = mux[:, 3]
             sout[: len(mux)] = mux[:, 4]
-            out = G.mux(arena[jnp.asarray(sel)], arena[jnp.asarray(tv)],
-                        arena[jnp.asarray(fv)], ck)
-            arena = arena.at[jnp.asarray(sout)].set(out)
+            out = G.mux(flat(arena[jnp.asarray(sel)]),
+                        flat(arena[jnp.asarray(tv)]),
+                        flat(arena[jnp.asarray(fv)]), ck)
+            arena = arena.at[jnp.asarray(sout)].set(
+                out.reshape(k, B, n0 + 1))
         nots = lvl[lvl[:, 0] == OP_NOT]
         if len(nots):
             arena = arena.at[jnp.asarray(nots[:, 4])].set(
@@ -274,10 +291,11 @@ def evaluate(plan: Plan, input_cts, ck: CloudKey):
         for cop, val in ((OP_CONST0, False), (OP_CONST1, True)):
             consts = lvl[lvl[:, 0] == cop]
             if len(consts):
-                cts = G.constant(val, ck.params, batch=(len(consts),))
+                cts = G.constant(val, ck.params, batch=(len(consts), B))
                 arena = arena.at[jnp.asarray(consts[:, 4])].set(cts)
 
-    return arena[jnp.asarray(plan.output_slots)]
+    outs = arena[jnp.asarray(plan.output_slots)]
+    return outs if batched else outs[:, 0]
 
 
 def schedule(circuit: Circuit) -> Plan:

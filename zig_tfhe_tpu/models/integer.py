@@ -332,7 +332,7 @@ class FheUint:
             jnp.arange(D, dtype=jnp.int32) * 3)) & (BASE - 1)
         ct = jnp.zeros(self.digits.shape[:-2] + (D, self.digits.shape[-1]),
                        jnp.int32)
-        enc = jnp.int32(1 << 32 - 5) * digits        # PBS codec, m=16: x/32
+        enc = jnp.int32((1 << 32) // (2 * M)) * digits   # PBS codec: x/(2M)
         ct = ct.at[..., :, -1].set(jnp.broadcast_to(enc, ct.shape[:-1]))
         return FheUint(ct, self.ck)
 

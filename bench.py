@@ -25,6 +25,12 @@ os.environ.setdefault(
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 import jax
+
+# honor an explicit CPU request (sitecustomize force-registers the axon
+# TPU platform; config update after import is the reliable pin)
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,16 +51,17 @@ def main():
     params = P.PARAMS_BY_NAME[pname]
 
     drop = os.environ.get("BENCH_DROP")
+    group = int(os.environ.get("BENCH_GROUP", "2"))  # 4 favors B=1 latency
     t0 = time.time()
     sk = K.SecretKey.generate(jax.random.key(0), params)
-    ck = K.CloudKey.generate(jax.random.key(1), sk, params,
+    ck = K.CloudKey.generate(jax.random.key(1), sk, params, group=group,
                              ntt_drop=int(drop) if drop else None)
     # force completion (block_until_ready does not block on axon)
     np.asarray(jax.tree_util.tree_leaves(ck)[1].ravel()[:1])
     print(f"# keygen (cold, incl jit compile): {time.time()-t0:.1f}s",
           file=sys.stderr)
     t0 = time.time()
-    ck_w = K.CloudKey.generate(jax.random.key(4), sk, params,
+    ck_w = K.CloudKey.generate(jax.random.key(4), sk, params, group=group,
                                ntt_drop=int(drop) if drop else None)
     np.asarray(jax.tree_util.tree_leaves(ck_w)[1].ravel()[:1])
     print(f"# keygen (warm): {(time.time()-t0)*1e3:.0f} ms "

@@ -75,3 +75,27 @@ def test_kogge_stone_random_values(tiny, tiny_sk, tiny_ck, rng):
     s, cy = C.kogge_stone_add(a, b, tiny_ck)
     assert C.decrypt_bits(s, tiny_sk) == (x + y) % (1 << W)
     assert bool(tlwe.decrypt_bool(cy, tiny_sk.key_lv0)[0]) == ((x + y) >= (1 << W))
+
+
+def test_kogge_stone_client_batch(tiny, tiny_sk, tiny_ck):
+    """Adders accept extra trailing batch dims ([W, B, n0+1] — the serving
+    shape): 8-bit Kogge-Stone over 4 clients in one pass, exact."""
+    import numpy as _np
+    rng = _np.random.default_rng(3)
+    av = rng.integers(0, 256, 4)
+    bv = rng.integers(0, 256, 4)
+    abits = _np.zeros((8, 4), bool)
+    bbits = _np.zeros((8, 4), bool)
+    for i in range(8):
+        abits[i] = (av >> i) & 1
+        bbits[i] = (bv >> i) & 1
+    ca = tlwe.encrypt_bool(jax.random.key(2), jnp.asarray(abits), 0.0,
+                           tiny_sk.key_lv0)
+    cb = tlwe.encrypt_bool(jax.random.key(3), jnp.asarray(bbits), 0.0,
+                           tiny_sk.key_lv0)
+    s, carry = C.kogge_stone_add(ca, cb, tiny_ck)
+    dec = _np.asarray(tlwe.decrypt_bool(s, tiny_sk.key_lv0))
+    got = sum(dec[i].astype(_np.int64) << i for i in range(8))
+    got += _np.asarray(tlwe.decrypt_bool(carry, tiny_sk.key_lv0))[0] \
+        .astype(_np.int64) << 8
+    assert _np.array_equal(got, av + bv)

@@ -127,13 +127,14 @@ def kogge_stone_add(a_bits, b_bits, ck: CloudKey):
         # t = p_i AND g_{i-dist} ; cand_p = p_i AND p_{i-dist}
         tp = G.gate_pair(("and", "and"), (p, p), (g_shift, p_shift), ck)
         cand_g = G.gate("or", g, tp[0], ck)
-        keep = jnp.asarray(np.arange(W) >= dist)[:, None]
+        keep = jnp.asarray(np.arange(W) >= dist).reshape(
+            (W,) + (1,) * (g.ndim - 1))
         g = jnp.where(keep, cand_g, g)
         p = jnp.where(keep, tp[1], p)
         dist *= 2
 
     # carries into bit i are G[0:i-1]; sum_i = p0_i XOR carry_in_i
-    zero = G.constant(False, ck.params, batch=(1,))
+    zero = G.constant(False, ck.params, batch=(1,) + a_bits.shape[1:-1])
     carries_in = jnp.concatenate([zero, g[:-1]], axis=0)
     sums = G.gate("xor", p0, carries_in, ck)
     return sums, g[-1:]

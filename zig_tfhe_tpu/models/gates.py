@@ -71,10 +71,17 @@ def apply_gates(gate_ids, a, b, ck: CloudKey):
     """Heterogeneous gate batch: lane i evaluates GATE_NAMES[gate_ids[i]].
 
     gate_ids: int32 [B]; a, b: int32 [B, n0+1].  One shared bootstrap.
+    Extra trailing batch dims on a/b broadcast against gate_ids from the
+    LEFT (e.g. ids [W] with a [W, B, n0+1] applies id w to every client).
     """
-    ca = jnp.take(jnp.asarray(_COEFF_A), gate_ids)[..., None]
-    cb = jnp.take(jnp.asarray(_COEFF_B), gate_ids)[..., None]
-    bias = jnp.take(jnp.asarray(_BIAS), gate_ids)
+    gate_ids = jnp.asarray(gate_ids)
+    extra = a.ndim - 1 - gate_ids.ndim          # broadcast dims beyond ids
+    ca = jnp.take(jnp.asarray(_COEFF_A), gate_ids).reshape(
+        gate_ids.shape + (1,) * (extra + 1))
+    cb = jnp.take(jnp.asarray(_COEFF_B), gate_ids).reshape(
+        gate_ids.shape + (1,) * (extra + 1))
+    bias = jnp.take(jnp.asarray(_BIAS), gate_ids).reshape(
+        gate_ids.shape + (1,) * extra)
     combo = ca * a + cb * b
     combo = combo.at[..., ck.params.n0].add(bias)
     return _bootstrap.bootstrap(combo, ck)

@@ -159,6 +159,16 @@ def blind_rotate(tlwe_batch, testvec, ck, params: SecurityParams,
     (trgsw.zig:290-400): rotate the testvec by -b (mod X^N+1), then fold in
     each LWE coefficient with a CMux against BSK[i].
     """
+    lead = tlwe_batch.shape[:-1]
+    if len(lead) != 1:
+        # arbitrary leading batch dims (e.g. [W, B, n0+1] serving batches):
+        # flatten for the engines' flat-[B] scan, restore on the way out
+        flat = tlwe_batch.reshape((-1,) + tlwe_batch.shape[-1:])
+        tv = testvec
+        if tv.ndim == len(lead) + 2:           # per-lane testvecs
+            tv = tv.reshape((-1,) + tv.shape[-2:])
+        out = blind_rotate(flat, tv, ck, params, unroll=unroll, engine=engine)
+        return out.reshape(lead + out.shape[-2:])
     explicit = engine is not None or bool(os.environ.get("ZTFHE_ENGINE"))
     engine = engine or default_engine()
     if unroll is None:

@@ -26,6 +26,9 @@ os.environ.setdefault(
                  ".jax_cache"))
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 

@@ -93,3 +93,27 @@ def test_wrong_kind_raises(tmp_path, tiny, tiny_sk):
     S.save_secret_key(p, tiny_sk, tiny)
     with pytest.raises(ValueError, match="expected a 'cloud_key'"):
         S.load_cloud_key(p)
+
+
+def test_seeded_ciphertext_roundtrip(tmp_path, tiny, tiny_sk):
+    """Seeded (compressed) ciphertexts: (key, b) expands to EXACTLY the
+    full encryption; save/load round-trips in both forms."""
+    import pytest
+
+    kk = jax.random.key(5)
+    bits = jnp.asarray(np.array([0, 1, 1, 0], bool))
+    full = tlwe.encrypt_bool(kk, bits, 0.0, tiny_sk.key_lv0)
+    b = tlwe.encrypt_bool_seeded(kk, bits, 0.0, tiny_sk.key_lv0)
+    assert b.shape == (4,)                      # (n0+1)x smaller
+    assert np.array_equal(np.asarray(full),
+                          np.asarray(tlwe.expand_seeded(kk, b, tiny.n0)))
+    path = tmp_path / "ct_seeded.npz"
+    S.save_seeded_ciphertext(path, kk, b, tiny)
+    ct2, p2 = S.load_seeded_ciphertext(path)
+    assert p2 == tiny
+    assert np.array_equal(np.asarray(full), np.asarray(ct2))
+    (k3, b3), _ = S.load_seeded_ciphertext(path, expand=False)
+    assert np.array_equal(np.asarray(b3), np.asarray(b))
+    # wrong-kind guard
+    with pytest.raises(ValueError, match="expected"):
+        S.load_ciphertext(path)

@@ -38,19 +38,55 @@ def encrypt_torus(key, mu, alpha: float, sk):
     """
     mu = jnp.asarray(mu, jnp.int32)
     n = sk.shape[-1]
+    b = _seeded_body(key, mu, alpha, sk)
+    return expand_seeded(key, b, n)
+
+
+def _seeded_body(key, mu, alpha: float, sk):
+    """The body b of encrypt_torus(key, ...) — the mask a is a pure
+    function of ``key`` (deterministic keyed RNG), so (key, b) IS the
+    ciphertext in compressed form."""
+    mu = jnp.asarray(mu, jnp.int32)
+    n = sk.shape[-1]
     ka, kn = jax.random.split(key)
     a = _rng.uniform_torus(ka, mu.shape + (n,))
     noise = _rng.gaussian_torus(kn, mu.shape, alpha)
-    b = _inner_product_binary(a, sk) + noise + mu
+    return _inner_product_binary(a, sk) + noise + mu
+
+
+def encrypt_torus_seeded(key, mu, alpha: float, sk):
+    """Seeded (compressed) encryption: returns only the body b int32 [...]
+    — (n+1)x smaller than the expanded ciphertext.  ``expand_seeded(key,
+    b, n)`` reconstructs the exact ciphertext ``encrypt_torus(key, mu,
+    alpha, sk)`` (the mask re-derives from the PRNG key).  The classic
+    seeded-LWE bandwidth trick; no reference analog (its seeding is
+    nondeterministic, utils.zig:16-22, so it cannot compress)."""
+    return _seeded_body(key, mu, alpha, sk)
+
+
+def expand_seeded(key, b, n: int):
+    """(key, b) -> full ciphertext int32 [..., n+1] (see
+    encrypt_torus_seeded)."""
+    ka, _ = jax.random.split(key)
+    b = jnp.asarray(b, jnp.int32)
+    a = _rng.uniform_torus(ka, b.shape + (n,))
     return jnp.concatenate([a, b[..., None]], axis=-1)
 
 
 def encrypt_bool(key, bits, alpha: float, sk):
     """Encrypt booleans as +-1/8 (tlwe.zig:52-55)."""
+    return encrypt_torus(key, _bool_mu(bits), alpha, sk)
+
+
+def encrypt_bool_seeded(key, bits, alpha: float, sk):
+    """Seeded-form boolean encryption (see encrypt_torus_seeded)."""
+    return encrypt_torus_seeded(key, _bool_mu(bits), alpha, sk)
+
+
+def _bool_mu(bits):
     bits = jnp.asarray(bits, bool)
-    mu = jnp.where(bits, to_i32(int(f64_to_torus(BOOL_MU))),
-                   to_i32(int(f64_to_torus(-BOOL_MU))))
-    return encrypt_torus(key, mu, alpha, sk)
+    return jnp.where(bits, to_i32(int(f64_to_torus(BOOL_MU))),
+                     to_i32(int(f64_to_torus(-BOOL_MU))))
 
 
 def phase(ct, sk):

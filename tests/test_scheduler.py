@@ -235,3 +235,40 @@ def test_evaluate_batched_serving_mode(tiny, tiny_sk, tiny_ck):
     # single-instance mode still returns the unbatched shape
     single = S.evaluate(plan, cts[:, 0], tiny_ck)
     assert single.shape == (2, tiny.n0 + 1)
+
+
+def test_random_circuit_batched_matches_unbatched(tiny, tiny_sk, tiny_ck):
+    """Fuzz the serving path: a random DAG evaluated over a batch of input
+    sets must decrypt identically to per-instance evaluation (alpha=0)."""
+    rng = np.random.default_rng(77)
+    from tests.conftest import TRUTH_TABLES as _TT
+    c = S.Circuit()
+    n_in = 3
+    wires = [c.input() for _ in range(n_in)]
+    all_wires = list(wires)
+    for _ in range(10):
+        kind = rng.integers(0, 7)
+        if kind <= 4:
+            name = list(G.GATE_NAMES)[rng.integers(0, 10)]
+            a, b = rng.choice(all_wires, 2)
+            w = c.gate(name, int(a), int(b))
+        elif kind == 5:
+            w = c.not_(int(rng.choice(all_wires)))
+        else:
+            s_, t_, f_ = rng.choice(all_wires, 3)
+            w = c.mux(int(s_), int(t_), int(f_))
+        all_wires.append(w)
+    for w in rng.choice(all_wires[n_in:], 2):
+        c.output(int(w))
+    plan = c.schedule()
+
+    B = 8
+    bits = rng.integers(0, 2, (n_in, B)).astype(bool)
+    cts = tlwe.encrypt_bool(jax.random.key(5), jnp.asarray(bits), 0.0,
+                            tiny_sk.key_lv0)                # [n_in, B, n0+1]
+    batched = S.evaluate(plan, cts, tiny_ck)
+    dec_b = np.asarray(tlwe.decrypt_bool(batched, tiny_sk.key_lv0))
+    for j in range(B):
+        single = S.evaluate(plan, cts[:, j], tiny_ck)
+        dec_s = np.asarray(tlwe.decrypt_bool(single, tiny_sk.key_lv0))
+        assert list(dec_b[:, j]) == list(dec_s), j

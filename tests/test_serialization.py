@@ -103,12 +103,16 @@ def test_seeded_ciphertext_roundtrip(tmp_path, tiny, tiny_sk):
     kk = jax.random.key(5)
     bits = jnp.asarray(np.array([0, 1, 1, 0], bool))
     full = tlwe.encrypt_bool(kk, bits, 0.0, tiny_sk.key_lv0)
-    b = tlwe.encrypt_bool_seeded(kk, bits, 0.0, tiny_sk.key_lv0)
+    seed, b = tlwe.encrypt_bool_seeded(kk, bits, 0.0, tiny_sk.key_lv0)
     assert b.shape == (4,)                      # (n0+1)x smaller
+    # the published mask seed is NOT the encryption key (which also
+    # derives the noise and must stay secret)
+    assert not np.array_equal(np.asarray(jax.random.key_data(seed)),
+                              np.asarray(jax.random.key_data(kk)))
     assert np.array_equal(np.asarray(full),
-                          np.asarray(tlwe.expand_seeded(kk, b, tiny.n0)))
+                          np.asarray(tlwe.expand_seeded(seed, b, tiny.n0)))
     path = tmp_path / "ct_seeded.npz"
-    S.save_seeded_ciphertext(path, kk, b, tiny)
+    S.save_seeded_ciphertext(path, seed, b, tiny)
     ct2, p2 = S.load_seeded_ciphertext(path)
     assert p2 == tiny
     assert np.array_equal(np.asarray(full), np.asarray(ct2))

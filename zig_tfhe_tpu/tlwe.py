@@ -38,38 +38,43 @@ def encrypt_torus(key, mu, alpha: float, sk):
     """
     mu = jnp.asarray(mu, jnp.int32)
     n = sk.shape[-1]
-    b = _seeded_body(key, mu, alpha, sk)
-    return expand_seeded(key, b, n)
+    ka, kn = jax.random.split(key)
+    a = _rng.uniform_torus(ka, mu.shape + (n,))
+    noise = _rng.gaussian_torus(kn, mu.shape, alpha)
+    b = _inner_product_binary(a, sk) + noise + mu
+    return jnp.concatenate([a, b[..., None]], axis=-1)
 
 
-def _seeded_body(key, mu, alpha: float, sk):
-    """The body b of encrypt_torus(key, ...) — the mask a is a pure
-    function of ``key`` (deterministic keyed RNG), so (key, b) IS the
-    ciphertext in compressed form."""
+def encrypt_torus_seeded(key, mu, alpha: float, sk):
+    """Seeded (compressed) encryption: returns (mask_seed, b) with b int32
+    [...] — the wire form is (n+1)x smaller than the expanded ciphertext.
+    ``expand_seeded(mask_seed, b, n)`` reconstructs EXACTLY the ciphertext
+    ``encrypt_torus(key, mu, alpha, sk)``.
+
+    SECURITY: only the MASK seed is returned/published — the mask ``a`` is
+    public in any LWE ciphertext, so a seed that derives ``a`` and nothing
+    else reveals nothing extra (under the PRF assumption on the keyed
+    RNG).  The noise is drawn from the OTHER half of the key split and
+    must stay secret: publishing the parent ``key`` itself would let
+    anyone recompute the Gaussian noise and solve ``b - noise - mu =
+    <a, s>`` for the secret key.  The classic seeded-LWE bandwidth trick;
+    no reference analog (its seeding is nondeterministic, utils.zig:16-22,
+    so it cannot compress)."""
     mu = jnp.asarray(mu, jnp.int32)
     n = sk.shape[-1]
     ka, kn = jax.random.split(key)
     a = _rng.uniform_torus(ka, mu.shape + (n,))
     noise = _rng.gaussian_torus(kn, mu.shape, alpha)
-    return _inner_product_binary(a, sk) + noise + mu
+    b = _inner_product_binary(a, sk) + noise + mu
+    return ka, b
 
 
-def encrypt_torus_seeded(key, mu, alpha: float, sk):
-    """Seeded (compressed) encryption: returns only the body b int32 [...]
-    — (n+1)x smaller than the expanded ciphertext.  ``expand_seeded(key,
-    b, n)`` reconstructs the exact ciphertext ``encrypt_torus(key, mu,
-    alpha, sk)`` (the mask re-derives from the PRNG key).  The classic
-    seeded-LWE bandwidth trick; no reference analog (its seeding is
-    nondeterministic, utils.zig:16-22, so it cannot compress)."""
-    return _seeded_body(key, mu, alpha, sk)
-
-
-def expand_seeded(key, b, n: int):
-    """(key, b) -> full ciphertext int32 [..., n+1] (see
-    encrypt_torus_seeded)."""
-    ka, _ = jax.random.split(key)
+def expand_seeded(mask_seed, b, n: int):
+    """(mask_seed, b) -> full ciphertext int32 [..., n+1] (see
+    encrypt_torus_seeded; ``mask_seed`` is the published half of the
+    encryption key split, NOT the encryption key itself)."""
     b = jnp.asarray(b, jnp.int32)
-    a = _rng.uniform_torus(ka, b.shape + (n,))
+    a = _rng.uniform_torus(mask_seed, b.shape + (n,))
     return jnp.concatenate([a, b[..., None]], axis=-1)
 
 

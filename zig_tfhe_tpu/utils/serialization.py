@@ -155,32 +155,38 @@ def load_ciphertext(path):
     return ct, _params_from_doc(m)
 
 
-def save_seeded_ciphertext(path, key, b, params: P.SecurityParams) -> None:
-    """Seeded (compressed) TLWE batch: the PRNG key data + bodies only —
-    (n0+1)x smaller on the wire than the expanded batch
-    (tlwe.encrypt_*_seeded / tlwe.expand_seeded)."""
+def save_seeded_ciphertext(path, mask_seed, b, params: P.SecurityParams) -> None:
+    """Seeded (compressed) TLWE batch: the MASK seed's key data + bodies
+    only — (n0+1)x smaller on the wire than the expanded batch
+    (tlwe.encrypt_*_seeded / tlwe.expand_seeded).
+
+    ``mask_seed`` must be the first element of encrypt_*_seeded's return
+    (the published half of the encryption key split), never the encryption
+    key itself — the parent key also derives the Gaussian noise, and
+    publishing it allows full secret-key recovery (see
+    tlwe.encrypt_torus_seeded SECURITY note)."""
     import jax.random as _jr
 
     np.savez(path, __manifest__=_manifest(_KIND_SEEDED, params),
-             key_data=np.asarray(_jr.key_data(key)),
+             key_data=np.asarray(_jr.key_data(mask_seed)),
              b=np.asarray(b).view(np.uint32))
 
 
 def load_seeded_ciphertext(path, expand: bool = True):
     """Returns (ct, params) with ct expanded to [..., n0+1] (expand=True),
-    or ((key, b), params) in compressed form."""
+    or ((mask_seed, b), params) in compressed form."""
     import jax.random as _jr
 
     from zig_tfhe_tpu import tlwe as _tlwe
 
     z, m = _open(path, _KIND_SEEDED)
     with z:
-        key = _jr.wrap_key_data(jnp.asarray(z["key_data"]))
+        mask_seed = _jr.wrap_key_data(jnp.asarray(z["key_data"]))
         b = jnp.asarray(z["b"].view(np.int32))
     params = _params_from_doc(m)
     if not expand:
-        return (key, b), params
-    return _tlwe.expand_seeded(key, b, params.n0), params
+        return (mask_seed, b), params
+    return _tlwe.expand_seeded(mask_seed, b, params.n0), params
 
 
 def save_public_key(path, pk: PR.PublicKeyLv0,

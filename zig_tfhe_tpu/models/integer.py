@@ -327,9 +327,11 @@ class FheUint:
         if v < 0:
             raise ValueError(f"FheUint is unsigned, got {v}")
         D = max(1, (v.bit_length() + 2) // 3)
-        # trivial (noiseless, a=0) ciphertext of the constant
-        digits = (jnp.asarray(v, jnp.int32)[None] >> (
-            jnp.arange(D, dtype=jnp.int32) * 3)) & (BASE - 1)
+        # trivial (noiseless, a=0) ciphertext of the constant; digits are
+        # extracted with Python ints so arbitrary-width constants work
+        # (int32 conversion/shifts would fail beyond 2^31)
+        digits = jnp.asarray([(v >> (3 * i)) & (BASE - 1) for i in range(D)],
+                             jnp.int32)
         ct = jnp.zeros(self.digits.shape[:-2] + (D, self.digits.shape[-1]),
                        jnp.int32)
         enc = jnp.int32((1 << 32) // (2 * M)) * digits   # PBS codec: x/(2M)

@@ -13,6 +13,7 @@ a batch can evaluate a *different* function per lane.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Sequence
 
 import jax.numpy as jnp
@@ -233,7 +234,7 @@ def multi_lut_base(message_modulus: int, N: int) -> np.ndarray:
 def factor_lut(lut, message_modulus: int):
     """Factor a Generator-built LUT: returns (offsets, coeffs, norm1).
 
-    offsets: int list (ascending); coeffs: int list (centered, |c| < m);
+    offsets: int tuple (ascending); coeffs: int tuple (centered, |c| < m);
     the factored identity  tv == T0 * sum_j c_j X^(o_j)  is verified
     exactly here (host-side schoolbook, mod 2^32) before returning.
     Raises ValueError for tables that don't factor (non-trivial a-part,
@@ -247,8 +248,16 @@ def factor_lut(lut, message_modulus: int):
         raise ValueError("multi-value factoring needs a trivial (a=0) LUT")
     if m & (m - 1) or not 1 <= m <= (1 << 30):
         raise ValueError(f"multi-value LUT needs power-of-two modulus, got {m}")
-    N = tv.shape[1]
-    b = tv[1].astype(np.int64) & 0xFFFFFFFF
+    tv = np.ascontiguousarray(tv, np.int32)
+    return _factor_lut_cached(tv[1].tobytes(), tv.shape[1], m)
+
+
+@functools.lru_cache(maxsize=1024)
+def _factor_lut_cached(b_bytes: bytes, N: int, m: int):
+    """factor_lut's host-side factorization + O(nnz*N) exactness check,
+    cached on the table bytes so repeated traces (e.g. every radix_add /
+    digit_mul specialization calling bootstrap_multi_lut) pay it once."""
+    b = np.frombuffer(b_bytes, np.int32).astype(np.int64) & 0xFFFFFFFF
     # d = (1 - X) * tv  (negacyclic): d_0 = tv_0 + tv_{N-1}, d_j = tv_j - tv_{j-1}
     d = np.empty(N, np.int64)
     d[0] = b[0] + b[N - 1]
@@ -262,8 +271,8 @@ def factor_lut(lut, message_modulus: int):
     c = (d // delta).astype(np.int64)                # quotients mod 2m
     c = np.where(c >= m, c - 2 * m, c)               # centered lift
     nz = np.nonzero(c)[0]
-    offsets = [int(j) for j in nz]
-    coeffs = [int(c[j]) for j in nz]
+    offsets = tuple(int(j) for j in nz)
+    coeffs = tuple(int(c[j]) for j in nz)
     # exact verification: T0 * q == tv (schoolbook negacyclic, mod 2^32)
     s = delta // 2
     recon = np.zeros(N, np.int64)

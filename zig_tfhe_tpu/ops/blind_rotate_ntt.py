@@ -155,8 +155,18 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
     # combine bound (N * Bg/2 * (p/512+1) * 256 < 2^31 => Bg/2 <= 32);
     # some kernel tile size must divide B
     _tile = next((t for t in (256, 128, 64) if B % t == 0), None)
-    if (pallas_inv and e_limbs == 1
-            and (1 << (e - 1)) <= 32 and _tile is not None):
+    _fused_ok = (e_limbs == 1 and (1 << (e - 1)) <= 32 and _tile is not None)
+    if pallas_inv and not _fused_ok:
+        # explicit-request rule (ADVICE r1): never silently skip a path the
+        # user opted into.  The engine-gadget default (Bg_e=2^8) exceeds
+        # the kernel's combine bound, so fused Pallas needs a bgbit<=6 key.
+        import warnings
+        warnings.warn(
+            f"ZTFHE_PALLAS=1 requested but the fused step kernel cannot "
+            f"engage (bgbit={e} needs Bg/2<=32 and 1 digit limb; B={B} "
+            f"needs a tile in (256,128,64)); using the unfused XLA step",
+            stacklevel=2)
+    if pallas_inv and _fused_ok:
         from zig_tfhe_tpu.ops.pallas.ntt_step import ntt_step_fused_pallas
 
         rot_tabs = [jnp.asarray(t) for t in plan.rot]

@@ -346,7 +346,7 @@ def norm_levels(params: SecurityParams, levels,
     """
     l_max = (params.L if bgbit in (None, params.bgbit) else 32 // bgbit)
     if levels is None:
-        return (params.L, params.L) if l_max == params.L else (l_max, l_max)
+        return l_max, l_max
     if isinstance(levels, tuple):
         la, lb = levels
     else:

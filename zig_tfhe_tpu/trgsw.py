@@ -26,14 +26,19 @@ from zig_tfhe_tpu.utils.torus import i32_to_i8_limbs, to_i32
 N_KLIMBS = 4  # full 32-bit torus => 4 signed 8-bit limbs
 
 
-def gadget_values(params: SecurityParams) -> np.ndarray:
-    """h_i = f64ToTorus(Bg^-(i+1)) = 2^(32-(i+1)*bgbit), int32 [L]."""
+def gadget_scales(bgbit: int, count: int) -> np.ndarray:
+    """h_i = f64ToTorus(Bg^-(i+1)) = 2^(32-(i+1)*bgbit), int32 [count]."""
     return np.array(
-        [to_i32(1 << (32 - (i + 1) * params.bgbit)) if (i + 1) * params.bgbit < 32
-         else to_i32(1) if (i + 1) * params.bgbit == 32 else 0
-         for i in range(params.L)],
+        [to_i32(1 << (32 - (i + 1) * bgbit)) if (i + 1) * bgbit < 32
+         else to_i32(1) if (i + 1) * bgbit == 32 else 0
+         for i in range(count)],
         dtype=np.int32,
     )
+
+
+def gadget_values(params: SecurityParams) -> np.ndarray:
+    """Parameter-set gadget: gadget_scales(params.bgbit, params.L)."""
+    return gadget_scales(params.bgbit, params.L)
 
 
 def encrypt_torus(key, p, alpha: float, sk_poly, params: SecurityParams):
@@ -74,10 +79,7 @@ def encrypt_gadget_rows(key, p, alpha: float, sk_poly,
     p = jnp.asarray(p, jnp.int32)
     zeros = jnp.zeros(p.shape + (la + lb, params.N), jnp.int32)
     ct = _trlwe.encrypt_torus(key, zeros, alpha, sk_poly)  # [..., la+lb, 2, N]
-    h = np.array(
-        [to_i32(1 << (32 - (i + 1) * bgbit)) if (i + 1) * bgbit < 32
-         else to_i32(1) if (i + 1) * bgbit == 32 else 0
-         for i in range(max(la, lb))], dtype=np.int32)
+    h = gadget_scales(bgbit, max(la, lb))
     if la:
         ct = ct.at[..., 0:la, _trlwe.A, 0].add(p[..., None] * jnp.asarray(h[:la]))
     if lb:

@@ -111,3 +111,89 @@ def test_fheuint_operator_api(ip, isk, ick):
     assert list((av + bv).decrypt(isk)) == [12, 42, 64]
     with pytest.raises(ValueError, match="unsigned"):
         a + (-1)
+
+
+def _enc(v, d, isk, ick, seed):
+    return I.FheUint.encrypt(jax.random.key(seed), v, d, isk, ick, alpha=0.0)
+
+
+def test_radix_sub_and_borrow(ip, isk, ick):
+    for a, b in [(45, 19), (19, 45), (64, 64), (511, 0), (0, 1)]:
+        ca = I.encrypt_radix(jax.random.key(a + 7), a, 3, 0.0, isk.key_lv0)
+        cb = I.encrypt_radix(jax.random.key(b + 77), b, 3, 0.0, isk.key_lv0)
+        diff, borrow = I.radix_sub(ca, cb, ick)
+        assert I.decrypt_radix(diff, isk.key_lv0) == (a - b) % 512, (a, b)
+        got_b = I.decrypt_radix(borrow[None], isk.key_lv0)
+        assert got_b == (1 if a < b else 0), (a, b)
+
+
+def test_fheuint_sub_wraps(ip, isk, ick):
+    a = _enc(45, 2, isk, ick, 110)
+    b = _enc(19, 2, isk, ick, 111)
+    assert (a - b).decrypt(isk) == 26
+    assert (b - a).decrypt(isk) == (19 - 45) % 64   # wrap mod 8^2
+    assert (a - 5).decrypt(isk) == 40
+    assert (60 - a).decrypt(isk) == 15              # __rsub__
+
+
+def test_fheuint_comparisons(ip, isk, ick):
+    a = _enc(45, 2, isk, ick, 120)
+    b = _enc(19, 3, isk, ick, 121)                  # mixed width
+    a2 = _enc(45, 2, isk, ick, 122)
+    assert (a == a2).decrypt(isk) == 1
+    assert (a == b).decrypt(isk) == 0
+    assert (a != b).decrypt(isk) == 1
+    assert (a < b).decrypt(isk) == 0
+    assert (b < a).decrypt(isk) == 1
+    assert (a <= a2).decrypt(isk) == 1
+    assert (a >= b).decrypt(isk) == 1
+    assert (a > 45).decrypt(isk) == 0
+    assert (a >= 45).decrypt(isk) == 1
+    # wide operand exercises the AND-reduce tree (D = 6 digit lanes)
+    w1 = _enc(123456, 6, isk, ick, 123)
+    w2 = _enc(123456, 6, isk, ick, 124)
+    assert (w1 == w2).decrypt(isk) == 1
+    assert (w1 == (w2 + 1)).decrypt(isk) == 0
+
+
+def test_fheuint_select_min_max(ip, isk, ick):
+    a = _enc(45, 2, isk, ick, 130)
+    b = _enc(19, 2, isk, ick, 131)
+    assert a.min(b).decrypt(isk) == 19
+    assert a.max(b).decrypt(isk) == 45
+    bit = a < b                                     # 0
+    assert bit.select(a, b).decrypt(isk) == 19
+    bit = b < a                                     # 1
+    assert bit.select(a, b).decrypt(isk) == 45
+
+
+def test_fheuint_bitwise(ip, isk, ick):
+    rng = np.random.default_rng(17)
+    for _ in range(3):
+        x, y = (int(v) for v in rng.integers(0, 512, 2))
+        cx = _enc(x, 3, isk, ick, 140 + x)
+        cy = _enc(y, 3, isk, ick, 141 + y)
+        assert (cx & cy).decrypt(isk) == (x & y), (x, y)
+        assert (cx | cy).decrypt(isk) == (x | y), (x, y)
+        assert (cx ^ cy).decrypt(isk) == (x ^ y), (x, y)
+
+
+def test_fheuint_shifts(ip, isk, ick):
+    x = 0o345                                       # 229
+    cx = _enc(x, 3, isk, ick, 150)
+    for s in (0, 1, 2, 3, 4, 7):
+        assert (cx << s).decrypt(isk) == x << s, s
+        assert (cx >> s).decrypt(isk) == x >> s, s
+    assert (cx >> 12).decrypt(isk) == 0             # overshoot -> zero
+
+
+def test_fheuint_batched_compare_select(ip, isk, ick):
+    av = np.array([5, 30, 63])
+    bv = np.array([7, 30, 1])
+    ca = _enc(av, 2, isk, ick, 160)
+    cb = _enc(bv, 2, isk, ick, 161)
+    assert list((ca < cb).decrypt(isk)) == [1, 0, 0]
+    assert list(ca.min(cb).decrypt(isk)) == [5, 30, 1]
+    assert list(ca.max(cb).decrypt(isk)) == [7, 30, 63]
+    assert list((ca ^ cb).decrypt(isk)) == [5 ^ 7, 0, 62]
+    assert list((ca - cb).decrypt(isk)) == [(5 - 7) % 64, 0, 62]

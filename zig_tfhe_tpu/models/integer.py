@@ -1,6 +1,8 @@
 """Encrypted radix integer arithmetic on programmable bootstraps.
 
-Multi-digit homomorphic add/mul built purely from the LUT machinery
+Multi-digit homomorphic add/sub/mul, comparisons (eq/lt and friends),
+mux/min/max, bitwise and/or/xor, and shifts, built purely from the LUT
+machinery
 (models/lut.py) — a capability layer the reference does not have (its
 multi-bit parameter sets exist but nothing ever composes them;
 SURVEY.md §2 #10 notes even bootstrapLut is missing there).
@@ -71,6 +73,27 @@ def _luts(params: SecurityParams):
             lambda w, k=k: ((w % 8) * (w // 8) << k) % BASE)
         bank[f"pp{k}hi"] = gen.generate_lookup_table(
             lambda w, k=k: ((w % 8) * (w // 8) << k) // BASE)
+        # bitwise ops on the packing w = x + 8*bit_k(y): combine x's k-th
+        # bit with the (already extracted) k-th bit of y, repositioned
+        bank[f"and{k}"] = gen.generate_lookup_table(
+            lambda w, k=k: (((w % 8) >> k) & 1 & (w // 8)) << k)
+        bank[f"or{k}"] = gen.generate_lookup_table(
+            lambda w, k=k: ((((w % 8) >> k) & 1) | (w // 8)) << k)
+        bank[f"xor{k}"] = gen.generate_lookup_table(
+            lambda w, k=k: ((((w % 8) >> k) & 1) ^ (w // 8)) << k)
+    # comparisons / selection
+    bank["eq8"] = gen.generate_lookup_table(lambda t: 1 if t == 8 else 0)
+    bank["iszero"] = gen.generate_lookup_table(lambda t: 1 if t == 0 else 0)
+    bank["x8"] = gen.generate_lookup_table(lambda t: 8 * (t & 1))
+    # sub-digit shifts (r in {1, 2}; digit-aligned shifts need no LUT)
+    for r in (1, 2):
+        bank[f"shl{r}lo"] = gen.generate_lookup_table(
+            lambda t, r=r: ((t % 8) << r) % 8)
+        bank[f"shl{r}hi"] = gen.generate_lookup_table(
+            lambda t, r=r: ((t % 8) << r) // 8)
+        bank[f"shr{r}"] = gen.generate_lookup_table(lambda t, r=r: (t % 8) >> r)
+        bank[f"low{r}"] = gen.generate_lookup_table(
+            lambda t, r=r: ((t % 8) & ((1 << r) - 1)) << (3 - r))
     return bank
 
 
@@ -194,6 +217,15 @@ def _zeros_like_digit(d):
     return jnp.zeros_like(d)
 
 
+def _trivial_digit(value: int, like):
+    """Noiseless (a = 0) ciphertext of ``value`` at the PBS codec scale
+    1/(2M), shaped like the digit ciphertext ``like`` [..., n0+1].  Used
+    for the additive constants of sub/compare (exact, adds no noise)."""
+    assert 0 <= value < M, value
+    z = jnp.zeros_like(like)
+    return z.at[..., -1].set(jnp.int32(((1 << 32) // (2 * M)) * value))
+
+
 # ---------------------------------------------------------------------------
 # Addition
 # ---------------------------------------------------------------------------
@@ -216,6 +248,175 @@ def radix_add(a_digits, b_digits, ck: CloudKey):
         carry = both[1]
     out.append(carry)
     return jnp.stack(out, axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Subtraction / comparison / selection
+# ---------------------------------------------------------------------------
+
+
+def radix_sub(a_digits, b_digits, ck: CloudKey):
+    """Exact homomorphic subtraction with borrow chain.
+
+    [..., D, n0+1] x2 (equal widths; pad first) -> (diff [..., D, n0+1],
+    borrow [..., n0+1]) with a - b = diff - borrow * 8^D, i.e. diff is the
+    wrapping difference and borrow is the encrypted (a < b) bit.
+
+    Per digit: t = a_i - b_i - borrow + 8 in [0, 15]; diff_i = t mod 8 and
+    t div 8 = 1 iff no borrow, so the next borrow is the LINEAR flip
+    1 - div (a trivial constant minus a fresh PBS output — no extra
+    rotation, no noise amplification).  Same cost as radix_add: one
+    2-LUT multi-value rotation per digit position over the whole batch.
+    """
+    D = a_digits.shape[-2]
+    assert b_digits.shape[-2] == D, (a_digits.shape, b_digits.shape)
+    eight = _trivial_digit(8, a_digits[..., 0, :])
+    one = _trivial_digit(1, a_digits[..., 0, :])
+    borrow = _zeros_like_digit(a_digits[..., 0, :])
+    out = []
+    for i in range(D):
+        t = a_digits[..., i, :] - b_digits[..., i, :] - borrow + eight
+        both = _pbs_mv(t, ("mod", "div"), ck)    # 1 rotation, 2 LUTs
+        out.append(both[0])
+        borrow = one - both[1]
+    return jnp.stack(out, axis=-2), borrow
+
+
+def radix_lt(a_digits, b_digits, ck: CloudKey):
+    """Encrypted (a < b) bit [..., n0+1] (message 0/1): the final borrow
+    of the subtraction chain."""
+    return radix_sub(a_digits, b_digits, ck)[1]
+
+
+def _and_reduce_bits(bits, ck: CloudKey):
+    """AND of K encrypted 0/1 bits [K, ..., n0+1] -> [..., n0+1].
+
+    Chunks of <= 15 bits sum into one PBS message (the m = 16 capacity
+    bound; the sum of k fresh PBS outputs carries ~sqrt(k) PBS noise,
+    well inside the uint4-class budget), then iszero(k - sum) ANDs each
+    chunk in ONE batched rotation per tree level.
+    """
+    while bits.shape[0] > 1:
+        K = bits.shape[0]
+        rows = []
+        for i in range(0, K, 15):
+            c = bits[i:i + 15]
+            rows.append(_trivial_digit(c.shape[0], c[0]) - c.sum(axis=0))
+        bits = _pbs_rows(jnp.stack(rows), ("iszero",) * len(rows), ck)
+    return bits[0]
+
+
+def radix_eq(a_digits, b_digits, ck: CloudKey):
+    """Encrypted (a == b) bit [..., n0+1] (message 0/1).
+
+    Depth log_15(D) + 1 rotations, all digit lanes batched: per-digit
+    equality bits eq8(a_i - b_i + 8) in one rotation, then an AND tree.
+    """
+    D = a_digits.shape[-2]
+    eight = _trivial_digit(8, a_digits[..., 0, :])
+    t = a_digits - b_digits + eight[..., None, :]
+    bits = _pbs_rows(jnp.moveaxis(t, -2, 0), ("eq8",) * D, ck)
+    return _and_reduce_bits(bits, ck)
+
+
+def radix_select(sel, a_digits, b_digits, ck: CloudKey):
+    """Encrypted mux: sel (0/1 message ct [..., n0+1]) ? a : b.
+
+    One rotation refreshes sel into its 8x form (x8 LUT), then every
+    digit of both operands packs w = d + 8*s / w = d + 8*(1-s) and a
+    single batched pp0lo rotation over 2D lanes returns d*s / d*(1-s);
+    the sum is exact (one addend is 0) — 2 rotations total, any D.
+    """
+    D = a_digits.shape[-2]
+    assert b_digits.shape[-2] == D
+    s8 = _pbs_mv(sel, ("x8",), ck)[0]
+    not8 = _trivial_digit(8, s8) - s8
+    wa = jnp.moveaxis(a_digits, -2, 0) + s8
+    wb = jnp.moveaxis(b_digits, -2, 0) + not8
+    parts = _pbs_rows(jnp.concatenate([wa, wb]), ("pp0lo",) * (2 * D), ck)
+    return jnp.moveaxis(parts[:D] + parts[D:], 0, -2)
+
+
+def radix_min(a_digits, b_digits, ck: CloudKey):
+    """Encrypted elementwise min (D+1 rotations: borrow chain + select)."""
+    return radix_select(radix_lt(a_digits, b_digits, ck),
+                        a_digits, b_digits, ck)
+
+
+def radix_max(a_digits, b_digits, ck: CloudKey):
+    return radix_select(radix_lt(a_digits, b_digits, ck),
+                        b_digits, a_digits, ck)
+
+
+# ---------------------------------------------------------------------------
+# Bitwise ops / shifts
+# ---------------------------------------------------------------------------
+
+
+def radix_bitwise(a_digits, b_digits, op: str, ck: CloudKey):
+    """Bitwise and/or/xor of two radix integers (equal widths).
+
+    2 rotations total, all digits batched: extract b's 3 bit-planes
+    (multi-value, 8x-scaled for packing), then one batched rotation over
+    3*D packed lanes w_k = a_i + 8*bit_k(b_i) evaluates the per-bit
+    {op}{k} LUTs; the three bit-plane outputs occupy disjoint bits so
+    their sum is the exact digit with no carry normalization.
+    """
+    assert op in ("and", "or", "xor"), op
+    D = a_digits.shape[-2]
+    assert b_digits.shape[-2] == D
+    b_rows = jnp.moveaxis(b_digits, -2, 0)                   # [D, ..., n1]
+    bits8 = _pbs_mv(b_rows, ("bit0", "bit1", "bit2"), ck)    # [3, D, ...]
+    w = jnp.moveaxis(a_digits, -2, 0)[None] + bits8
+    names = tuple(f"{op}{k}" for k in range(3) for _ in range(D))
+    parts = _pbs_rows(w.reshape((3 * D,) + w.shape[2:]), names, ck)
+    out = parts.reshape((3, D) + parts.shape[1:]).sum(axis=0)
+    return jnp.moveaxis(out, 0, -2)
+
+
+def radix_shl(a_digits, s: int, ck: CloudKey):
+    """Left shift by a PLAIN amount s >= 0; widens to hold every bit
+    ([..., D + ceil(s/3), n0+1]).  Digit-aligned part is free (zero-digit
+    prepend); the sub-digit remainder r costs ONE batched rotation (2
+    LUTs per digit: shl{r}lo/hi), recombined linearly (disjoint bits)."""
+    assert s >= 0
+    q, r = divmod(s, 3)
+    D = a_digits.shape[-2]
+    zero = _zeros_like_digit(a_digits[..., 0, :])[..., None, :]
+    if r:
+        rows = jnp.moveaxis(a_digits, -2, 0)
+        names = tuple(f"shl{r}lo" for _ in range(D)) + \
+            tuple(f"shl{r}hi" for _ in range(D))
+        parts = _pbs_rows(jnp.concatenate([rows, rows]), names, ck)
+        lo = jnp.moveaxis(parts[:D], 0, -2)                  # [..., D, n1]
+        hi = jnp.moveaxis(parts[D:], 0, -2)
+        a_digits = jnp.concatenate([lo, zero], axis=-2) + \
+            jnp.concatenate([zero, hi], axis=-2)             # [..., D+1, n1]
+    return jnp.concatenate([zero] * q + [a_digits], axis=-2) if q \
+        else a_digits
+
+
+def radix_shr(a_digits, s: int, ck: CloudKey):
+    """Logical right shift by a PLAIN amount s >= 0 ([..., max(D-q, 1),
+    n0+1]).  Digit-aligned part drops digits; the remainder r is one
+    batched rotation (shr{r} of d_i + low{r} of d_{i+1}, disjoint bits)."""
+    assert s >= 0
+    q, r = divmod(s, 3)
+    D = a_digits.shape[-2]
+    if q >= D:
+        return _zeros_like_digit(a_digits[..., 0, :])[..., None, :]
+    a_digits = a_digits[..., q:, :]
+    if r:
+        D = a_digits.shape[-2]
+        rows = jnp.moveaxis(a_digits, -2, 0)
+        names = tuple(f"shr{r}" for _ in range(D)) + \
+            tuple(f"low{r}" for _ in range(D))
+        parts = _pbs_rows(jnp.concatenate([rows, rows]), names, ck)
+        down = jnp.moveaxis(parts[:D], 0, -2)
+        up = jnp.moveaxis(parts[D:], 0, -2)      # bits of d_{i+1} moving down
+        zero = _zeros_like_digit(a_digits[..., 0, :])[..., None, :]
+        a_digits = down + jnp.concatenate([up[..., 1:, :], zero], axis=-2)
+    return a_digits
 
 
 # ---------------------------------------------------------------------------
@@ -298,10 +499,12 @@ class FheUint:
 
     A thin immutable handle over the radix machinery: ``digits`` is the
     int32 [..., D, n0+1] little-endian base-8 ciphertext array and ``ck``
-    the evaluation key.  ``a + b`` / ``a * b`` return new handles (widened
-    by the exact result: +1 digit for add, Da+Db for mul); mixed-width
+    the evaluation key.  ``+ - * & | ^ << >>`` and the six comparisons
+    all work homomorphically: add/mul widen to the exact result, sub
+    wraps mod 8^D, comparisons return an encrypted 0/1 bit (a 1-digit
+    FheUint usable with ``.select(a, b)``/``.min``/``.max``); mixed-width
     operands are allowed.  Plain ints are encrypted trivially (b-only
-    ciphertexts) on the fly, so ``x + 3`` and ``x * 2`` work.
+    ciphertexts) on the fly, so ``x + 3`` and ``x < 100`` work.
 
     No reference analog (the reference composes nothing on its multi-bit
     sets); works on any parameter set whose PBS is reliable at m=16
@@ -354,6 +557,87 @@ class FheUint:
         return FheUint(radix_mul(self.digits, o.digits, self.ck), self.ck)
 
     __rmul__ = __mul__
+
+    def __sub__(self, other):
+        """Wrapping difference mod 8^D (tfhe-rs semantics); use
+        ``a < b`` for the underflow indicator."""
+        a, b = _pad_to_match(self.digits, self._coerce(other).digits)
+        return FheUint(radix_sub(a, b, self.ck)[0], self.ck)
+
+    def __rsub__(self, other):
+        return self._coerce(other).__sub__(self)
+
+    # comparisons: encrypted 0/1 bit as a 1-digit FheUint (decrypt()
+    # yields 0 or 1).  Defining __eq__ makes FheUint unhashable — correct
+    # for a value-semantics ciphertext handle.
+    def _bit(self, ct):
+        return FheUint(ct[..., None, :], self.ck)
+
+    def _flip(self, ct):
+        return self._bit(_trivial_digit(1, ct) - ct)
+
+    def __eq__(self, other):
+        a, b = _pad_to_match(self.digits, self._coerce(other).digits)
+        return self._bit(radix_eq(a, b, self.ck))
+
+    def __ne__(self, other):
+        a, b = _pad_to_match(self.digits, self._coerce(other).digits)
+        return self._flip(radix_eq(a, b, self.ck))
+
+    __hash__ = None
+
+    def __lt__(self, other):
+        a, b = _pad_to_match(self.digits, self._coerce(other).digits)
+        return self._bit(radix_lt(a, b, self.ck))
+
+    def __gt__(self, other):
+        a, b = _pad_to_match(self.digits, self._coerce(other).digits)
+        return self._bit(radix_lt(b, a, self.ck))
+
+    def __le__(self, other):
+        a, b = _pad_to_match(self.digits, self._coerce(other).digits)
+        return self._flip(radix_lt(b, a, self.ck))
+
+    def __ge__(self, other):
+        a, b = _pad_to_match(self.digits, self._coerce(other).digits)
+        return self._flip(radix_lt(a, b, self.ck))
+
+    def _bitwise(self, other, op):
+        a, b = _pad_to_match(self.digits, self._coerce(other).digits)
+        return FheUint(radix_bitwise(a, b, op, self.ck), self.ck)
+
+    def __and__(self, other):
+        return self._bitwise(other, "and")
+
+    def __or__(self, other):
+        return self._bitwise(other, "or")
+
+    def __xor__(self, other):
+        return self._bitwise(other, "xor")
+
+    __rand__, __ror__, __rxor__ = __and__, __or__, __xor__
+
+    def __lshift__(self, s: int):
+        return FheUint(radix_shl(self.digits, int(s), self.ck), self.ck)
+
+    def __rshift__(self, s: int):
+        return FheUint(radix_shr(self.digits, int(s), self.ck), self.ck)
+
+    def select(self, if_true, if_false) -> "FheUint":
+        """self is an encrypted 0/1 bit: returns if_true where 1 else
+        if_false (2 rotations, any width)."""
+        a, b = _pad_to_match(self._coerce(if_true).digits,
+                             self._coerce(if_false).digits)
+        return FheUint(radix_select(self.digits[..., 0, :], a, b, self.ck),
+                       self.ck)
+
+    def min(self, other) -> "FheUint":
+        a, b = _pad_to_match(self.digits, self._coerce(other).digits)
+        return FheUint(radix_min(a, b, self.ck), self.ck)
+
+    def max(self, other) -> "FheUint":
+        a, b = _pad_to_match(self.digits, self._coerce(other).digits)
+        return FheUint(radix_max(a, b, self.ck), self.ck)
 
     def decrypt(self, sk):
         return decrypt_radix(self.digits, sk.key_lv0)

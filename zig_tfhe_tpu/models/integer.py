@@ -85,8 +85,14 @@ def _luts(params: SecurityParams):
     bank["eq8"] = gen.generate_lookup_table(lambda t: 1 if t == 8 else 0)
     bank["iszero"] = gen.generate_lookup_table(lambda t: 1 if t == 0 else 0)
     bank["x8"] = gen.generate_lookup_table(lambda t: 8 * (t & 1))
+    # signed (two's complement) support: sign-bit bias flip for ordered
+    # compares, sign digit/boundary fill for arithmetic right shift
+    bank["flipsign"] = gen.generate_lookup_table(lambda t: (t % 8) ^ 4)
+    bank["sign7"] = gen.generate_lookup_table(lambda t: 7 * ((t % 8) >> 2))
     # sub-digit shifts (r in {1, 2}; digit-aligned shifts need no LUT)
     for r in (1, 2):
+        bank[f"signfill{r}"] = gen.generate_lookup_table(
+            lambda t, r=r: (8 - (1 << (3 - r))) * ((t % 8) >> 2))
         bank[f"shl{r}lo"] = gen.generate_lookup_table(
             lambda t, r=r: ((t % 8) << r) % 8)
         bank[f"shl{r}hi"] = gen.generate_lookup_table(
@@ -226,6 +232,19 @@ def _trivial_digit(value: int, like):
     return z.at[..., -1].set(jnp.int32(((1 << 32) // (2 * M)) * value))
 
 
+def _trivial_radix(value: int, D: int, like_digits):
+    """Noiseless D-digit radix encoding of a non-negative Python int,
+    batch-shaped like ``like_digits`` [..., Dl, n0+1].  Digits are
+    extracted with Python ints so arbitrary-width constants work (int32
+    shifts would fail beyond 2^31)."""
+    digits = jnp.asarray([(value >> (3 * i)) & (BASE - 1) for i in range(D)],
+                         jnp.int32)
+    ct = jnp.zeros(like_digits.shape[:-2] + (D, like_digits.shape[-1]),
+                   jnp.int32)
+    enc = jnp.int32((1 << 32) // (2 * M)) * digits   # PBS codec: x/(2M)
+    return ct.at[..., :, -1].set(jnp.broadcast_to(enc, ct.shape[:-1]))
+
+
 # ---------------------------------------------------------------------------
 # Addition
 # ---------------------------------------------------------------------------
@@ -335,6 +354,43 @@ def radix_select(sel, a_digits, b_digits, ck: CloudKey):
     wb = jnp.moveaxis(b_digits, -2, 0) + not8
     parts = _pbs_rows(jnp.concatenate([wa, wb]), ("pp0lo",) * (2 * D), ck)
     return jnp.moveaxis(parts[:D] + parts[D:], 0, -2)
+
+
+def radix_lt_signed(a_digits, b_digits, ck: CloudKey):
+    """Encrypted signed (a < b) on two's-complement radix arrays of equal
+    width: flip both sign bits (one 2-lane flipsign rotation biases the
+    order so that INT_MIN maps to 0) and compare unsigned."""
+    tops = jnp.stack([a_digits[..., -1, :], b_digits[..., -1, :]])
+    flipped = _pbs_rows(tops, ("flipsign", "flipsign"), ck)
+    return radix_lt(a_digits.at[..., -1, :].set(flipped[0]),
+                    b_digits.at[..., -1, :].set(flipped[1]), ck)
+
+
+def radix_asr(a_digits, s: int, ck: CloudKey):
+    """Arithmetic (sign-filling) right shift by a PLAIN amount s >= 0 on a
+    two's-complement radix array; keeps the width D.  One rotation
+    derives the sign digit (sign7) and the boundary fill from the top
+    digit, the rest is radix_shr + linear adds on disjoint bits."""
+    assert s >= 0
+    if s == 0:
+        return a_digits
+    D = a_digits.shape[-2]
+    q, r = divmod(s, 3)
+    top = a_digits[..., -1, :]
+    if q >= D:
+        sign7 = _pbs_mv(top, ("sign7",), ck)[0]
+        return jnp.broadcast_to(sign7[..., None, :],
+                                a_digits.shape[:-2] + (D, top.shape[-1]))
+    names = ("sign7", f"signfill{r}") if r else ("sign7",)
+    fills = _pbs_mv(top, names, ck)
+    sh = radix_shr(a_digits, s, ck)                  # [..., D - q, n1]
+    if r:
+        sh = sh.at[..., -1, :].add(fills[1])
+    if q:
+        ext = jnp.broadcast_to(fills[0][..., None, :],
+                               sh.shape[:-2] + (q, sh.shape[-1]))
+        sh = jnp.concatenate([sh, ext], axis=-2)
+    return sh
 
 
 def radix_min(a_digits, b_digits, ck: CloudKey):
@@ -530,16 +586,7 @@ class FheUint:
         if v < 0:
             raise ValueError(f"FheUint is unsigned, got {v}")
         D = max(1, (v.bit_length() + 2) // 3)
-        # trivial (noiseless, a=0) ciphertext of the constant; digits are
-        # extracted with Python ints so arbitrary-width constants work
-        # (int32 conversion/shifts would fail beyond 2^31)
-        digits = jnp.asarray([(v >> (3 * i)) & (BASE - 1) for i in range(D)],
-                             jnp.int32)
-        ct = jnp.zeros(self.digits.shape[:-2] + (D, self.digits.shape[-1]),
-                       jnp.int32)
-        enc = jnp.int32((1 << 32) // (2 * M)) * digits   # PBS codec: x/(2M)
-        ct = ct.at[..., :, -1].set(jnp.broadcast_to(enc, ct.shape[:-1]))
-        return FheUint(ct, self.ck)
+        return FheUint(_trivial_radix(v, D, self.digits), self.ck)
 
     @property
     def n_digits(self) -> int:
@@ -641,6 +688,175 @@ class FheUint:
 
     def decrypt(self, sk):
         return decrypt_radix(self.digits, sk.key_lv0)
+
+
+class FheInt:
+    """Operator-overloaded encrypted SIGNED integer (two's complement).
+
+    Same radix-8 machinery as FheUint, fixed-width semantics: every
+    binary op aligns to the widest operand's D digits (narrower
+    ciphertexts sign-extend with one sign7 rotation; plain ints encode
+    trivially at the target width) and wraps mod 8^D.  Comparisons are
+    signed (one flipsign rotation biases both tops, then the unsigned
+    borrow chain); ``>>`` is arithmetic (sign-filling).  Value range
+    [-8^D/2, 8^D/2).
+    """
+
+    __slots__ = ("digits", "ck")
+
+    def __init__(self, digits, ck: CloudKey):
+        self.digits = digits
+        self.ck = ck
+
+    @classmethod
+    def encrypt(cls, key, value, n_digits: int, sk, ck: CloudKey,
+                alpha: float | None = None) -> "FheInt":
+        a = ck.params.tlwe_lv0.alpha if alpha is None else alpha
+        v = np.asarray(value, np.int64)
+        half = (1 << (3 * n_digits)) // 2
+        if ((v < -half) | (v >= half)).any():
+            raise ValueError(f"{value} out of range for {n_digits} digits "
+                             f"[{-half}, {half})")
+        enc_v = np.mod(v, 1 << (3 * n_digits))
+        return cls(encrypt_radix(key, enc_v, n_digits, a, sk.key_lv0), ck)
+
+    @property
+    def n_digits(self) -> int:
+        return self.digits.shape[-2]
+
+    def _at_width(self, x, D: int):
+        """x (FheInt or plain int) as a digits array of width exactly D."""
+        if isinstance(x, FheInt):
+            extra = D - x.n_digits
+            assert extra >= 0, (D, x.n_digits)
+            if extra == 0:
+                return x.digits
+            sign7 = _pbs_mv(x.digits[..., -1, :], ("sign7",), self.ck)[0]
+            ext = jnp.broadcast_to(
+                sign7[..., None, :],
+                x.digits.shape[:-2] + (extra, sign7.shape[-1]))
+            return jnp.concatenate([x.digits, ext], axis=-2)
+        v = int(x)
+        half = (1 << (3 * D)) // 2
+        if not -half <= v < half:
+            raise ValueError(f"constant {v} out of range for {D} digits")
+        return _trivial_radix(v % (1 << (3 * D)), D, self.digits)
+
+    def _align(self, other):
+        if isinstance(other, FheInt):
+            D = max(self.n_digits, other.n_digits)
+        else:
+            D = max(self.n_digits, (int(other).bit_length() + 1 + 2) // 3, 1)
+        return self._at_width(self, D), self._at_width(other, D), D
+
+    def __add__(self, other):
+        a, b, D = self._align(other)
+        return FheInt(radix_add(a, b, self.ck)[..., :D, :], self.ck)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        a, b, _ = self._align(other)
+        return FheInt(radix_sub(a, b, self.ck)[0], self.ck)
+
+    def __rsub__(self, other):
+        a, b, _ = self._align(other)
+        return FheInt(radix_sub(b, a, self.ck)[0], self.ck)
+
+    def __neg__(self):
+        return self.__rsub__(0)
+
+    def __mul__(self, other):
+        a, b, D = self._align(other)
+        return FheInt(radix_mul(a, b, self.ck)[..., :D, :], self.ck)
+
+    __rmul__ = __mul__
+
+    def _bit(self, ct):
+        return FheInt(ct[..., None, :], self.ck)
+
+    def _flip(self, ct):
+        return self._bit(_trivial_digit(1, ct) - ct)
+
+    def __eq__(self, other):
+        a, b, _ = self._align(other)
+        return self._bit(radix_eq(a, b, self.ck))
+
+    def __ne__(self, other):
+        a, b, _ = self._align(other)
+        return self._flip(radix_eq(a, b, self.ck))
+
+    __hash__ = None
+
+    def __lt__(self, other):
+        a, b, _ = self._align(other)
+        return self._bit(radix_lt_signed(a, b, self.ck))
+
+    def __gt__(self, other):
+        a, b, _ = self._align(other)
+        return self._bit(radix_lt_signed(b, a, self.ck))
+
+    def __le__(self, other):
+        a, b, _ = self._align(other)
+        return self._flip(radix_lt_signed(b, a, self.ck))
+
+    def __ge__(self, other):
+        a, b, _ = self._align(other)
+        return self._flip(radix_lt_signed(a, b, self.ck))
+
+    def _bitwise(self, other, op):
+        a, b, _ = self._align(other)
+        return FheInt(radix_bitwise(a, b, op, self.ck), self.ck)
+
+    def __and__(self, other):
+        return self._bitwise(other, "and")
+
+    def __or__(self, other):
+        return self._bitwise(other, "or")
+
+    def __xor__(self, other):
+        return self._bitwise(other, "xor")
+
+    __rand__, __ror__, __rxor__ = __and__, __or__, __xor__
+
+    def __lshift__(self, s: int):
+        D = self.n_digits
+        return FheInt(radix_shl(self.digits, int(s), self.ck)[..., :D, :],
+                      self.ck)
+
+    def __rshift__(self, s: int):
+        return FheInt(radix_asr(self.digits, int(s), self.ck), self.ck)
+
+    def select(self, if_true, if_false) -> "FheInt":
+        """self is an encrypted 0/1 bit: if_true where 1 else if_false.
+        At least one branch must be a ciphertext (plain-int branches
+        encode at the widest branch's width)."""
+        anchor = if_true if isinstance(if_true, FheInt) else if_false
+        if not isinstance(anchor, FheInt):
+            raise ValueError("select needs at least one ciphertext branch")
+        if anchor is if_true:
+            a, b, _ = anchor._align(if_false)
+        else:
+            b, a, _ = anchor._align(if_true)
+        return FheInt(radix_select(self.digits[..., 0, :], a, b, self.ck),
+                      self.ck)
+
+    def min(self, other) -> "FheInt":
+        a, b, _ = self._align(other)
+        return FheInt(radix_select(radix_lt_signed(a, b, self.ck), a, b,
+                                   self.ck), self.ck)
+
+    def max(self, other) -> "FheInt":
+        a, b, _ = self._align(other)
+        return FheInt(radix_select(radix_lt_signed(a, b, self.ck), b, a,
+                                   self.ck), self.ck)
+
+    def decrypt(self, sk):
+        raw = decrypt_radix(self.digits, sk.key_lv0)
+        mod = 1 << (3 * self.n_digits)
+        if isinstance(raw, (int, np.integer)):
+            return int(raw - mod) if raw >= mod // 2 else int(raw)
+        return np.where(raw >= mod // 2, raw - mod, raw)
 
 
 def _pad_to_match(a, b):

@@ -199,6 +199,24 @@ def test_fheuint_batched_compare_select(ip, isk, ick):
     assert list((ca - cb).decrypt(isk)) == [(5 - 7) % 64, 0, 62]
 
 
+def test_fheuint_divmod(ip, isk, ick):
+    a = _enc(45, 2, isk, ick, 210)
+    b = _enc(7, 1, isk, ick, 211)
+    q, r = divmod(a, b)
+    assert q.decrypt(isk) == 6
+    assert r.decrypt(isk) == 3
+    assert (a // 19).decrypt(isk) == 2
+    assert (a % 19).decrypt(isk) == 7
+    assert (100 // b).decrypt(isk) == 14         # __rfloordiv__
+    zero = _enc(0, 1, isk, ick, 212)
+    assert (a // zero).decrypt(isk) == 63        # div-by-zero -> all ones
+    av = np.array([45, 10, 63])
+    bv = np.array([6, 10, 1])
+    ca, cb = _enc(av, 2, isk, ick, 213), _enc(bv, 2, isk, ick, 214)
+    assert list((ca // cb).decrypt(isk)) == [7, 1, 63]
+    assert list((ca % cb).decrypt(isk)) == [3, 0, 0]
+
+
 def _senc(v, d, isk, ick, seed):
     return I.FheInt.encrypt(jax.random.key(seed), v, d, isk, ick, alpha=0.0)
 

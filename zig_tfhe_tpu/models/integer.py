@@ -68,6 +68,9 @@ def _luts(params: SecurityParams):
         # amplify its noise 8x and break real-noise parameter sets)
         bank[f"bit{k}"] = gen.generate_lookup_table(
             lambda y, k=k: 8 * ((y >> k) & 1))
+        # unit-scale bits (for shift-in during division)
+        bank[f"ubit{k}"] = gen.generate_lookup_table(
+            lambda y, k=k: ((y % 8) >> k) & 1)
         # w = x + 8*b packs (x, b); the LUT returns x*b*2^k split base-8
         bank[f"pp{k}lo"] = gen.generate_lookup_table(
             lambda w, k=k: ((w % 8) * (w // 8) << k) % BASE)
@@ -546,6 +549,53 @@ def radix_mul(a_digits, b_digits, ck: CloudKey):
 
 
 # ---------------------------------------------------------------------------
+# Division
+# ---------------------------------------------------------------------------
+
+
+def radix_divmod(n_digits, m_digits, ck: CloudKey):
+    """Exact unsigned division: (quotient [..., Dn, n0+1], remainder
+    [..., Dm, n0+1]) by restoring shift-subtract over encrypted bits.
+
+    Per quotient bit (3*Dn total): shift the running remainder left one
+    bit (1 rotation), shift in the next numerator bit (linear; all
+    numerator bits are extracted up front in ONE multi-value rotation),
+    trial-subtract the divisor (Dm+1 rotations), and keep either result
+    by encrypted mux (2 rotations) — the no-borrow bit IS the quotient
+    bit.  Quotient digits reassemble as b0 + 2*b1 + 4*b2 (<= 7, exact)
+    with one final batched mod refresh.  ~3*Dn*(Dm+4) rotations total,
+    every rotation batched over all lanes/batch dims.
+
+    Division by an encrypted zero yields an all-ones quotient (tfhe-rs
+    convention — no borrow ever fires) and an unspecified remainder.
+    """
+    Dn, Dm = n_digits.shape[-2], m_digits.shape[-2]
+    Dr = Dm + 1            # remainder width: R < 2*M <= 2*(8^Dm - 1)
+    zero = _zeros_like_digit(n_digits[..., 0, :])
+    m_ext = jnp.concatenate(
+        [m_digits, jnp.broadcast_to(zero[..., None, :],
+                                    m_digits.shape[:-2] + (1, zero.shape[-1]))],
+        axis=-2)
+    rows = jnp.moveaxis(n_digits, -2, 0)
+    ubits = _pbs_mv(rows, ("ubit0", "ubit1", "ubit2"), ck)  # [3, Dn, ...]
+    one = _trivial_digit(1, zero)
+    R = jnp.broadcast_to(zero[..., None, :],
+                         zero.shape[:-1] + (Dr, zero.shape[-1]))
+    q_bits = [None] * (3 * Dn)
+    for i in range(3 * Dn - 1, -1, -1):
+        R = radix_shl(R, 1, ck)[..., :Dr, :]      # top stays 0 (R < M)
+        R = R.at[..., 0, :].add(ubits[i % 3, i // 3])
+        diff, borrow = radix_sub(R, m_ext, ck)
+        ge = one - borrow                          # R >= M, linear flip
+        R = radix_select(ge, diff, R, ck)
+        q_bits[i] = ge
+    qd = [q_bits[3 * j] + 2 * q_bits[3 * j + 1] + 4 * q_bits[3 * j + 2]
+          for j in range(Dn)]
+    q = _pbs_rows(jnp.stack(qd), ("mod",) * Dn, ck)
+    return jnp.moveaxis(q, 0, -2), R[..., :Dm, :]
+
+
+# ---------------------------------------------------------------------------
 # High-level encrypted-integer handle
 # ---------------------------------------------------------------------------
 
@@ -604,6 +654,23 @@ class FheUint:
         return FheUint(radix_mul(self.digits, o.digits, self.ck), self.ck)
 
     __rmul__ = __mul__
+
+    def __floordiv__(self, other):
+        return self.__divmod__(other)[0]
+
+    def __mod__(self, other):
+        return self.__divmod__(other)[1]
+
+    def __divmod__(self, other):
+        o = self._coerce(other)
+        q, r = radix_divmod(self.digits, o.digits, self.ck)
+        return FheUint(q, self.ck), FheUint(r, self.ck)
+
+    def __rfloordiv__(self, other):
+        return self._coerce(other).__floordiv__(self)
+
+    def __rmod__(self, other):
+        return self._coerce(other).__mod__(self)
 
     def __sub__(self, other):
         """Wrapping difference mod 8^D (tfhe-rs semantics); use

@@ -1,12 +1,14 @@
 #!/usr/bin/env python
-"""Encrypted integer arithmetic: compute a*b + c on radix-8 ciphertexts.
+"""Encrypted integer arithmetic: a*b + c, compares, division, signed ints.
 
 Every operation is a composition of programmable bootstraps
 (models/integer.py): digit products via the bit-plane packing trick,
-carry chains via mod/div LUT pairs — all exact.  The reference defines
-multi-bit parameter sets but has no integer layer at all.
+carry/borrow chains via mod/div LUT pairs, division by restoring
+shift-subtract, signed (FheInt) compares via sign-bias flips — all
+exact.  The reference defines multi-bit parameter sets but has no
+integer layer at all.
 
-Run (CPU, ~2 min):  JAX_PLATFORMS=cpu python examples/integer_arithmetic_demo.py
+Run (CPU, ~4 min):  JAX_PLATFORMS=cpu python examples/integer_arithmetic_demo.py
 """
 
 import os
@@ -65,7 +67,24 @@ def main():
     hi_result = (fa * fb + fc).decrypt(sk)
     hi_status = "OK" if hi_result == expected else "WRONG"
     print(f"FheUint:   (a * b + c).decrypt() = {hi_result} -> {hi_status}")
-    sys.exit(0 if result == expected == hi_result else 1)
+
+    # comparisons, min/max, division, signed values
+    lt = (fa < fb).decrypt(sk)
+    mx = fa.max(fb).decrypt(sk)
+    q, r = divmod(fb, fa)
+    qv, rv = q.decrypt(sk), r.decrypt(sk)
+    print(f"compare:   (a < b) = {lt}, max = {mx}, "
+          f"b // a = {qv} rem {rv}")
+    sx = I.FheInt.encrypt(jax.random.key(5), -21, 2, sk, ck)
+    sy = I.FheInt.encrypt(jax.random.key(6), 13, 2, sk, ck)
+    ssum = (sx + sy).decrypt(sk)
+    sq, sr = sx.div_rem(sy)
+    sqv, srv = sq.decrypt(sk), sr.decrypt(sk)
+    print(f"FheInt:    -21 + 13 = {ssum}, -21 div_rem 13 = ({sqv}, {srv})")
+    extras_ok = (lt == 1 and mx == 45 and (qv, rv) == (1, 22)
+                 and ssum == -8 and (sqv, srv) == (-1, -8))
+    print("extras OK" if extras_ok else "extras WRONG")
+    sys.exit(0 if (result == expected == hi_result and extras_ok) else 1)
 
 
 if __name__ == "__main__":

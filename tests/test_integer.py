@@ -270,6 +270,26 @@ def test_fheint_shifts_bitwise(ip, isk, ick):
     assert ((a ^ b).decrypt(isk)) % 512 == ((-100 ^ 37) & m)
 
 
+def test_fheint_abs_divrem(ip, isk, ick):
+    a = _senc(-21, 2, isk, ick, 220)
+    b = _senc(13, 2, isk, ick, 221)
+    assert a.abs().decrypt(isk) == 21
+    assert b.abs().decrypt(isk) == 13
+    q, r = a.div_rem(b)                      # truncating: -21 = 13*(-1) - 8
+    assert q.decrypt(isk) == -1
+    assert r.decrypt(isk) == -8
+    q, r = b.div_rem(a)                      # 13 = -21*0 + 13
+    assert q.decrypt(isk) == 0
+    assert r.decrypt(isk) == 13
+    q, r = (-b).div_rem(-a)                  # -13 / 21 -> 0 rem -13
+    assert q.decrypt(isk) == 0
+    assert r.decrypt(isk) == -13
+    m = _senc(-32, 2, isk, ick, 222)         # INT_MIN edge
+    q, r = m.div_rem(_senc(2, 2, isk, ick, 223))
+    assert q.decrypt(isk) == -16
+    assert r.decrypt(isk) == 0
+
+
 def test_fheint_batched(ip, isk, ick):
     av = np.array([-5, 30, -32])
     bv = np.array([7, -30, 1])

@@ -833,6 +833,25 @@ class FheInt:
     def __neg__(self):
         return self.__rsub__(0)
 
+    def abs(self) -> "FheInt":
+        """|self| (note: INT_MIN has no positive counterpart and wraps
+        to itself, as in two's complement)."""
+        neg = self < 0
+        return neg.select(-self, self)
+
+    def div_rem(self, other) -> tuple["FheInt", "FheInt"]:
+        """TRUNCATING signed division (tfhe-rs/C semantics, not Python
+        floor): quotient rounds toward zero, remainder takes the
+        dividend's sign.  |a| divmod |b| on the unsigned machinery, then
+        two encrypted sign fixes."""
+        a, b, D = self._align(other)
+        fa, fb = FheInt(a, self.ck), FheInt(b, self.ck)
+        sa, sb = fa < 0, fb < 0
+        q, r = radix_divmod(fa.abs().digits, fb.abs().digits, self.ck)
+        qsign = sa != sb                           # signs differ -> negate q
+        fq, fr = FheInt(q, self.ck), FheInt(r, self.ck)
+        return qsign.select(-fq, fq), sa.select(-fr, fr)
+
     def __mul__(self, other):
         a, b, D = self._align(other)
         return FheInt(radix_mul(a, b, self.ck)[..., :D, :], self.ck)

@@ -217,6 +217,24 @@ def test_fheuint_divmod(ip, isk, ick):
     assert list((ca % cb).decrypt(isk)) == [3, 0, 0]
 
 
+def test_python_protocol_safety(ip, isk, ick):
+    """Encrypted comparisons must not silently act as Python bools, and
+    foreign-type equality must degrade to identity (NotImplemented)."""
+    a = _enc(5, 1, isk, ick, 230)
+    with pytest.raises(TypeError, match="decrypt"):
+        bool(a == a)                       # would otherwise always be truthy
+    with pytest.raises(TypeError, match="decrypt"):
+        if a < 4:                          # same trap via ordered compare
+            pass
+    assert (a == None) is False            # noqa: E711 — identity fallback
+    assert (a != "x") is True
+    assert divmod(45, a)[0].decrypt(isk) == 9     # __rdivmod__
+    s = I.FheInt.encrypt(jax.random.key(231), -3, 1, isk, ick, alpha=0.0)
+    assert (s == object()) is False
+    with pytest.raises(TypeError):
+        s & 1.5                            # non-integral -> TypeError
+
+
 def _senc(v, d, isk, ick, seed):
     return I.FheInt.encrypt(jax.random.key(seed), v, d, isk, ick, alpha=0.0)
 

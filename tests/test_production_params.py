@@ -108,6 +108,32 @@ def test_uint_family_lut_real_noise(pname, min_acc):
 
 
 @slow
+def test_uint4_integer_compare_real_noise():
+    """NOISE.md §10: the integer layer's widest linear combinations
+    (3-term borrow rounds, the eq AND-reduce) survive real uint4 noise.
+    2-digit values -> sub/lt (2 rotations) + eq incl. the sqrt(2)-bit
+    reduce, batched over 8 value pairs."""
+    from zig_tfhe_tpu.models import integer as I
+    params = P.SECURITY_UINT4
+    sk = K.SecretKey.generate(jax.random.key(40), params)
+    ck = K.CloudKey.generate(jax.random.key(41), sk, params)
+    rng = np.random.default_rng(42)
+    av = rng.integers(0, 64, 8)
+    bv = np.concatenate([av[:4], rng.integers(0, 64, 4)])  # 4 equal pairs
+    ca = I.encrypt_radix(jax.random.key(42), av, 2,
+                         params.tlwe_lv0.alpha, sk.key_lv0)
+    cb = I.encrypt_radix(jax.random.key(43), bv, 2,
+                         params.tlwe_lv0.alpha, sk.key_lv0)
+    diff, borrow = I.radix_sub(ca, cb, ck)
+    assert np.array_equal(I.decrypt_radix(diff, sk.key_lv0), (av - bv) % 64)
+    got_lt = I.decrypt_radix(borrow[:, None, :], sk.key_lv0)
+    assert np.array_equal(got_lt, (av < bv).astype(np.int64))
+    eq = I.radix_eq(ca, cb, ck)
+    got_eq = I.decrypt_radix(eq[:, None, :], sk.key_lv0)
+    assert np.array_equal(got_eq, (av == bv).astype(np.int64))
+
+
+@slow
 def test_110bit_gate_truth_tables_real_noise():
     params = P.SECURITY_110_BIT
     sk = K.SecretKey.generate(jax.random.key(20), params)

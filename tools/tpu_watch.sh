@@ -4,7 +4,8 @@
 set -u
 cd "$(dirname "$0")/.."
 while true; do
-  if timeout 180 python -c "import jax; assert jax.devices()" 2>/dev/null; then
+  # a CPU fallback backend must NOT count as "TPU up"
+  if timeout 180 python -c "import jax; d = jax.devices(); assert d and d[0].platform.lower() != 'cpu', d" 2>/dev/null; then
     echo "TPU up at $(date)" | tee -a tools/sweep_r02.log
     break
   fi

@@ -61,6 +61,9 @@ def _luts(params: SecurityParams):
     bank = {
         "mod": gen.generate_lookup_table(lambda t: t % BASE),
         "div": gen.generate_lookup_table(lambda t: t // BASE),
+        # div at the 8x packing scale (select bit for division's mux,
+        # rides the same rotation as mod/div)
+        "div8": gen.generate_lookup_table(lambda t: 8 * (t // BASE)),
     }
     for k in range(3):  # BASE = 2^3 bit-planes
         # outputs 8*bit directly so the packing add w = x + bits8 never
@@ -206,10 +209,13 @@ def encrypt_radix(key, value, n_digits: int, alpha: float, sk):
 
     value: python int or int array [...].  Returns int32 [..., n_digits,
     n0+1] (batch-first: a batch of integers is just a leading axis).
+    Digit extraction runs in host int64 so values beyond 2^31 encode
+    correctly (int32 shifts would silently truncate them).
     """
-    v = jnp.asarray(value, jnp.int32)
-    shifts = jnp.arange(n_digits, dtype=jnp.int32) * 3
-    digits = (v[..., None] >> shifts) & (BASE - 1)
+    v = np.asarray(value, np.int64)
+    shifts = 3 * np.arange(n_digits, dtype=np.int64)
+    digits = jnp.asarray(((v[..., None] >> shifts) & (BASE - 1))
+                         .astype(np.int32))
     return _tlwe.encrypt_message(key, digits, M, alpha, sk)
 
 
@@ -277,7 +283,7 @@ def radix_add(a_digits, b_digits, ck: CloudKey):
 # ---------------------------------------------------------------------------
 
 
-def radix_sub(a_digits, b_digits, ck: CloudKey):
+def radix_sub(a_digits, b_digits, ck: CloudKey, emit_ge8: bool = False):
     """Exact homomorphic subtraction with borrow chain.
 
     [..., D, n0+1] x2 (equal widths; pad first) -> (diff [..., D, n0+1],
@@ -289,6 +295,11 @@ def radix_sub(a_digits, b_digits, ck: CloudKey):
     1 - div (a trivial constant minus a fresh PBS output — no extra
     rotation, no noise amplification).  Same cost as radix_add: one
     2-LUT multi-value rotation per digit position over the whole batch.
+
+    emit_ge8=True adds a div8 LUT to the LAST digit's rotation and
+    returns (diff, borrow, ge8) where ge8 = 8*(a >= b) — the pre-scaled
+    select bit radix_select(sel8=...) consumes without its own x8
+    rotation (division's inner loop).
     """
     D = a_digits.shape[-2]
     assert b_digits.shape[-2] == D, (a_digits.shape, b_digits.shape)
@@ -296,12 +307,18 @@ def radix_sub(a_digits, b_digits, ck: CloudKey):
     one = _trivial_digit(1, a_digits[..., 0, :])
     borrow = _zeros_like_digit(a_digits[..., 0, :])
     out = []
+    ge8 = None
     for i in range(D):
         t = a_digits[..., i, :] - b_digits[..., i, :] - borrow + eight
-        both = _pbs_mv(t, ("mod", "div"), ck)    # 1 rotation, 2 LUTs
-        out.append(both[0])
-        borrow = one - both[1]
-    return jnp.stack(out, axis=-2), borrow
+        names = ("mod", "div", "div8") if (emit_ge8 and i == D - 1) \
+            else ("mod", "div")
+        res = _pbs_mv(t, names, ck)              # 1 rotation, 2-3 LUTs
+        out.append(res[0])
+        borrow = one - res[1]
+        if len(res) == 3:
+            ge8 = res[2]
+    diff = jnp.stack(out, axis=-2)
+    return (diff, borrow, ge8) if emit_ge8 else (diff, borrow)
 
 
 def radix_lt(a_digits, b_digits, ck: CloudKey):
@@ -341,17 +358,19 @@ def radix_eq(a_digits, b_digits, ck: CloudKey):
     return _and_reduce_bits(bits, ck)
 
 
-def radix_select(sel, a_digits, b_digits, ck: CloudKey):
+def radix_select(sel, a_digits, b_digits, ck: CloudKey, *, sel8=None):
     """Encrypted mux: sel (0/1 message ct [..., n0+1]) ? a : b.
 
     One rotation refreshes sel into its 8x form (x8 LUT), then every
     digit of both operands packs w = d + 8*s / w = d + 8*(1-s) and a
     single batched pp0lo rotation over 2D lanes returns d*s / d*(1-s);
     the sum is exact (one addend is 0) — 2 rotations total, any D.
+    Callers holding a pre-scaled bit (radix_sub(emit_ge8=True)) pass it
+    as sel8 and skip the x8 rotation; sel is ignored then.
     """
     D = a_digits.shape[-2]
     assert b_digits.shape[-2] == D
-    s8 = _pbs_mv(sel, ("x8",), ck)[0]
+    s8 = _pbs_mv(sel, ("x8",), ck)[0] if sel8 is None else sel8
     not8 = _trivial_digit(8, s8) - s8
     wa = jnp.moveaxis(a_digits, -2, 0) + s8
     wb = jnp.moveaxis(b_digits, -2, 0) + not8
@@ -563,8 +582,9 @@ def radix_divmod(n_digits, m_digits, ck: CloudKey):
     trial-subtract the divisor (Dm+1 rotations), and keep either result
     by encrypted mux (2 rotations) — the no-borrow bit IS the quotient
     bit.  Quotient digits reassemble as b0 + 2*b1 + 4*b2 (<= 7, exact)
-    with one final batched mod refresh.  ~3*Dn*(Dm+4) rotations total,
-    every rotation batched over all lanes/batch dims.
+    with one final batched mod refresh.  ~3*Dn*(Dm+3) rotations total
+    (the mux's x8 refresh rides the trial-subtract's last multi-value
+    rotation), every rotation batched over all lanes/batch dims.
 
     Division by an encrypted zero yields an all-ones quotient (tfhe-rs
     convention — no borrow ever fires) and an unspecified remainder.
@@ -585,9 +605,9 @@ def radix_divmod(n_digits, m_digits, ck: CloudKey):
     for i in range(3 * Dn - 1, -1, -1):
         R = radix_shl(R, 1, ck)[..., :Dr, :]      # top stays 0 (R < M)
         R = R.at[..., 0, :].add(ubits[i % 3, i // 3])
-        diff, borrow = radix_sub(R, m_ext, ck)
+        diff, borrow, ge8 = radix_sub(R, m_ext, ck, emit_ge8=True)
         ge = one - borrow                          # R >= M, linear flip
-        R = radix_select(ge, diff, R, ck)
+        R = radix_select(None, diff, R, ck, sel8=ge8)  # x8 rode the sub
         q_bits[i] = ge
     qd = [q_bits[3 * j] + 2 * q_bits[3 * j + 1] + 4 * q_bits[3 * j + 2]
           for j in range(Dn)]
@@ -600,7 +620,110 @@ def radix_divmod(n_digits, m_digits, ck: CloudKey):
 # ---------------------------------------------------------------------------
 
 
-class FheUint:
+class _FheOpsMixin:
+    """Operator wiring shared by FheUint/FheInt.
+
+    Subclasses provide ``_aligned(other) -> (a_digits, b_digits) | None``
+    (None = foreign type, rich comparisons return NotImplemented so
+    Python falls back to identity) and ``_lt_digits`` (the unsigned or
+    sign-biased borrow chain).  Comparisons return an encrypted 0/1 bit
+    as a 1-digit handle; defining __eq__ makes the handles unhashable
+    (value semantics) and __bool__ raises — an encrypted comparison has
+    no Python truth value (``if a == b:`` would otherwise silently take
+    the branch every time).
+    """
+
+    __slots__ = ()
+    __hash__ = None
+
+    def _aligned(self, other):
+        raise NotImplementedError
+
+    _lt_digits = None        # staticmethod set by subclasses
+
+    def _aligned_req(self, other):
+        pair = self._aligned(other)
+        if pair is None:
+            raise TypeError(f"cannot combine {type(self).__name__} with "
+                            f"{type(other).__name__}")
+        return pair
+
+    def __bool__(self):
+        raise TypeError(
+            f"{type(self).__name__} comparisons are encrypted bits with no "
+            "Python truth value; decrypt() the result instead")
+
+    def _bit(self, ct):
+        return type(self)(ct[..., None, :], self.ck)
+
+    def _flip(self, ct):
+        return self._bit(_trivial_digit(1, ct) - ct)
+
+    def __eq__(self, other):
+        pair = self._aligned(other)
+        if pair is None:
+            return NotImplemented
+        return self._bit(radix_eq(*pair, self.ck))
+
+    def __ne__(self, other):
+        pair = self._aligned(other)
+        if pair is None:
+            return NotImplemented
+        return self._flip(radix_eq(*pair, self.ck))
+
+    def __lt__(self, other):
+        pair = self._aligned(other)
+        if pair is None:
+            return NotImplemented
+        return self._bit(self._lt_digits(*pair, self.ck))
+
+    def __gt__(self, other):
+        pair = self._aligned(other)
+        if pair is None:
+            return NotImplemented
+        a, b = pair
+        return self._bit(self._lt_digits(b, a, self.ck))
+
+    def __le__(self, other):
+        pair = self._aligned(other)
+        if pair is None:
+            return NotImplemented
+        a, b = pair
+        return self._flip(self._lt_digits(b, a, self.ck))
+
+    def __ge__(self, other):
+        pair = self._aligned(other)
+        if pair is None:
+            return NotImplemented
+        return self._flip(self._lt_digits(*pair, self.ck))
+
+    def _bitwise(self, other, op):
+        a, b = self._aligned_req(other)
+        return type(self)(radix_bitwise(a, b, op, self.ck), self.ck)
+
+    def __and__(self, other):
+        return self._bitwise(other, "and")
+
+    def __or__(self, other):
+        return self._bitwise(other, "or")
+
+    def __xor__(self, other):
+        return self._bitwise(other, "xor")
+
+    __rand__, __ror__, __rxor__ = __and__, __or__, __xor__
+
+    def min(self, other):
+        a, b = self._aligned_req(other)
+        return type(self)(radix_select(self._lt_digits(a, b, self.ck),
+                                       a, b, self.ck), self.ck)
+
+    def max(self, other):
+        a, b = self._aligned_req(other)
+        return type(self)(radix_select(self._lt_digits(a, b, self.ck),
+                                       b, a, self.ck), self.ck)
+
+
+class FheUint(_FheOpsMixin):
     """Operator-overloaded encrypted unsigned integer (tfhe-rs-style DX).
 
     A thin immutable handle over the radix machinery: ``digits`` is the
@@ -672,6 +795,9 @@ class FheUint:
     def __rmod__(self, other):
         return self._coerce(other).__mod__(self)
 
+    def __rdivmod__(self, other):
+        return self._coerce(other).__divmod__(self)
+
     def __sub__(self, other):
         """Wrapping difference mod 8^D (tfhe-rs semantics); use
         ``a < b`` for the underflow indicator."""
@@ -681,55 +807,13 @@ class FheUint:
     def __rsub__(self, other):
         return self._coerce(other).__sub__(self)
 
-    # comparisons: encrypted 0/1 bit as a 1-digit FheUint (decrypt()
-    # yields 0 or 1).  Defining __eq__ makes FheUint unhashable — correct
-    # for a value-semantics ciphertext handle.
-    def _bit(self, ct):
-        return FheUint(ct[..., None, :], self.ck)
+    # comparisons/bitwise/min/max come from _FheOpsMixin via _aligned
+    def _aligned(self, other):
+        if not isinstance(other, (FheUint, int, np.integer)):
+            return None
+        return _pad_to_match(self.digits, self._coerce(other).digits)
 
-    def _flip(self, ct):
-        return self._bit(_trivial_digit(1, ct) - ct)
-
-    def __eq__(self, other):
-        a, b = _pad_to_match(self.digits, self._coerce(other).digits)
-        return self._bit(radix_eq(a, b, self.ck))
-
-    def __ne__(self, other):
-        a, b = _pad_to_match(self.digits, self._coerce(other).digits)
-        return self._flip(radix_eq(a, b, self.ck))
-
-    __hash__ = None
-
-    def __lt__(self, other):
-        a, b = _pad_to_match(self.digits, self._coerce(other).digits)
-        return self._bit(radix_lt(a, b, self.ck))
-
-    def __gt__(self, other):
-        a, b = _pad_to_match(self.digits, self._coerce(other).digits)
-        return self._bit(radix_lt(b, a, self.ck))
-
-    def __le__(self, other):
-        a, b = _pad_to_match(self.digits, self._coerce(other).digits)
-        return self._flip(radix_lt(b, a, self.ck))
-
-    def __ge__(self, other):
-        a, b = _pad_to_match(self.digits, self._coerce(other).digits)
-        return self._flip(radix_lt(a, b, self.ck))
-
-    def _bitwise(self, other, op):
-        a, b = _pad_to_match(self.digits, self._coerce(other).digits)
-        return FheUint(radix_bitwise(a, b, op, self.ck), self.ck)
-
-    def __and__(self, other):
-        return self._bitwise(other, "and")
-
-    def __or__(self, other):
-        return self._bitwise(other, "or")
-
-    def __xor__(self, other):
-        return self._bitwise(other, "xor")
-
-    __rand__, __ror__, __rxor__ = __and__, __or__, __xor__
+    _lt_digits = staticmethod(radix_lt)
 
     def __lshift__(self, s: int):
         return FheUint(radix_shl(self.digits, int(s), self.ck), self.ck)
@@ -745,19 +829,11 @@ class FheUint:
         return FheUint(radix_select(self.digits[..., 0, :], a, b, self.ck),
                        self.ck)
 
-    def min(self, other) -> "FheUint":
-        a, b = _pad_to_match(self.digits, self._coerce(other).digits)
-        return FheUint(radix_min(a, b, self.ck), self.ck)
-
-    def max(self, other) -> "FheUint":
-        a, b = _pad_to_match(self.digits, self._coerce(other).digits)
-        return FheUint(radix_max(a, b, self.ck), self.ck)
-
     def decrypt(self, sk):
         return decrypt_radix(self.digits, sk.key_lv0)
 
 
-class FheInt:
+class FheInt(_FheOpsMixin):
     """Operator-overloaded encrypted SIGNED integer (two's complement).
 
     Same radix-8 machinery as FheUint, fixed-width semantics: every
@@ -843,11 +919,13 @@ class FheInt:
         """TRUNCATING signed division (tfhe-rs/C semantics, not Python
         floor): quotient rounds toward zero, remainder takes the
         dividend's sign.  |a| divmod |b| on the unsigned machinery, then
-        two encrypted sign fixes."""
-        a, b, D = self._align(other)
+        two encrypted sign fixes (the sign bits are computed once and
+        reused for both the abs muxes and the fixes)."""
+        a, b, _ = self._align(other)
         fa, fb = FheInt(a, self.ck), FheInt(b, self.ck)
         sa, sb = fa < 0, fb < 0
-        q, r = radix_divmod(fa.abs().digits, fb.abs().digits, self.ck)
+        abs_a, abs_b = sa.select(-fa, fa), sb.select(-fb, fb)
+        q, r = radix_divmod(abs_a.digits, abs_b.digits, self.ck)
         qsign = sa != sb                           # signs differ -> negate q
         fq, fr = FheInt(q, self.ck), FheInt(r, self.ck)
         return qsign.select(-fq, fq), sa.select(-fr, fr)
@@ -858,52 +936,14 @@ class FheInt:
 
     __rmul__ = __mul__
 
-    def _bit(self, ct):
-        return FheInt(ct[..., None, :], self.ck)
-
-    def _flip(self, ct):
-        return self._bit(_trivial_digit(1, ct) - ct)
-
-    def __eq__(self, other):
+    # comparisons/bitwise/min/max come from _FheOpsMixin via _aligned
+    def _aligned(self, other):
+        if not isinstance(other, (FheInt, int, np.integer)):
+            return None
         a, b, _ = self._align(other)
-        return self._bit(radix_eq(a, b, self.ck))
+        return a, b
 
-    def __ne__(self, other):
-        a, b, _ = self._align(other)
-        return self._flip(radix_eq(a, b, self.ck))
-
-    __hash__ = None
-
-    def __lt__(self, other):
-        a, b, _ = self._align(other)
-        return self._bit(radix_lt_signed(a, b, self.ck))
-
-    def __gt__(self, other):
-        a, b, _ = self._align(other)
-        return self._bit(radix_lt_signed(b, a, self.ck))
-
-    def __le__(self, other):
-        a, b, _ = self._align(other)
-        return self._flip(radix_lt_signed(b, a, self.ck))
-
-    def __ge__(self, other):
-        a, b, _ = self._align(other)
-        return self._flip(radix_lt_signed(a, b, self.ck))
-
-    def _bitwise(self, other, op):
-        a, b, _ = self._align(other)
-        return FheInt(radix_bitwise(a, b, op, self.ck), self.ck)
-
-    def __and__(self, other):
-        return self._bitwise(other, "and")
-
-    def __or__(self, other):
-        return self._bitwise(other, "or")
-
-    def __xor__(self, other):
-        return self._bitwise(other, "xor")
-
-    __rand__, __ror__, __rxor__ = __and__, __or__, __xor__
+    _lt_digits = staticmethod(radix_lt_signed)
 
     def __lshift__(self, s: int):
         D = self.n_digits
@@ -926,16 +966,6 @@ class FheInt:
             b, a, _ = anchor._align(if_true)
         return FheInt(radix_select(self.digits[..., 0, :], a, b, self.ck),
                       self.ck)
-
-    def min(self, other) -> "FheInt":
-        a, b, _ = self._align(other)
-        return FheInt(radix_select(radix_lt_signed(a, b, self.ck), a, b,
-                                   self.ck), self.ck)
-
-    def max(self, other) -> "FheInt":
-        a, b, _ = self._align(other)
-        return FheInt(radix_select(radix_lt_signed(a, b, self.ck), b, a,
-                                   self.ck), self.ck)
 
     def decrypt(self, sk):
         raw = decrypt_radix(self.digits, sk.key_lv0)

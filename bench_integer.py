@@ -1,13 +1,13 @@
 #!/usr/bin/env python
-"""Encrypted integer multiply throughput: batched radix-8 6-bit x 6-bit.
+"""Encrypted integer op throughput: batched radix-8 6-bit operands.
 
-Each product is an exact composition of programmable bootstraps
+Each op is an exact composition of programmable bootstraps
 (models/integer.py); the batch axis shares every PBS round, so the cost
 per integer amortizes like the gate benches.  Accuracy is checked against
-plain multiplication (must be 1.0 at uint4 real noise).
+plain arithmetic (must be 1.0 at uint4 real noise).
 
 Env: BENCH_BATCH (default 256), BENCH_PARAMS (default uint4),
-     BENCH_ITERS (default 3).
+     BENCH_ITERS (default 3), BENCH_OP (mul|div|lt|eq, default mul).
 Prints one JSON line.
 """
 
@@ -60,27 +60,43 @@ def main():
     cb = I.encrypt_radix(jax.random.key(3), b, 2, params.tlwe_lv0.alpha,
                          sk.key_lv0)
 
-    mul = jax.jit(lambda x, y, k: I.radix_mul(x, y, k))
+    opname = os.environ.get("BENCH_OP", "mul")
+    ops = {
+        # (jitted fn on digit arrays, plain reference on values)
+        "mul": (lambda x, y, k: I.radix_mul(x, y, k), lambda: a * b),
+        "div": (lambda x, y, k: I.radix_divmod(x, y, k)[0],
+                lambda: a // np.maximum(b, 1)),
+        "lt": (lambda x, y, k: I.radix_lt(x, y, k)[:, None, :],
+               lambda: (a < b).astype(np.int64)),
+        "eq": (lambda x, y, k: I.radix_eq(x, y, k)[:, None, :],
+               lambda: (a == b).astype(np.int64)),
+    }
+    fn, ref = ops[opname]
+    if opname == "div":
+        b = np.maximum(b, 1)           # benchmarked path: nonzero divisors
+        cb = I.encrypt_radix(jax.random.key(3), b, 2,
+                             params.tlwe_lv0.alpha, sk.key_lv0)
+    op = jax.jit(fn)
     t0 = time.time()
-    out = _sync(mul(ca, cb, ck))
+    out = _sync(op(ca, cb, ck))
     print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
 
     dec = I.decrypt_radix(out, sk.key_lv0)
-    acc = float((dec == a * b).mean())
+    acc = float((dec == ref()).mean())
     print(f"# accuracy: {acc:.4f}", file=sys.stderr)
 
     times = []
     for _ in range(iters):
         t0 = time.time()
-        _sync(mul(ca, cb, ck))
+        _sync(op(ca, cb, ck))
         times.append(time.time() - t0)
     dt = float(np.median(times))
-    print(f"# median: {dt*1e3:.1f} ms for {B} products "
+    print(f"# median: {dt*1e3:.1f} ms for {B} {opname}s "
           f"({dt/B*1e3:.2f} ms each)", file=sys.stderr)
     print(json.dumps({
-        "metric": f"encrypted_int6_mults_per_s_{pname}_batch{B}",
+        "metric": f"encrypted_int6_{opname}s_per_s_{pname}_batch{B}",
         "value": round(B / dt, 2),
-        "unit": "mults/s",
+        "unit": f"{opname}s/s",
         "accuracy": acc,
     }))
 

@@ -24,3 +24,8 @@ BENCH_BATCH=1536 BENCH_BGBIT=6 BENCH_LEVELS=3-2 run python bench_step.py 128bit 
 BENCH_BATCH=1536 BENCH_BGBIT=6 BENCH_LEVELS=3-2 run python bench_step.py 128bit 4
 # reference point: shipped default (engine bg8/(2,2), group 2)
 BENCH_BATCH=1536 run python bench_step.py 128bit 2
+
+# new integer ops on-chip (throughput + accuracy at uint4 real noise)
+for op in div lt eq; do
+  BENCH_OP=$op run python bench_integer.py
+done

@@ -187,6 +187,23 @@ def test_fheuint_shifts(ip, isk, ick):
     assert (cx >> 12).decrypt(isk) == 0             # overshoot -> zero
 
 
+def test_fheuint_encrypted_amount_shifts(ip, isk, ick):
+    x = 37
+    cx = _enc(x, 2, isk, ick, 240)
+    for y in (0, 1, 3, 5, 7):
+        cy = _enc(y, 1, isk, ick, 241 + y)
+        assert (cx << cy).decrypt(isk) == (x << y) % 64, y   # fixed width
+        assert (cx >> cy).decrypt(isk) == x >> y, y
+    # batched amounts over a batched value
+    xs = np.array([37, 5, 63])
+    ys = np.array([1, 2, 6])
+    cxs = _enc(xs, 2, isk, ick, 250)
+    cys = _enc(ys, 1, isk, ick, 251)
+    assert list((cxs << cys).decrypt(isk)) == [(37 << 1) % 64,
+                                               (5 << 2) % 64, 0]
+    assert list((cxs >> cys).decrypt(isk)) == [18, 1, 0]
+
+
 def test_fheuint_batched_compare_select(ip, isk, ick):
     av = np.array([5, 30, 63])
     bv = np.array([7, 30, 1])

@@ -109,6 +109,37 @@ def _luts(params: SecurityParams):
     return bank
 
 
+def _bucket(B: int) -> int:
+    """Smallest power of two >= B (min 8).
+
+    Every distinct flattened batch size compiles its own copy of the
+    whole blind-rotate scan; the integer ops generate MANY distinct
+    sizes (lane counts x digit widths x batch dims).  Bucketing pads to
+    a power of two so they collapse onto a handful of compiled
+    executables — the same discipline a serving deployment needs to
+    avoid per-request recompiles.  The padded lanes bootstrap a zero
+    ciphertext and are sliced away; the overhead is bounded by 2x at
+    tiny sizes and vanishes at production batches.
+    """
+    b = 8
+    while b < B:
+        b *= 2
+    return b
+
+
+def _bootstrap_lut_bucketed(flat, tv, ck: CloudKey):
+    """bootstrap_lut with the flattened batch padded to a bucket size."""
+    B = flat.shape[0]
+    Bp = _bucket(B)
+    if Bp != B:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((Bp - B,) + flat.shape[1:], flat.dtype)])
+        if tv.ndim == 3:            # per-lane testvecs ride the batch axis
+            tv = jnp.concatenate(
+                [tv, jnp.broadcast_to(tv[:1], (Bp - B,) + tv.shape[1:])])
+    return L.bootstrap_lut(flat, tv, ck)[:B]
+
+
 def _pbs(cts, table_names, ck: CloudKey):
     """One batched heterogeneous bootstrap: lane i of ``cts`` [B, n0+1]
     gets the LUT named table_names[i] (a single shared name is allowed)."""
@@ -117,7 +148,7 @@ def _pbs(cts, table_names, ck: CloudKey):
         tv = bank[table_names].as_jax()
     else:
         tv = jnp.stack([bank[n].as_jax() for n in table_names])
-    return L.bootstrap_lut(cts, tv, ck)
+    return _bootstrap_lut_bucketed(cts, tv, ck)
 
 
 def _pbs_rows(rows, table_names, ck: CloudKey):
@@ -135,7 +166,7 @@ def _pbs_rows(rows, table_names, ck: CloudKey):
     flat = rows.reshape(Lanes * B, n1)
     tv = jnp.stack([bank[n].as_jax() for n in table_names])    # [L, 2, N]
     tv = jnp.repeat(tv, B, axis=0)                             # [L*B, 2, N]
-    out = L.bootstrap_lut(flat, tv, ck)
+    out = _bootstrap_lut_bucketed(flat, tv, ck)
     return out.reshape((Lanes,) + batch + (n1,))
 
 
@@ -161,8 +192,13 @@ def _pbs_mv(ct, table_names, ck: CloudKey):
     batch = ct.shape[:-1]
     B = int(np.prod(batch)) if batch else 1
     flat = ct.reshape(B, ct.shape[-1])
+    Bp = _bucket(B)
+    if Bp != B:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((Bp - B,) + flat.shape[1:], flat.dtype)])
     bank = _luts(ck.params)
     out = L.bootstrap_multi_lut(flat, [bank[n] for n in table_names], M, ck)
+    out = out[:, :B]
     return out.reshape((len(table_names),) + batch + (ct.shape[-1],))
 
 
@@ -185,8 +221,14 @@ def _pbs_mv_groups(rows, name_groups, ck: CloudKey):
         return out.reshape((G, K) + rows.shape[1:])
     params = ck.params
     batch = rows.shape[1:-1]
-    B = int(np.prod(batch)) if batch else 1
-    flat = rows.reshape(G * B, rows.shape[-1])
+    B0 = int(np.prod(batch)) if batch else 1
+    B = _bucket(B0)                       # collapse compile variants
+    grid = rows.reshape(G, B0, rows.shape[-1])
+    if B != B0:
+        grid = jnp.concatenate(
+            [grid, jnp.zeros((G, B - B0, grid.shape[-1]), grid.dtype)],
+            axis=1)
+    flat = grid.reshape(G * B, rows.shape[-1])
     base = jnp.asarray(L.multi_lut_base(M, params.N))
     acc = blind_rotate(flat, base, ck, params).reshape(G, B, 2, params.N)
     outs = jnp.stack([
@@ -196,6 +238,7 @@ def _pbs_mv_groups(rows, name_groups, ck: CloudKey):
     ])                                             # [G, K, B, 2, N]
     lv1 = _trlwe.sample_extract(outs.reshape(G * K * B, 2, params.N), 0)
     out = identity_key_switch(lv1, ck.ksk1, params)
+    out = out.reshape(G, K, B, -1)[:, :, :B0]      # drop bucket padding
     return out.reshape((G, K) + batch + (rows.shape[-1],))
 
 
@@ -567,6 +610,54 @@ def radix_mul(a_digits, b_digits, ck: CloudKey):
     return acc
 
 
+def radix_shl_enc(a_digits, y_digits, ck: CloudKey):
+    """Left shift by an ENCRYPTED amount y (barrel shifter).
+
+    Fixed width D (wraps mod 8^D — widening under an encrypted amount
+    would need data-dependent shapes); amounts >= 3*D shift everything
+    out.  One multi-value rotation extracts all bits of y in their 8x
+    packing form, then each bit k muxes x against x << 2^k — the select
+    consumes the pre-scaled bit directly (sel8), so a level costs one
+    shl rotation + one pack rotation: ~2 + 6*Dy rotations total.
+    """
+    D = a_digits.shape[-2]
+    Dy = y_digits.shape[-2]
+    bits8 = _pbs_mv(jnp.moveaxis(y_digits, -2, 0),
+                    ("bit0", "bit1", "bit2"), ck)      # [3, Dy, ..., n1]
+    x = a_digits
+    for k in range(3 * Dy):
+        s8 = bits8[k % 3, k // 3]
+        if (1 << k) < 3 * D:
+            shifted = radix_shl(x, 1 << k, ck)[..., :D, :]
+        else:
+            shifted = jnp.zeros_like(x)
+        x = radix_select(None, shifted, x, ck, sel8=s8)
+    return x
+
+
+def radix_shr_enc(a_digits, y_digits, ck: CloudKey):
+    """Logical right shift by an ENCRYPTED amount (see radix_shl_enc)."""
+    D = a_digits.shape[-2]
+    Dy = y_digits.shape[-2]
+    bits8 = _pbs_mv(jnp.moveaxis(y_digits, -2, 0),
+                    ("bit0", "bit1", "bit2"), ck)
+    x = a_digits
+    zero = None
+    for k in range(3 * Dy):
+        s8 = bits8[k % 3, k // 3]
+        if (1 << k) < 3 * D:
+            sh = radix_shr(x, 1 << k, ck)
+            pad = D - sh.shape[-2]
+            if pad:
+                if zero is None:
+                    zero = _zeros_like_digit(x[..., 0, :])[..., None, :]
+                sh = jnp.concatenate([sh] + [zero] * pad, axis=-2)
+        else:
+            sh = jnp.zeros_like(x)
+        x = radix_select(None, sh, x, ck, sel8=s8)
+    return x
+
+
 # ---------------------------------------------------------------------------
 # Division
 # ---------------------------------------------------------------------------
@@ -815,10 +906,18 @@ class FheUint(_FheOpsMixin):
 
     _lt_digits = staticmethod(radix_lt)
 
-    def __lshift__(self, s: int):
+    def __lshift__(self, s):
+        """Plain amounts widen to hold every bit; an encrypted (FheUint)
+        amount keeps the width (wraps mod 8^D, barrel shifter)."""
+        if isinstance(s, FheUint):
+            return FheUint(radix_shl_enc(self.digits, s.digits, self.ck),
+                           self.ck)
         return FheUint(radix_shl(self.digits, int(s), self.ck), self.ck)
 
-    def __rshift__(self, s: int):
+    def __rshift__(self, s):
+        if isinstance(s, FheUint):
+            return FheUint(radix_shr_enc(self.digits, s.digits, self.ck),
+                           self.ck)
         return FheUint(radix_shr(self.digits, int(s), self.ck), self.ck)
 
     def select(self, if_true, if_false) -> "FheUint":

@@ -22,6 +22,23 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/ztfhe_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+# The suite's compiled executables mmap ~900 new vmas/minute on the
+# 8-device CPU client; at the kernel default vm.max_map_count = 65530
+# pytest SEGFAULTS mid-suite once mmap starts failing (measured: the
+# crash moved with total compile volume, landing in XLA's compile or
+# cache-deserialize paths — both mmap JIT code pages).  Fail fast with
+# the fix instead of a mystery segv 30 minutes in.
+try:
+    with open("/proc/sys/vm/max_map_count") as f:
+        _max_maps = int(f.read())
+    if _max_maps < 262144:
+        raise RuntimeError(
+            f"vm.max_map_count = {_max_maps} is too low for the test "
+            "suite (it exhausts the kernel default and segfaults inside "
+            "XLA). Run: sudo sysctl -w vm.max_map_count=1048576")
+except FileNotFoundError:  # non-Linux
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

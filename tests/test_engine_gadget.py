@@ -137,9 +137,17 @@ def test_hoeffding_plan_stays_three_primes(monkeypatch):
     monkeypatch.setenv("ZTFHE_WORSTCASE_BOUND", "1")
     plan_wc = NTT.plan_for_params(p, drop, group=2, levels=(2, 2), bgbit=8)
     assert plan_wc.n_primes == 4
-    # the parameter gadget never uses the tail bound
+    # direct oracle plans (no pseudorandom_key) keep the worst-case bound
     plan_ref = NTT.plan_for_params(p, 7, group=2, levels=(3, 2))
     assert plan_ref.n_primes == 3
+    # BSK paths get the tail bound at the PARAMETER base too: group-3 at
+    # bg6/(3,2)/drop=5 is 3 primes pseudorandom, 4 worst-case
+    monkeypatch.delenv("ZTFHE_WORSTCASE_BOUND", raising=False)
+    g3 = NTT.plan_for_params(p, 5, group=3, levels=(3, 2), bgbit=6,
+                             pseudorandom_key=True)
+    assert g3.n_primes == 3
+    g3_oracle = NTT.plan_for_params(p, 5, group=3, levels=(3, 2), bgbit=6)
+    assert g3_oracle.n_primes == 4
 
 
 def test_cloud_key_serialization_engine_gadget(tmp_path, tiny, tiny_sk):

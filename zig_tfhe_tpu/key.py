@@ -179,7 +179,8 @@ class CloudKey:
         bsk_ntt = None
         if "ntt" in engines:
             plan = _nttmod.plan_for_params(params, ntt_drop, group,
-                                           decomp_levels, bgbit=engine_bgbit)
+                                           decomp_levels, bgbit=engine_bgbit,
+                                           pseudorandom_key=True)
             if group == 1:
                 shape = (params.n0, plan.n_primes, la + lb, 2, params.N)
             else:
@@ -287,7 +288,8 @@ def gen_bootstrapping_key_ntt(key, secret_key: SecretKey,
 
     e = params.bgbit if bgbit is None else bgbit
     la, lb = _nttmod.norm_levels(params, levels, bgbit=e)
-    plan = _nttmod.plan_for_params(params, drop, group, (la, lb), bgbit=e)
+    plan = _nttmod.plan_for_params(params, drop, group, (la, lb), bgbit=e,
+                                   pseudorandom_key=True)
     s = secret_key.key_lv0
     if group == 1:
         values = s

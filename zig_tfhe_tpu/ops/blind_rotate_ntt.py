@@ -80,7 +80,8 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
     n_rows = levels[0] + levels[1]
     assert n_rows == (bsk_ntt.shape[2] if group == 1 else bsk_ntt.shape[3]), \
         (levels, bsk_ntt.shape)
-    plan = _ntt.plan_for_params(params, drop_bits, group, levels, bgbit=e)
+    plan = _ntt.plan_for_params(params, drop_bits, group, levels, bgbit=e,
+                                pseudorandom_key=True)
     n0, N = params.n0, params.N
     B = tlwe_batch.shape[0]
     e_limbs = _ntt.engine_digit_limbs(e)

@@ -285,7 +285,8 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
 
 def plan_for_params(params: SecurityParams, drop_bits: int = 0,
                     group: int = 1, levels: int | None = None,
-                    bgbit: int | None = None) -> NTTPlan:
+                    bgbit: int | None = None,
+                    pseudorandom_key: bool = False) -> NTTPlan:
     """Plan covering one external product + NTT-domain rotation.
 
     group=1: true integer magnitude <= 2 (X^t - 1) * 2L rows * N terms
@@ -306,10 +307,16 @@ def plan_for_params(params: SecurityParams, drop_bits: int = 0,
     < 2^-128 PER COEFFICIENT (tau = sqrt(2 ln(2^129) S) ~ 13.4 sqrt(S)).
     This keeps the Bg_e = 2^8 gadget on the 3-prime plan where the
     worst-case bound would force a 4th prime — the entire point of the
-    engine gadget.  ZTFHE_WORSTCASE_BOUND=1 forces the worst-case bound
-    (paranoia/debug; plans then differ from generated keys' plans, so set
-    it for keygen too).  Paths with caller-controlled adversarial inputs
-    (the standalone oracles at the PARAMETER gadget) keep the worst-case
+    engine gadget.  The pseudorandomness argument holds for EVERY
+    freshly generated BSK (the residues are NTTs of encryptions the
+    engine itself produced), not just engine-base ones, so the blind
+    rotation/keygen paths pass pseudorandom_key=True and get the
+    Hoeffding bound at the parameter base too (group=3 at bg6/(3,2)
+    rides the 3-prime plan this way).  ZTFHE_WORSTCASE_BOUND=1 forces
+    the worst-case bound (paranoia/debug; plans then differ from
+    generated keys' plans, so set it for keygen too).  Paths with
+    caller-controlled adversarial inputs (the standalone external
+    products taking arbitrary TRGSW ciphertexts) keep the worst-case
     bound — plans there are unchanged.
     """
     e = params.bgbit if bgbit is None else bgbit
@@ -319,7 +326,7 @@ def plan_for_params(params: SecurityParams, drop_bits: int = 0,
     key_bound = 1 << (31 - drop_bits)
     bound = mult * (la + lb) * params.N * digit_bound * key_bound
     bits = bound.bit_length()
-    if e != params.bgbit and os.environ.get(
+    if (pseudorandom_key or e != params.bgbit) and os.environ.get(
             "ZTFHE_WORSTCASE_BOUND", "") not in ("1", "true"):
         # Hoeffding: tau = sqrt(2 * ln(2^129) * T) * d_max * K_max
         tau = (math.sqrt(2 * math.log(2) * 129

@@ -204,6 +204,30 @@ def test_fheuint_encrypted_amount_shifts(ip, isk, ick):
     assert list((cxs >> cys).decrypt(isk)) == [18, 1, 0]
 
 
+def test_gates_integer_bridge(ip, isk, ick):
+    """Radix digits <-> boolean gate bits round-trip, and composition
+    with the gate layer (bitwise AND through models/gates)."""
+    from zig_tfhe_tpu import tlwe
+    from zig_tfhe_tpu.models import gates as G
+    v, w = 45, 19                                 # 6 bits, 2 digits
+    ca = I.encrypt_radix(jax.random.key(260), v, 2, 0.0, isk.key_lv0)
+    bits = I.to_bools(ca, ick)                    # [6, n0+1], +-1/8 codec
+    got = np.asarray(tlwe.decrypt_bool(bits, isk.key_lv0)).astype(int)
+    assert list(got) == [(v >> i) & 1 for i in range(6)]
+    d2 = I.from_bools(bits, ick)
+    assert I.decrypt_radix(d2, isk.key_lv0) == v
+    wb = tlwe.encrypt_bool(
+        jax.random.key(261),
+        np.array([(w >> i) & 1 for i in range(6)], bool),
+        0.0, isk.key_lv0)
+    anded = G.gate("and", bits, wb, ick)          # boolean layer
+    back = I.from_bools(anded, ick)
+    assert I.decrypt_radix(back, isk.key_lv0) == (v & w)
+    # partial top digit: 4 bits -> 2 digits
+    d4 = I.from_bools(bits[:4], ick)
+    assert I.decrypt_radix(d4, isk.key_lv0) == (v & 15)
+
+
 def test_fheuint_batched_compare_select(ip, isk, ick):
     av = np.array([5, 30, 63])
     bv = np.array([7, 30, 1])

@@ -45,6 +45,7 @@ from zig_tfhe_tpu import tlwe as _tlwe
 from zig_tfhe_tpu.key import CloudKey
 from zig_tfhe_tpu.models import lut as L
 from zig_tfhe_tpu.params import SecurityParams
+from zig_tfhe_tpu.utils import torus as _torus
 
 BASE = 8          # radix of the encrypted integers
 M = 16            # PBS message modulus per digit (headroom factor 2)
@@ -87,6 +88,12 @@ def _luts(params: SecurityParams):
             lambda w, k=k: ((((w % 8) >> k) & 1) | (w // 8)) << k)
         bank[f"xor{k}"] = gen.generate_lookup_table(
             lambda w, k=k: ((((w % 8) >> k) & 1) ^ (w // 8)) << k)
+    # gates <-> integer bridge: the k-th digit bit emitted at the BOOLEAN
+    # gate codec (+-1/8) so outputs feed models/gates directly
+    for k in range(3):
+        bank[f"boolbit{k}"] = gen.generate_lookup_table_full(
+            lambda t, k=k: _torus.torus_constant(
+                0.125 if ((t % 8) >> k) & 1 else -0.125))
     # comparisons / selection
     bank["eq8"] = gen.generate_lookup_table(lambda t: 1 if t == 8 else 0)
     bank["iszero"] = gen.generate_lookup_table(lambda t: 1 if t == 0 else 0)
@@ -608,6 +615,53 @@ def radix_mul(a_digits, b_digits, ck: CloudKey):
             [zero] * j + [row] + [zero] * (Db - 1 - j), axis=-2)
         acc = radix_add(acc, padded, ck)[..., : Da + Db, :]
     return acc
+
+
+def to_bools(digits, ck: CloudKey):
+    """Radix digits -> boolean-codec bits: [..., D, n0+1] ->
+    [..., 3D, n0+1] TLWE ciphertexts at the gate codec (+-1/8),
+    little-endian — directly composable with models/gates (and
+    models/circuits adders / the Bristol scheduler).
+
+    One batched rotation: 3 boolbit lanes per digit, each a full-output
+    LUT emitting +-1/8 raw torus values.
+    """
+    D = digits.shape[-2]
+    rows = jnp.repeat(jnp.moveaxis(digits, -2, 0), 3, axis=0)  # [3D, ...]
+    names = tuple(f"boolbit{k}" for _ in range(D) for k in range(3))
+    return jnp.moveaxis(_pbs_rows(rows, names, ck), 0, -2)
+
+
+def from_bools(bits, ck: CloudKey):
+    """Boolean-codec bits -> radix digits: [..., nb, n0+1] (+-1/8 codec,
+    little-endian, e.g. gate/adder outputs) -> [..., ceil(nb/3), n0+1]
+    PBS-codec digits.
+
+    One batched rotation over all bits: lane 3j+k bootstraps with a
+    CONSTANT testvec 2^k/(4M), so the sign of the bit selects
+    -+2^k/(4M); adding the trivial offset 2^k/(4M) yields bit*2^k at the
+    digit codec, and each digit is the exact sum of its <= 3 disjoint
+    bit contributions.
+    """
+    nb = bits.shape[-2]
+    D = -(-nb // 3)
+    rows = jnp.moveaxis(bits, -2, 0)                       # [nb, ..., n1]
+    batch = rows.shape[1:-1]
+    B = int(np.prod(batch)) if batch else 1
+    flat = rows.reshape(nb * B, rows.shape[-1])
+    N = ck.params.N
+    offs = np.array([((1 << 32) // (4 * M)) << (i % 3) for i in range(nb)],
+                    np.int32)
+    tv = np.zeros((nb, 2, N), np.int32)
+    tv[:, 1, :] = offs[:, None]
+    tv = jnp.repeat(jnp.asarray(tv), B, axis=0)            # lane i*B+b
+    out = _bootstrap_lut_bucketed(flat, tv, ck)
+    out = out.reshape((nb,) + batch + (rows.shape[-1],))
+    out = out.at[..., -1].add(
+        jnp.asarray(offs).reshape((nb,) + (1,) * len(batch)))
+    ds = [sum(out[3 * j + k] for k in range(3) if 3 * j + k < nb)
+          for j in range(D)]
+    return jnp.moveaxis(jnp.stack(ds), 0, -2)
 
 
 def radix_shl_enc(a_digits, y_digits, ck: CloudKey):

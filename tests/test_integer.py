@@ -202,6 +202,11 @@ def test_fheuint_encrypted_amount_shifts(ip, isk, ick):
     assert list((cxs << cys).decrypt(isk)) == [(37 << 1) % 64,
                                                (5 << 2) % 64, 0]
     assert list((cxs >> cys).decrypt(isk)) == [18, 1, 0]
+    # signed arithmetic shift by an encrypted amount
+    sx = I.FheInt.encrypt(jax.random.key(252), -100, 3, isk, ick, alpha=0.0)
+    for y in (1, 4, 12):
+        cy = _enc(y, 2, isk, ick, 253 + y)
+        assert (sx >> cy).decrypt(isk) == -100 >> y, y
 
 
 def test_gates_integer_bridge(ip, isk, ick):

@@ -664,15 +664,16 @@ def from_bools(bits, ck: CloudKey):
     return jnp.moveaxis(jnp.stack(ds), 0, -2)
 
 
-def radix_shl_enc(a_digits, y_digits, ck: CloudKey):
-    """Left shift by an ENCRYPTED amount y (barrel shifter).
+def _barrel_shift(a_digits, y_digits, ck: CloudKey, shift_fn):
+    """Barrel shifter core: fixed width D (data-dependent widths are
+    impossible under an encrypted amount); amounts >= 3*D shift
+    everything into the fill (zeros, or sign digits for shift_fn =
+    radix_asr which keeps width and sign-fills by construction).
 
-    Fixed width D (wraps mod 8^D — widening under an encrypted amount
-    would need data-dependent shapes); amounts >= 3*D shift everything
-    out.  One multi-value rotation extracts all bits of y in their 8x
-    packing form, then each bit k muxes x against x << 2^k — the select
-    consumes the pre-scaled bit directly (sel8), so a level costs one
-    shl rotation + one pack rotation: ~2 + 6*Dy rotations total.
+    One multi-value rotation extracts all bits of y in their 8x packing
+    form, then each bit k muxes x against shift_fn(x, 2^k) — the select
+    consumes the pre-scaled bit directly (sel8), so a level costs the
+    plain shift's rotations + one pack rotation.
     """
     D = a_digits.shape[-2]
     Dy = y_digits.shape[-2]
@@ -681,35 +682,40 @@ def radix_shl_enc(a_digits, y_digits, ck: CloudKey):
     x = a_digits
     for k in range(3 * Dy):
         s8 = bits8[k % 3, k // 3]
-        if (1 << k) < 3 * D:
-            shifted = radix_shl(x, 1 << k, ck)[..., :D, :]
-        else:
-            shifted = jnp.zeros_like(x)
+        shifted = shift_fn(x, min(1 << k, 3 * D), ck)
         x = radix_select(None, shifted, x, ck, sel8=s8)
     return x
 
 
+def _shl_fixed(x, s, ck):
+    D = x.shape[-2]
+    return radix_shl(x, s, ck)[..., :D, :]
+
+
+def _shr_fixed(x, s, ck):
+    D = x.shape[-2]
+    sh = radix_shr(x, s, ck)
+    pad = D - sh.shape[-2]
+    if pad:
+        zero = _zeros_like_digit(x[..., 0, :])[..., None, :]
+        sh = jnp.concatenate([sh] + [zero] * pad, axis=-2)
+    return sh
+
+
+def radix_shl_enc(a_digits, y_digits, ck: CloudKey):
+    """Left shift by an ENCRYPTED amount y (wraps mod 8^D)."""
+    return _barrel_shift(a_digits, y_digits, ck, _shl_fixed)
+
+
 def radix_shr_enc(a_digits, y_digits, ck: CloudKey):
-    """Logical right shift by an ENCRYPTED amount (see radix_shl_enc)."""
-    D = a_digits.shape[-2]
-    Dy = y_digits.shape[-2]
-    bits8 = _pbs_mv(jnp.moveaxis(y_digits, -2, 0),
-                    ("bit0", "bit1", "bit2"), ck)
-    x = a_digits
-    zero = None
-    for k in range(3 * Dy):
-        s8 = bits8[k % 3, k // 3]
-        if (1 << k) < 3 * D:
-            sh = radix_shr(x, 1 << k, ck)
-            pad = D - sh.shape[-2]
-            if pad:
-                if zero is None:
-                    zero = _zeros_like_digit(x[..., 0, :])[..., None, :]
-                sh = jnp.concatenate([sh] + [zero] * pad, axis=-2)
-        else:
-            sh = jnp.zeros_like(x)
-        x = radix_select(None, sh, x, ck, sel8=s8)
-    return x
+    """Logical right shift by an ENCRYPTED amount."""
+    return _barrel_shift(a_digits, y_digits, ck, _shr_fixed)
+
+
+def radix_asr_enc(a_digits, y_digits, ck: CloudKey):
+    """ARITHMETIC (sign-filling) right shift by an ENCRYPTED amount
+    (two's-complement digits; y is an unsigned radix amount)."""
+    return _barrel_shift(a_digits, y_digits, ck, radix_asr)
 
 
 # ---------------------------------------------------------------------------
@@ -1098,12 +1104,22 @@ class FheInt(_FheOpsMixin):
 
     _lt_digits = staticmethod(radix_lt_signed)
 
-    def __lshift__(self, s: int):
+    def __lshift__(self, s):
+        """Wrapping left shift; the amount may be plain or an encrypted
+        unsigned value (FheUint/FheInt digits, treated unsigned)."""
+        if isinstance(s, (FheInt, FheUint)):
+            return FheInt(radix_shl_enc(self.digits, s.digits, self.ck),
+                          self.ck)
         D = self.n_digits
         return FheInt(radix_shl(self.digits, int(s), self.ck)[..., :D, :],
                       self.ck)
 
-    def __rshift__(self, s: int):
+    def __rshift__(self, s):
+        """Arithmetic right shift (sign-filling), plain or encrypted
+        amount."""
+        if isinstance(s, (FheInt, FheUint)):
+            return FheInt(radix_asr_enc(self.digits, s.digits, self.ck),
+                          self.ck)
         return FheInt(radix_asr(self.digits, int(s), self.ck), self.ck)
 
     def select(self, if_true, if_false) -> "FheInt":

@@ -134,6 +134,29 @@ def test_uint4_integer_compare_real_noise():
 
 
 @slow
+def test_uint4_gates_integer_bridge_real_noise():
+    """The gates<->integer bridge at real uint4 noise: digit bits emit
+    at the +-1/8 gate codec (full-output LUTs) and return through
+    constant-testvec sign bootstraps — a different output-noise path
+    from the message-codec LUTs, pinned here end-to-end."""
+    from zig_tfhe_tpu import tlwe
+    from zig_tfhe_tpu.models import integer as I
+    params = P.SECURITY_UINT4
+    sk = K.SecretKey.generate(jax.random.key(50), params)
+    ck = K.CloudKey.generate(jax.random.key(51), sk, params)
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 64, 8)
+    ct = I.encrypt_radix(jax.random.key(52), vals, 2,
+                         params.tlwe_lv0.alpha, sk.key_lv0)
+    bits = I.to_bools(ct, ck)                      # [8, 6, n0+1]
+    dec_bits = np.asarray(tlwe.decrypt_bool(bits, sk.key_lv0)).astype(int)
+    want = np.stack([(vals >> i) & 1 for i in range(6)], axis=-1)
+    assert np.array_equal(dec_bits, want)
+    back = I.from_bools(bits, ck)
+    assert np.array_equal(I.decrypt_radix(back, sk.key_lv0), vals)
+
+
+@slow
 def test_110bit_gate_truth_tables_real_noise():
     params = P.SECURITY_110_BIT
     sk = K.SecretKey.generate(jax.random.key(20), params)

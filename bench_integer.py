@@ -91,12 +91,14 @@ def main():
         _sync(op(ca, cb, ck))
         times.append(time.time() - t0)
     dt = float(np.median(times))
-    print(f"# median: {dt*1e3:.1f} ms for {B} {opname}s "
+    # "mults" (not "muls") keeps the round-1 metric series continuous
+    plural = {"mul": "mults"}.get(opname, f"{opname}s")
+    print(f"# median: {dt*1e3:.1f} ms for {B} {plural} "
           f"({dt/B*1e3:.2f} ms each)", file=sys.stderr)
     print(json.dumps({
-        "metric": f"encrypted_int6_{opname}s_per_s_{pname}_batch{B}",
+        "metric": f"encrypted_int6_{plural}_per_s_{pname}_batch{B}",
         "value": round(B / dt, 2),
-        "unit": f"{opname}s/s",
+        "unit": f"{plural}/s",
         "accuracy": acc,
     }))
 

@@ -40,18 +40,25 @@ def main():
     sk = K.SecretKey.generate(jax.random.key(0), params)
     ck = K.CloudKey.generate(jax.random.key(1), sk, params)
 
-    cts = [FheUint.encrypt(jax.random.key(10 + i), b, 2, sk, ck)
-           for i, b in enumerate(bids)]
+    import jax.numpy as jnp
+    import numpy as np
+
+    # ONE batched ciphertext of all bids: every PBS round below runs all
+    # lanes at once (the layer's batch-first discipline)
+    cts = FheUint.encrypt(jax.random.key(10), np.array(bids), 2, sk, ck)
 
     t0 = time.time()
-    # max tree (2 levels for 4 bidders)
-    m01 = cts[0].max(cts[1])
-    m23 = cts[2].max(cts[3])
-    winning = m01.max(m23)
-    # per-bidder win bit: bid == winning price
-    wins = [(c == winning) for c in cts]
-    price = winning.decrypt(sk)
-    flags = [int(w.decrypt(sk)) for w in wins]
+    # max tree, halving the batch per level (2 levels for 4 bidders)
+    lo = FheUint(cts.digits[0:2], ck)
+    hi = FheUint(cts.digits[2:4], ck)
+    semi = lo.max(hi)                                  # [2, ...] batched max
+    winning = FheUint(semi.digits[0:1], ck).max(FheUint(semi.digits[1:2], ck))
+    # per-bidder win bit: all four equality checks in ONE batched eq
+    bcast = FheUint(
+        jnp.broadcast_to(winning.digits, cts.digits.shape), ck)
+    wins = cts == bcast
+    price = int(winning.decrypt(sk)[0])
+    flags = [int(f) for f in wins.decrypt(sk)]
     dt = time.time() - t0
 
     expected_price = max(bids)

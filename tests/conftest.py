@@ -32,11 +32,14 @@ try:
     with open("/proc/sys/vm/max_map_count") as f:
         _max_maps = int(f.read())
     if _max_maps < 262144:
-        raise RuntimeError(
-            f"vm.max_map_count = {_max_maps} is too low for the test "
-            "suite (it exhausts the kernel default and segfaults inside "
-            "XLA). Run: sudo sysctl -w vm.max_map_count=1048576")
-except FileNotFoundError:  # non-Linux
+        import warnings
+
+        warnings.warn(
+            f"vm.max_map_count = {_max_maps}: a FULL suite run exhausts "
+            "the kernel default after ~30 min and segfaults inside XLA "
+            "(small subsets are fine). Fix with: "
+            "sudo sysctl -w vm.max_map_count=1048576", stacklevel=1)
+except (OSError, ValueError):  # non-Linux / restricted /proc
     pass
 
 import numpy as np  # noqa: E402

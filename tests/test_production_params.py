@@ -157,6 +157,27 @@ def test_uint4_gates_integer_bridge_real_noise():
 
 
 @slow
+def test_uint4_encrypted_amount_shift_real_noise():
+    """Barrel shifter at real uint4 noise: its packed mux inputs carry
+    up to 3 fresh PBS outputs per level (NOISE.md §10), repeated for
+    every amount bit — the deepest chain in the integer layer."""
+    from zig_tfhe_tpu.models import integer as I
+    params = P.SECURITY_UINT4
+    sk = K.SecretKey.generate(jax.random.key(60), params)
+    ck = K.CloudKey.generate(jax.random.key(61), sk, params)
+    a = params.tlwe_lv0.alpha
+    x, y = 37, 5
+    cx = I.encrypt_radix(jax.random.key(62), x, 2, a, sk.key_lv0)
+    cy = I.encrypt_radix(jax.random.key(63), y, 1, a, sk.key_lv0)
+    assert I.decrypt_radix(I.radix_shl_enc(cx, cy, ck),
+                           sk.key_lv0) == (x << y) % 64
+    assert I.decrypt_radix(I.radix_shr_enc(cx, cy, ck), sk.key_lv0) == x >> y
+    sx = I.FheInt.encrypt(jax.random.key(64), -21, 2, sk, ck)
+    got = I.FheInt(I.radix_asr_enc(sx.digits, cy, ck), ck).decrypt(sk)
+    assert got == -21 >> y
+
+
+@slow
 def test_110bit_gate_truth_tables_real_noise():
     params = P.SECURITY_110_BIT
     sk = K.SecretKey.generate(jax.random.key(20), params)

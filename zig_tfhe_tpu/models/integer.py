@@ -134,13 +134,23 @@ def _bucket(B: int) -> int:
     return b
 
 
+def _pad_to_bucket(x, B: int | None = None):
+    """Zero-pad x's leading axis to its power-of-two bucket (pass B to
+    pad to an explicit target instead).  Inverse is a [:orig] slice."""
+    B0 = x.shape[0]
+    Bp = _bucket(B0) if B is None else B
+    if Bp == B0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((Bp - B0,) + x.shape[1:], x.dtype)])
+
+
 def _bootstrap_lut_bucketed(flat, tv, ck: CloudKey):
     """bootstrap_lut with the flattened batch padded to a bucket size."""
     B = flat.shape[0]
     Bp = _bucket(B)
     if Bp != B:
-        flat = jnp.concatenate(
-            [flat, jnp.zeros((Bp - B,) + flat.shape[1:], flat.dtype)])
+        flat = _pad_to_bucket(flat)
         if tv.ndim == 3:            # per-lane testvecs ride the batch axis
             tv = jnp.concatenate(
                 [tv, jnp.broadcast_to(tv[:1], (Bp - B,) + tv.shape[1:])])
@@ -198,11 +208,7 @@ def _pbs_mv(ct, table_names, ck: CloudKey):
         return _pbs_rows(rows, table_names, ck)
     batch = ct.shape[:-1]
     B = int(np.prod(batch)) if batch else 1
-    flat = ct.reshape(B, ct.shape[-1])
-    Bp = _bucket(B)
-    if Bp != B:
-        flat = jnp.concatenate(
-            [flat, jnp.zeros((Bp - B,) + flat.shape[1:], flat.dtype)])
+    flat = _pad_to_bucket(ct.reshape(B, ct.shape[-1]))
     bank = _luts(ck.params)
     out = L.bootstrap_multi_lut(flat, [bank[n] for n in table_names], M, ck)
     out = out[:, :B]
@@ -232,9 +238,8 @@ def _pbs_mv_groups(rows, name_groups, ck: CloudKey):
     B = _bucket(B0)                       # collapse compile variants
     grid = rows.reshape(G, B0, rows.shape[-1])
     if B != B0:
-        grid = jnp.concatenate(
-            [grid, jnp.zeros((G, B - B0, grid.shape[-1]), grid.dtype)],
-            axis=1)
+        grid = jnp.moveaxis(
+            _pad_to_bucket(jnp.moveaxis(grid, 1, 0), B), 0, 1)
     flat = grid.reshape(G * B, rows.shape[-1])
     base = jnp.asarray(L.multi_lut_base(M, params.N))
     acc = blind_rotate(flat, base, ck, params).reshape(G, B, 2, params.N)
@@ -967,15 +972,16 @@ class FheUint(_FheOpsMixin):
     _lt_digits = staticmethod(radix_lt)
 
     def __lshift__(self, s):
-        """Plain amounts widen to hold every bit; an encrypted (FheUint)
-        amount keeps the width (wraps mod 8^D, barrel shifter)."""
-        if isinstance(s, FheUint):
+        """Plain amounts widen to hold every bit; an encrypted amount
+        (FheUint or FheInt digits, treated unsigned) keeps the width
+        (wraps mod 8^D, barrel shifter)."""
+        if isinstance(s, (FheUint, FheInt)):
             return FheUint(radix_shl_enc(self.digits, s.digits, self.ck),
                            self.ck)
         return FheUint(radix_shl(self.digits, int(s), self.ck), self.ck)
 
     def __rshift__(self, s):
-        if isinstance(s, FheUint):
+        if isinstance(s, (FheUint, FheInt)):
             return FheUint(radix_shr_enc(self.digits, s.digits, self.ck),
                            self.ck)
         return FheUint(radix_shr(self.digits, int(s), self.ck), self.ck)

@@ -82,6 +82,15 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
         (levels, bsk_ntt.shape)
     plan = _ntt.plan_for_params(params, drop_bits, group, levels, bgbit=e,
                                 pseudorandom_key=True)
+    key_primes = bsk_ntt.shape[1] if group == 1 else bsk_ntt.shape[2]
+    if key_primes != plan.n_primes:
+        # A key serialized under a different plan-bound version: residues
+        # mod the wrong primes would decrypt to noise with no error.
+        raise ValueError(
+            f"BSK holds {key_primes} CRT prime planes but the current "
+            f"plan selects {plan.n_primes} — this key was generated under "
+            "a different plan bound (regenerate it, or set "
+            "ZTFHE_WORSTCASE_BOUND to match how it was built)")
     n0, N = params.n0, params.N
     B = tlwe_batch.shape[0]
     e_limbs = _ntt.engine_digit_limbs(e)
@@ -226,6 +235,11 @@ def external_product_ntt(trgsw_ntt, ct, params: SecurityParams,
         levels = trgsw_ntt.shape[1] // 2
     levels = _ntt.norm_levels(params, levels, bgbit=e)
     plan = _ntt.plan_for_params(params, drop_bits, levels=levels, bgbit=e)
+    if trgsw_ntt.shape[0] != plan.n_primes:
+        raise ValueError(
+            f"TRGSW holds {trgsw_ntt.shape[0]} CRT prime planes but the "
+            f"current plan selects {plan.n_primes} — ciphertext and plan "
+            "were built under different plan bounds")
     e_limbs = _ntt.engine_digit_limbs(e)
     dbound = _ntt.top_limb_bound(1 << (e - 1), e_limbs)
     rows = _decompose_to_rows(ct, params, levels, bgbit=e)

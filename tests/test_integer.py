@@ -354,6 +354,28 @@ def test_fheint_abs_divrem(ip, isk, ick):
     assert r.decrypt(isk) == 0
 
 
+def test_overflowing_ops(ip, isk, ick):
+    a = _enc(45, 2, isk, ick, 270)
+    b = _enc(30, 2, isk, ick, 271)
+    s, c = a.overflowing_add(b)              # 75 wraps at 6 bits
+    assert s.decrypt(isk) == 75 - 64 and c.decrypt(isk) == 1
+    s, c = b.overflowing_add(b)              # 60 fits
+    assert s.decrypt(isk) == 60 and c.decrypt(isk) == 0
+    d, br = b.overflowing_sub(a)
+    assert d.decrypt(isk) == (30 - 45) % 64 and br.decrypt(isk) == 1
+    # signed overflow: 20 + 20 = 40 > 31 overflows at D=2
+    p = _senc(20, 2, isk, ick, 272)
+    r, o = p.overflowing_add(p)
+    assert r.decrypt(isk) == 40 - 64 and o.decrypt(isk) == 1
+    n = _senc(-20, 2, isk, ick, 273)
+    r, o = n.overflowing_add(n)              # -40 < -32 overflows
+    assert r.decrypt(isk) == -40 + 64 and o.decrypt(isk) == 1
+    r, o = p.overflowing_add(n)              # 0, no overflow
+    assert r.decrypt(isk) == 0 and o.decrypt(isk) == 0
+    r, o = p.overflowing_add(_senc(11, 2, isk, ick, 274))   # 31 fits
+    assert r.decrypt(isk) == 31 and o.decrypt(isk) == 0
+
+
 def test_fheint_batched(ip, isk, ick):
     av = np.array([-5, 30, -32])
     bv = np.array([7, -30, 1])

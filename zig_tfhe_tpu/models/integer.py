@@ -102,6 +102,12 @@ def _luts(params: SecurityParams):
     # compares, sign digit/boundary fill for arithmetic right shift
     bank["flipsign"] = gen.generate_lookup_table(lambda t: (t % 8) ^ 4)
     bank["sign7"] = gen.generate_lookup_table(lambda t: 7 * ((t % 8) >> 2))
+    bank["sign1"] = gen.generate_lookup_table(lambda t: (t % 8) >> 2)
+    # signed-overflow rule on packed v = sa + 2*sb + 4*sr: operands agree
+    # in sign and the result sign differs
+    bank["sovf"] = gen.generate_lookup_table(
+        lambda v: 1 if ((v & 1) == ((v >> 1) & 1)
+                        and ((v >> 2) & 1) != (v & 1)) else 0)
     # sub-digit shifts (r in {1, 2}; digit-aligned shifts need no LUT)
     for r in (1, 2):
         bank[f"signfill{r}"] = gen.generate_lookup_table(
@@ -954,6 +960,20 @@ class FheUint(_FheOpsMixin):
     def __rdivmod__(self, other):
         return self._coerce(other).__divmod__(self)
 
+    def overflowing_add(self, other):
+        """(wrapping sum at the common width, encrypted carry-out bit) —
+        the widened add's top digit IS the carry (0/1)."""
+        a, b = _pad_to_match(self.digits, self._coerce(other).digits)
+        wide = radix_add(a, b, self.ck)
+        return (FheUint(wide[..., :-1, :], self.ck),
+                self._bit(wide[..., -1, :]))
+
+    def overflowing_sub(self, other):
+        """(wrapping difference, encrypted borrow bit = self < other)."""
+        a, b = _pad_to_match(self.digits, self._coerce(other).digits)
+        diff, borrow = radix_sub(a, b, self.ck)
+        return FheUint(diff, self.ck), self._bit(borrow)
+
     def __sub__(self, other):
         """Wrapping difference mod 8^D (tfhe-rs semantics); use
         ``a < b`` for the underflow indicator."""
@@ -1073,6 +1093,20 @@ class FheInt(_FheOpsMixin):
 
     def __neg__(self):
         return self.__rsub__(0)
+
+    def overflowing_add(self, other):
+        """(wrapping sum, encrypted SIGNED-overflow bit): overflow iff
+        the operands agree in sign and the result's sign differs.  One
+        batched sign1 extraction of the three top digits + one packed
+        sovf round on v = sa + 2*sb + 4*sr (scalar weights <= 4 on fresh
+        0/1 bits stay far inside the m = 16 budget)."""
+        a, b, D = self._align(other)
+        r = radix_add(a, b, self.ck)[..., :D, :]
+        tops = jnp.stack([a[..., -1, :], b[..., -1, :], r[..., -1, :]])
+        s = _pbs_rows(tops, ("sign1",) * 3, self.ck)
+        v = s[0] + 2 * s[1] + 4 * s[2]
+        ovf = _pbs_rows(v[None], ("sovf",), self.ck)[0]
+        return FheInt(r, self.ck), self._bit(ovf)
 
     def abs(self) -> "FheInt":
         """|self| (note: INT_MIN has no positive counterpart and wraps

@@ -5,6 +5,7 @@ add/mul must reproduce plain integer arithmetic digit-for-digit.
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -352,6 +353,36 @@ def test_fheint_abs_divrem(ip, isk, ick):
     q, r = m.div_rem(_senc(2, 2, isk, ick, 223))
     assert q.decrypt(isk) == -16
     assert r.decrypt(isk) == 0
+
+
+def test_scheduler_integer_roundtrip(ip, isk, ick):
+    """FheUint -> bits (bridge) -> native C++-scheduled boolean circuit
+    (3-bit ripple adder) -> bits -> FheUint: all three subsystems under
+    one key."""
+    from zig_tfhe_tpu.models import scheduler as S
+    c = S.Circuit()
+    a_bits = [c.input() for _ in range(3)]
+    b_bits = [c.input() for _ in range(3)]
+    carry = None
+    for i in range(3):
+        s1 = c.gate("xor", a_bits[i], b_bits[i])
+        g = c.gate("and", a_bits[i], b_bits[i])
+        if carry is None:
+            c.output(s1)
+            carry = g
+        else:
+            c.output(c.gate("xor", s1, carry))
+            carry = c.gate("or", g, c.gate("and", s1, carry))
+    c.output(carry)
+    plan = c.schedule()
+
+    x, y = 5, 7
+    cx = I.encrypt_radix(jax.random.key(280), x, 1, 0.0, isk.key_lv0)
+    cy = I.encrypt_radix(jax.random.key(281), y, 1, 0.0, isk.key_lv0)
+    in_bits = jnp.concatenate([I.to_bools(cx, ick), I.to_bools(cy, ick)])
+    out_bits = S.evaluate(plan, in_bits, ick)          # [4, n0+1]
+    total = I.from_bools(out_bits, ick)                # 4 bits -> 2 digits
+    assert I.decrypt_radix(total, isk.key_lv0) == x + y
 
 
 def test_overflowing_ops(ip, isk, ick):

@@ -150,6 +150,23 @@ def test_hoeffding_plan_stays_three_primes(monkeypatch):
     assert g3_oracle.n_primes == 4
 
 
+def test_stale_key_prime_count_raises(tiny, tiny_ck):
+    """A BSK whose CRT prime-plane count disagrees with the current plan
+    (e.g. serialized under a different plan-bound version) must fail
+    loudly, not decrypt to noise."""
+    import dataclasses
+    import jax.numpy as jnp
+    import pytest
+    from zig_tfhe_tpu.ops.blind_rotate import blind_rotate
+
+    bad = dataclasses.replace(
+        tiny_ck, bsk_ntt=jnp.concatenate(
+            [tiny_ck.bsk_ntt, tiny_ck.bsk_ntt[:, :, :1]], axis=2))
+    ct = jnp.zeros((2, tiny.n0 + 1), jnp.int32)
+    with pytest.raises(ValueError, match="prime planes"):
+        blind_rotate(ct, bad.testvec, bad, tiny)
+
+
 def test_cloud_key_serialization_engine_gadget(tmp_path, tiny, tiny_sk):
     ck = K.CloudKey.generate(jax.random.key(60), tiny_sk, tiny,
                              engine_bgbit=8, decomp_levels=(2, 2))

@@ -157,6 +157,24 @@ def test_uint4_gates_integer_bridge_real_noise():
 
 
 @slow
+def test_uint4_integer_mul_real_noise():
+    """Full radix multiply at real uint4 noise: exercises the bit-plane
+    extraction, the w = x + 8*b packing LUTs, and both carry
+    normalizations (the integer layer's deepest per-digit pipeline)."""
+    from zig_tfhe_tpu.models import integer as I
+    params = P.SECURITY_UINT4
+    sk = K.SecretKey.generate(jax.random.key(70), params)
+    ck = K.CloudKey.generate(jax.random.key(71), sk, params)
+    a = params.tlwe_lv0.alpha
+    av = np.array([23, 63, 7, 40])
+    bv = np.array([45, 63, 0, 13])
+    ca = I.encrypt_radix(jax.random.key(72), av, 2, a, sk.key_lv0)
+    cb = I.encrypt_radix(jax.random.key(73), bv, 2, a, sk.key_lv0)
+    got = I.decrypt_radix(I.radix_mul(ca, cb, ck), sk.key_lv0)
+    assert np.array_equal(got, av * bv)
+
+
+@slow
 def test_uint4_encrypted_amount_shift_real_noise():
     """Barrel shifter at real uint4 noise: its packed mux inputs carry
     up to 3 fresh PBS outputs per level (NOISE.md §10), repeated for

@@ -79,3 +79,36 @@ def test_shard_map_gates(tiny, tiny_sk, tiny_ck, mesh8):
     run = M.shard_map_gates(mesh8, tiny_ck)
     out = np.asarray(run(*(M.shard_batch(mesh8, x) for x in (ids, cta, ctb))))
     assert np.array_equal(out, ref)  # bit-exact across placements
+
+
+def test_sharded_integer_ops_bit_exact(mesh8):
+    """The integer layer's radix ops are batch-first like gates: a
+    data-sharded batch must be BIT-EXACT vs single-device (the bucket
+    padding keeps the flattened batch divisible across the axis)."""
+    from zig_tfhe_tpu import params as P
+    from zig_tfhe_tpu.models import integer as I
+
+    params = P.TEST_TINY_UINT
+    sk = K.SecretKey.generate(jax.random.key(300), params)
+    ck = K.CloudKey.generate(jax.random.key(301), sk, params)
+    rng = np.random.default_rng(11)
+    B = 8
+    av = rng.integers(0, 64, B)
+    bv = rng.integers(0, 64, B)
+    ca = I.encrypt_radix(jax.random.key(302), av, 2, 0.0, sk.key_lv0)
+    cb = I.encrypt_radix(jax.random.key(303), bv, 2, 0.0, sk.key_lv0)
+
+    ref_add = np.asarray(I.radix_add(ca, cb, ck))
+    ref_lt = np.asarray(I.radix_lt(ca, cb, ck))
+
+    batch_sh = NamedSharding(mesh8, Pspec("data"))
+    repl = NamedSharding(mesh8, Pspec())
+    ck_r = jax.tree.map(lambda x: jax.device_put(x, repl), ck)
+    ca_s = jax.device_put(ca, batch_sh)
+    cb_s = jax.device_put(cb, batch_sh)
+    with mesh8:
+        out_add = np.asarray(I.radix_add(ca_s, cb_s, ck_r))
+        out_lt = np.asarray(I.radix_lt(ca_s, cb_s, ck_r))
+    assert np.array_equal(out_add, ref_add)
+    assert np.array_equal(out_lt, ref_lt)
+    assert np.array_equal(I.decrypt_radix(out_add, sk.key_lv0), av + bv)

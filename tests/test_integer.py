@@ -355,6 +355,27 @@ def test_fheint_abs_divrem(ip, isk, ick):
     assert r.decrypt(isk) == 0
 
 
+def test_plain_operand_fast_paths(ip, isk, ick):
+    """Plain-constant mul (per-digit mulc LUTs / shifts) and divmod by
+    powers of two (shift + mask) must match the general encrypted
+    paths."""
+    a = _enc(45, 2, isk, ick, 290)
+    for v in (0, 1, 2, 3, 7, 8, 10, 63):
+        assert (a * v).decrypt(isk) == 45 * v, v
+    assert (5 * a).decrypt(isk) == 225
+    for v in (1, 2, 4, 8, 32):
+        q, r = divmod(a, v)
+        assert q.decrypt(isk) == 45 // v, v
+        assert r.decrypt(isk) == 45 % v, v
+    s = _senc(-21, 2, isk, ick, 291)
+    assert (s * 2).decrypt(isk) == 22                  # -42 wraps at D=2
+    assert (s * -1).decrypt(isk) == 21
+    assert (s * 0).decrypt(isk) == 0
+    assert (s * 3).decrypt(isk) == 1                   # -63 wraps to 1
+    sv = _senc(np.array([-5, 12]), 2, isk, ick, 292)
+    assert list((sv * 3).decrypt(isk)) == [-15, 36 - 64]
+
+
 def test_scheduler_integer_roundtrip(ip, isk, ick):
     """FheUint -> bits (bridge) -> native C++-scheduled boolean circuit
     (3-bit ripple adder) -> bits -> FheUint: all three subsystems under

@@ -108,10 +108,20 @@ def _luts(params: SecurityParams):
     bank["sovf"] = gen.generate_lookup_table(
         lambda v: 1 if ((v & 1) == ((v >> 1) & 1)
                         and ((v >> 2) & 1) != (v & 1)) else 0)
+    # plain-constant fast paths: digit x known digit c products (the
+    # encrypted path would waste a rotation extracting KNOWN bits), and
+    # low-bit masks for divmod by powers of two
+    for c in range(2, 8):
+        bank[f"mulc{c}lo"] = gen.generate_lookup_table(
+            lambda t, c=c: ((t % 8) * c) % 8)
+        bank[f"mulc{c}hi"] = gen.generate_lookup_table(
+            lambda t, c=c: ((t % 8) * c) // 8)
     # sub-digit shifts (r in {1, 2}; digit-aligned shifts need no LUT)
     for r in (1, 2):
         bank[f"signfill{r}"] = gen.generate_lookup_table(
             lambda t, r=r: (8 - (1 << (3 - r))) * ((t % 8) >> 2))
+        bank[f"masklow{r}"] = gen.generate_lookup_table(
+            lambda t, r=r: (t % 8) & ((1 << r) - 1))
         bank[f"shl{r}lo"] = gen.generate_lookup_table(
             lambda t, r=r: ((t % 8) << r) % 8)
         bank[f"shl{r}hi"] = gen.generate_lookup_table(
@@ -614,6 +624,75 @@ def radix_scale(a_digits, y_ct, ck: CloudKey):
     return radix_add(row_lo, row_hi, ck)[..., : D + 1, :]
 
 
+def radix_scale_plain(a_digits, c: int, ck: CloudKey):
+    """[..., D, n0+1] times a PLAIN digit c in [0, 8) -> [..., D+1, n0+1].
+
+    One batched mulc{c}lo/hi rotation over 2D lanes, then one addition
+    (lo_i + hi_{i-1} <= 7 + 6 = 13 fits the message space, so the carry
+    chain normalizes exactly).  1 + (D+1) rotations vs the encrypted
+    digit_mul path's ~7 per digit."""
+    D = a_digits.shape[-2]
+    zero = _zeros_like_digit(a_digits[..., 0, :])[..., None, :]
+    if c == 0:
+        return jnp.concatenate([zero] * (D + 1), axis=-2)
+    if c == 1:
+        return jnp.concatenate([a_digits, zero], axis=-2)
+    rows = jnp.moveaxis(a_digits, -2, 0)
+    names = tuple(f"mulc{c}lo" for _ in range(D)) + \
+        tuple(f"mulc{c}hi" for _ in range(D))
+    parts = _pbs_rows(jnp.concatenate([rows, rows]), names, ck)
+    lo = jnp.moveaxis(parts[:D], 0, -2)
+    hi = jnp.moveaxis(parts[D:], 0, -2)
+    row_lo = jnp.concatenate([lo, zero], axis=-2)
+    row_hi = jnp.concatenate([zero, hi], axis=-2)
+    return radix_add(row_lo, row_hi, ck)[..., : D + 1, :]
+
+
+def radix_mul_plain(a_digits, v: int, ck: CloudKey):
+    """[..., D, n0+1] times a PLAIN non-negative int -> widened exact
+    product: schoolbook over v's base-8 digits with zero digits skipped,
+    powers of two routed through the (cheaper) shift path."""
+    assert v >= 0
+    D = a_digits.shape[-2]
+    if v == 0:
+        return _zeros_like_digit(a_digits[..., 0, :])[..., None, :]
+    if v & (v - 1) == 0:                       # power of two -> shl
+        return radix_shl(a_digits, v.bit_length() - 1, ck)
+    Dv = max(1, (v.bit_length() + 2) // 3)
+    W = D + Dv
+    zero = _zeros_like_digit(a_digits[..., 0, :])[..., None, :]
+
+    def at_width(x):
+        pad = W - x.shape[-2]
+        return jnp.concatenate([x] + [zero] * pad, axis=-2) if pad else x
+
+    acc = None
+    for j in range(Dv):
+        c = (v >> (3 * j)) & 7
+        if c == 0:
+            continue
+        row = radix_scale_plain(a_digits, c, ck)           # [..., D+1]
+        padded = at_width(jnp.concatenate([zero] * j + [row], axis=-2))
+        acc = padded if acc is None else \
+            radix_add(acc, padded, ck)[..., :W, :]
+    return acc
+
+
+def radix_mask_low(a_digits, nbits: int, ck: CloudKey):
+    """Keep the low ``nbits`` of a radix value (x & (2^nbits - 1)):
+    digit-aligned drops are free; the boundary digit costs one masklow
+    rotation.  Width shrinks to ceil(nbits/3) (min 1)."""
+    assert nbits >= 0
+    if nbits == 0:
+        return _zeros_like_digit(a_digits[..., 0, :])[..., None, :]
+    q, r = divmod(nbits, 3)
+    if r == 0:
+        return a_digits[..., :q, :]
+    kept = a_digits[..., : q + 1, :]
+    top = _pbs_rows(kept[..., -1, :][None], (f"masklow{r}",), ck)[0]
+    return kept.at[..., -1, :].set(top)
+
+
 def radix_mul(a_digits, b_digits, ck: CloudKey):
     """Full product: [..., Da, n0+1] x [..., Db, n0+1] -> [..., Da+Db, n0+1]
     (exact schoolbook over batched rows)."""
@@ -935,8 +1014,16 @@ class FheUint(_FheOpsMixin):
     __radd__ = __add__
 
     def __mul__(self, other):
-        o = self._coerce(other)
-        return FheUint(radix_mul(self.digits, o.digits, self.ck), self.ck)
+        if not isinstance(other, FheUint):
+            v = int(other)
+            if v < 0:
+                raise ValueError(f"FheUint is unsigned, got {v}")
+            # plain-constant fast path: known digits need no homomorphic
+            # bit extraction (~2 rotations/digit vs ~7)
+            return FheUint(radix_mul_plain(self.digits, v, self.ck),
+                           self.ck)
+        return FheUint(radix_mul(self.digits, other.digits, self.ck),
+                       self.ck)
 
     __rmul__ = __mul__
 
@@ -947,6 +1034,14 @@ class FheUint(_FheOpsMixin):
         return self.__divmod__(other)[1]
 
     def __divmod__(self, other):
+        if not isinstance(other, FheUint):
+            v = int(other)
+            if v > 0 and v & (v - 1) == 0:     # power of two: shift + mask
+                k = v.bit_length() - 1
+                return (FheUint(radix_shr(self.digits, k, self.ck),
+                                self.ck),
+                        FheUint(radix_mask_low(self.digits, k, self.ck),
+                                self.ck))
         o = self._coerce(other)
         q, r = radix_divmod(self.digits, o.digits, self.ck)
         return FheUint(q, self.ck), FheUint(r, self.ck)
@@ -1130,6 +1225,16 @@ class FheInt(_FheOpsMixin):
         return qsign.select(-fq, fq), sa.select(-fr, fr)
 
     def __mul__(self, other):
+        if not isinstance(other, FheInt):
+            # plain-constant fast path on the raw representation (exact
+            # mod 8^D), sign fixed by one negation
+            v = int(other)
+            D = self.n_digits
+            if v == 0:
+                return FheInt(_trivial_radix(0, D, self.digits), self.ck)
+            out = radix_mul_plain(self.digits, abs(v), self.ck)[..., :D, :]
+            f = FheInt(out, self.ck)
+            return -f if v < 0 else f
         a, b, D = self._align(other)
         return FheInt(radix_mul(a, b, self.ck)[..., :D, :], self.ck)
 

@@ -50,9 +50,11 @@ def main():
         levels = int(levels) if levels else None
 
     bgbit = os.environ.get("BENCH_BGBIT")   # engine-gadget base override
+    drop = os.environ.get("BENCH_DROP")     # BSK rounding-bits override
     ck = K.CloudKey.generate_no_ksk(params, group=group,
                                     decomp_levels=levels,
-                                    engine_bgbit=int(bgbit) if bgbit else None)
+                                    engine_bgbit=int(bgbit) if bgbit else None,
+                                    ntt_drop=int(drop) if drop else None)
     steps = (params.n0 + group - 1) // group
     rng = np.random.default_rng(0)
     # RANDOM key material passed as a jit ARGUMENT: a closed-over (or
@@ -85,6 +87,7 @@ def main():
     ms_step = dt / steps * 1e3
     print(f"cfg params={pname} group={group} B={B} "
           f"levels={levels or 'default'} "
+          f"bgbit={ck.bsk_bgbit} drop={ck.bsk_ntt_drop} "
           f"INV={os.environ.get('ZTFHE_INV', '(default)')} "
           f"UNROLL={os.environ.get('ZTFHE_UNROLL', '1')}")
     print(f"blind-rotate: {dt*1e3:.1f} ms total, {ms_step:.3f} ms/step "

@@ -158,7 +158,8 @@ class CloudKey:
     def generate_no_ksk(cls, params: SecurityParams,
                         engines=("ntt",), group: int = 1,
                         decomp_levels: int | None = None,
-                        engine_bgbit: int | None = None) -> "CloudKey":
+                        engine_bgbit: int | None = None,
+                        ntt_drop: int | None = None) -> "CloudKey":
         """Cheap test fixture: dummy all-zero BSK, zero KSK (key.zig:80-100).
 
         group=2 gives the multi-bit BSK layout that CloudKey.generate()
@@ -174,7 +175,8 @@ class CloudKey:
                 engine_bgbit = params.bgbit
         decomp_levels = _nttmod.norm_levels(params, decomp_levels,
                                             bgbit=engine_bgbit)
-        ntt_drop = _nttmod.default_drop_bits(params, group, engine_bgbit)
+        if ntt_drop is None:
+            ntt_drop = _nttmod.default_drop_bits(params, group, engine_bgbit)
         la, lb = decomp_levels
         bsk_ntt = None
         if "ntt" in engines:

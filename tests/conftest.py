@@ -32,6 +32,15 @@ try:
     with open("/proc/sys/vm/max_map_count") as f:
         _max_maps = int(f.read())
     if _max_maps < 262144:
+        # self-heal when privileged (root CI containers, dev boxes after
+        # a reboot reset the sysctl), else warn loudly
+        try:
+            with open("/proc/sys/vm/max_map_count", "w") as f:
+                f.write("1048576")
+            _max_maps = 1048576
+        except OSError:
+            pass
+    if _max_maps < 262144:
         import warnings
 
         warnings.warn(

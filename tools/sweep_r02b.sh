@@ -29,10 +29,10 @@ BENCH_BATCH=1536 BENCH_BGBIT=6 BENCH_LEVELS=3-2 run python bench_step.py 128bit 
 #   variance.  Truncation rho +-2^17 both components; a-side 22x
 #   amplified -> ~2^21.5 amplitude, negligible vs sigma 2^25.85
 #   (docs/NOISE.md §6).  234 steps at 4 forward rows.
-BENCH_BATCH=1536 BENCH_BGBIT=7 BENCH_DROP=5 run python bench_step.py 128bit 3
+BENCH_BATCH=1536 BENCH_BGBIT=7 BENCH_LEVELS=2-2 BENCH_DROP=5 run python bench_step.py 128bit 3
 # same idea at bg8/(2,2) needs drop 6 (amplitude 2^13, 8.7x shipped drop
 # variance — past the measured cliff; step-time datum only)
-BENCH_BATCH=1536 BENCH_BGBIT=8 BENCH_DROP=6 run python bench_step.py 128bit 3
+BENCH_BATCH=1536 BENCH_BGBIT=8 BENCH_LEVELS=2-2 BENCH_DROP=6 run python bench_step.py 128bit 3
 # reference point: shipped default (engine bg8/(2,2), group 2)
 BENCH_BATCH=1536 run python bench_step.py 128bit 2
 

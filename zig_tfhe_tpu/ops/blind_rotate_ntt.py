@@ -128,7 +128,11 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
         def step(acc, xs):
             bsk_i, a_col = xs                          # [P, 2L, 2, N], [B]
             t = modswitch(a_col, params)               # [B] in [0, 2N)
-            u_hat = _ntt.pointwise_extprod(fwd(acc), bsk_i, plan)
+            # FOLD: rotate_diag's single product absorbs the unreduced
+            # pointwise output (bounds in its docstring) — one fewer
+            # barrett per prime per step
+            u_hat = _ntt.pointwise_extprod(fwd(acc), bsk_i, plan,
+                                           reduce_output=False)
             v_hat = _ntt.rotate_diag(u_hat, t, plan, minus_one=True)
             return finish(acc, v_hat), None
 
@@ -146,13 +150,17 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
             """acc += sum over nonempty subsets S of prod_{i in S}
             (X^t_i - 1) * ExtProd(s_S, acc) — group-g multi-bit rotation,
             ONE decompose + forward + inverse per g LWE coefficients
-            (BSK rows encrypt all subset products of the g key bits)."""
+            (BSK rows encrypt all subset products of the g key bits).
+            The pointwise/combine FOLD skips 2^g - 1 pointwise barretts
+            per prime for 2^(g-1) - 1 extra combine barretts (bounds in
+            ops/ntt.py:rotate_combine_multi)."""
             bsk_g, a_grp = xs          # [2^g-1, P, 2L', 2, N], [g, B]
             ts = [modswitch(a_grp[j], params) for j in range(group)]
             d_hat = fwd(acc)
-            us = [_ntt.pointwise_extprod(d_hat, bsk_g[m], plan)
+            us = [_ntt.pointwise_extprod(d_hat, bsk_g[m], plan,
+                                         reduce_output=False)
                   for m in range((1 << group) - 1)]
-            v_hat = _ntt.rotate_combine_multi(us, ts, plan)
+            v_hat = _ntt.rotate_combine_multi(us, ts, plan, u_wide=True)
             return finish(acc, v_hat), None
 
         acc, _ = jax.lax.scan(step_multi, acc, (bsk_ntt, a_pairs),
@@ -209,10 +217,13 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
         t1 = modswitch(a_pair[0], params)
         t2 = modswitch(a_pair[1], params)
         d_hat = fwd(acc)
-        u1 = _ntt.pointwise_extprod(d_hat, bsk_g[0], plan)
-        u2 = _ntt.pointwise_extprod(d_hat, bsk_g[1], plan)
-        u12 = _ntt.pointwise_extprod(d_hat, bsk_g[2], plan)
-        v_hat = _ntt.rotate_combine2(u1, u2, u12, t1, t2, plan)
+        u1 = _ntt.pointwise_extprod(d_hat, bsk_g[0], plan,
+                                    reduce_output=False)
+        u2 = _ntt.pointwise_extprod(d_hat, bsk_g[1], plan,
+                                    reduce_output=False)
+        u12 = _ntt.pointwise_extprod(d_hat, bsk_g[2], plan,
+                                     reduce_output=False)
+        v_hat = _ntt.rotate_combine2(u1, u2, u12, t1, t2, plan, u_wide=True)
         return finish(acc, v_hat), None
 
     acc, _ = jax.lax.scan(step2, acc, (bsk_ntt, a_pairs), unroll=unroll)

@@ -362,7 +362,8 @@ def norm_levels(params: SecurityParams, levels,
     return la, lb
 
 
-def default_engine_gadget(params: SecurityParams) -> tuple[int, tuple[int, int]]:
+def default_engine_gadget(params: SecurityParams,
+                          group: int = 2) -> tuple[int, tuple[int, int]]:
     """(bgbit_e, (la, lb)) — the gadget the NTT blind rotation actually runs.
 
     The gadget inside the bootstrap's external products is an
@@ -377,9 +378,18 @@ def default_engine_gadget(params: SecurityParams) -> tuple[int, tuple[int, int]]
     but far under budget, rho_b +-2^15 vs +-2^19; docs/NOISE.md §6), with
     digits still one int8 limb.  Uint sets keep the parameter gadget
     (their Bg is already tuned to the message precision).
+
+    The base is GROUP-aware: at group >= 3 the (3^g - 1) Hoeffding plan
+    bound no longer fits Bg_e = 2^8 on the 3-prime plan at a safe drop
+    (bg8 needs drop >= 6, whose rounding amplitude 2^13 is 8.7x the
+    validated budget — past the measured cliff), so multi-bit groups >= 3
+    run Bg_e = 2^7 with (2, 2) levels: 14-bit precision, 4 rows, drop 5
+    (amplitude 2^11, 0.54x the shipped group-2 variance; docs/NOISE.md
+    §6).  Measured: group-3 bg7/(2,2)/drop5 is the fastest known config
+    (tools/sweep_r02b.log).
     """
     if params.bgbit == 6 and params.L == 3 and params.N >= 1024:
-        return 8, (2, 2)
+        return (7 if group >= 3 else 8), (2, 2)
     return params.bgbit, default_decomp_levels(params)
 
 
@@ -432,7 +442,11 @@ def default_drop_bits(params: SecurityParams, group: int = 1,
     # 2^44.3 — still 3 primes (P = 2^47.09).  An ENGINE gadget base
     # (bgbit argument) scales the same way: Bg_e = 2^8 at group 2 gives
     # drop 5, the identical 128*2^5 = 32*2^7 rounding amplitude.
-    base = {1: 12, 2: 13, 3: 11, 4: 10}[group]
+    # group=3's base 12 puts the default engine gadget bg7/(2,2) at
+    # drop 5: amplitude 2^6*2^5 = 2^11, terms x2.17 vs group-2 ->
+    # 0.54x the shipped group-2 drop variance, and the Hoeffding plan
+    # bound (tau = 2^44.09, bits 45) stays 3-prime (docs/NOISE.md §6).
+    base = {1: 12, 2: 13, 3: 12, 4: 10}[group]
     return max(0, base - (params.bgbit if bgbit is None else bgbit))
 
 
@@ -708,12 +722,21 @@ def to_ntt_form(polys, plan: NTTPlan, drop_bits: int = 0):
     return jnp.stack(out)
 
 
-def pointwise_extprod(d_hat, key_hat, plan: NTTPlan):
+def pointwise_extprod(d_hat, key_hat, plan: NTTPlan, reduce_output: bool = True):
     """sum over rows of d_hat[..., R, N] * key_hat[prime][R, C, N] -> per-prime
-    int32 [..., C, N] residues (<= 0.52p), exact mod p.
+    int32 [..., C, N] residues, exact mod p.
 
     d_hat: list per prime, int16/int32 [..., R, N] centered (<= 0.52p)
     key_hat: int16 [n_primes, R, C, N] centered (|.| <= p/2)
+
+    Output bound: |u| <= 0.55p when reduced; ``reduce_output=False`` (the
+    rotate-combine FOLD: the consumer is a combiner that reduces anyway)
+    skips the final barrett, returning |u| <= p + 768 (<= 2 group-partials
+    of p/2 + 384 each; primes needing > 2 row groups are reduced down to
+    that bound here so the contract is uniform).  The n_groups == 1 final
+    barrett is skipped unconditionally — a single group-partial is already
+    inside the 0.55p envelope, and one barrett per subset per prime per
+    step is pure VPU waste (measured in the step trace).
     """
     outs = []
     R = key_hat.shape[1]
@@ -721,12 +744,16 @@ def pointwise_extprod(d_hat, key_hat, plan: NTTPlan):
         g = plan.row_group(p)
         kh = key_hat[i].astype(jnp.int32)               # [R, C, N]
         d = d_hat[i].astype(jnp.int32)[..., :, None, :]  # [..., R, 1, N]
-        acc = None
+        parts = []
         for r0 in range(0, R, g):
             part = sum(d[..., r, :, :] * kh[r] for r in range(r0, min(r0 + g, R)))
-            part = barrett_reduce(part, p)
-            acc = part if acc is None else acc + part    # <= n_groups * 0.52p
-        outs.append(barrett_reduce(acc, p))
+            parts.append(barrett_reduce(part, p))        # each <= p/2 + 384
+        while len(parts) > 2:                            # rare (small primes)
+            parts = [barrett_reduce(parts[0] + parts[1], p)] + parts[2:]
+        acc = parts[0] if len(parts) == 1 else parts[0] + parts[1]
+        if reduce_output and len(parts) > 1:
+            acc = barrett_reduce(acc, p)
+        outs.append(acc)
     return outs
 
 
@@ -755,17 +782,23 @@ def _rot_rows(t_cat, plan: NTTPlan):
     return jnp.take(merged, t_cat, axis=0).astype(jnp.int32), None, plan.N
 
 
-def rotate_combine2(u1, u2, u12, t1, t2, plan: NTTPlan):
+def rotate_combine2(u1, u2, u12, t1, t2, plan: NTTPlan, u_wide: bool = False):
     """(psi^t1 - 1) u1 + (psi^t2 - 1) u2 + (psi^t1 - 1)(psi^t2 - 1) u12.
 
     The multi-bit blind-rotate combiner (group=2).  u*: per-prime int16/int32
-    [B, ..., N] residues (|.| <= 0.52p); t1/t2: int32 [B] in [0, 2N].
-    Returns per-prime int32 residues (|.| <= 0.52p).
-    Overflow proof (worst case p = 63000, barrett bound 0.5157p = 32484):
-    |d1|,|d2| <= p/2 + 1 = 31501 and |u| <= 32484, so
+    [B, ..., N] residues (|.| <= 0.52p, or <= p + 768 with u_wide=True —
+    the pointwise FOLD, see rotate_combine_multi); t1/t2: int32 [B] in
+    [0, 2N].  Returns per-prime int32 residues (|.| <= 0.52p).
+    Overflow proof, narrow u (worst case p = 63000, barrett bound
+    0.5157p = 32484): |d1|,|d2| <= p/2 + 1 = 31501 and |u| <= 32484, so
     |d1*v1 + d2*v2| <= 2 * 31501 * 32484 = 2.047e9 < 2^31; d12 is itself a
     barrett output (<= 32484), so |d12*v12 + r1| <= 32484^2 + 32484
     = 1.056e9 < 2^31 — one reduction per column is saved by the fold.
+    Wide u: each single product <= 31884 * 63768 = 2.033e9 < 2^31, and a
+    barrett output (<= 31884) rides along as the additive carry, so the
+    chain barrett(d12*w12 + barrett(d2*w2 + barrett(d1*w1))) is exact —
+    3 barretts here vs 3 skipped pointwise ones per COLUMN (net win: the
+    pointwise ones act on [B, 2, N], these on [B, N] halves).
     """
     mask = jnp.int32(2 * plan.N - 1)
     t1 = jnp.asarray(t1) & mask
@@ -801,32 +834,42 @@ def rotate_combine2(u1, u2, u12, t1, t2, plan: NTTPlan):
             e1, e2, e12 = d1, d2, d12
             while e1.ndim < w1.ndim:
                 e1, e2, e12 = e1[:, None], e2[:, None], e12[:, None]
-            r1 = barrett_reduce(e1 * w1 + e2 * w2, p)
-            halves.append(barrett_reduce(e12 * w12 + r1, p))
+            if u_wide:
+                r1 = barrett_reduce(e1 * w1, p)
+                r2 = barrett_reduce(e2 * w2 + r1, p)
+                halves.append(barrett_reduce(e12 * w12 + r2, p))
+            else:
+                r1 = barrett_reduce(e1 * w1 + e2 * w2, p)
+                halves.append(barrett_reduce(e12 * w12 + r1, p))
         outs.append(halves[0] if n_half == 1
                     else jnp.concatenate(halves, axis=-1))
     return outs
 
 
-def rotate_combine_multi(us, ts, plan: NTTPlan):
+def rotate_combine_multi(us, ts, plan: NTTPlan, u_wide: bool = False):
     """Generic multi-bit combiner: sum over nonempty subsets S of
     prod_{i in S}(psi^{t_i} - 1) * u_S.
 
     us:  list of 2^g - 1 per-prime residue lists, indexed by subset mask
          m - 1 (mask bit i <-> coefficient i); each u int16/int32
-         [B, ..., N] with |.| <= 0.55p.
+         [B, ..., N] with |.| <= 0.55p (u_wide=False) or <= p + 768
+         (u_wide=True: the pointwise-extprod FOLD — unreduced group-pair
+         sums from ``pointwise_extprod(reduce_output=False)``).
     ts:  list of g int32 [B] rotation amounts.
     Returns per-prime int32 residues (|.| <= 0.52p).
 
     Overflow accounting (worst prime 63000): every d_m is either a
     singleton psi-row minus 1 (|.| <= p/2 + 1 = 31501) or a barrett
-    output (<= p/2 + 384 = 31884); |u| <= 31884.  A product
+    output (<= p/2 + 384 = 31884).  Narrow u (<= 31884): a product
     d_m * u_m <= 31884^2 = 1.017e9, so terms are reduced in PAIRS
     (2 * 1.017e9 = 2.033e9 < 2^31); the <= 2^(g-1) pair-partials
     (each <= 31884) then sum far below 2^31 before one final barrett.
-    The subset diagonals build by binary DP: d[m] =
-    barrett(d[m w/o lowest bit] * d[lowest bit]), 2^g - 1 - g barretts
-    on [B, N] planes.
+    Wide u (<= p + 768 = 63768): d_m * u_m <= 31884 * 63768 = 2.033e9
+    < 2^31 for a SINGLE product, so terms are reduced individually —
+    2^(g-1) - 1 extra barretts here buy 2^g - 1 skipped barretts in the
+    pointwise stage (net VPU win, measured).  The subset diagonals build
+    by binary DP: d[m] = barrett(d[m w/o lowest bit] * d[lowest bit]),
+    2^g - 1 - g barretts on [B, N] planes.
     """
     g = len(ts)
     mask_all = jnp.int32(2 * plan.N - 1)
@@ -849,7 +892,8 @@ def rotate_combine_multi(us, ts, plan: NTTPlan):
                 if m & (m - 1):                      # >= 2 bits set
                     low = m & -m
                     d[m] = barrett_reduce(d[m ^ low] * d[low], p)
-            # pair-reduced sum over all subset terms
+            # reduced sum over all subset terms (pairwise for narrow u,
+            # per-term for wide u — see the overflow accounting above)
             terms = []
             for m in range(1, 1 << g):
                 u = us[m - 1][i].astype(jnp.int32)
@@ -860,11 +904,12 @@ def rotate_combine_multi(us, ts, plan: NTTPlan):
                     e = e[:, None]
                 terms.append((e, u))
             partials = []
-            for a in range(0, len(terms), 2):
-                pair = terms[a][0] * terms[a][1]
-                if a + 1 < len(terms):
-                    pair = pair + terms[a + 1][0] * terms[a + 1][1]
-                partials.append(barrett_reduce(pair, p))
+            stride = 1 if u_wide else 2
+            for a in range(0, len(terms), stride):
+                part = terms[a][0] * terms[a][1]
+                if stride == 2 and a + 1 < len(terms):
+                    part = part + terms[a + 1][0] * terms[a + 1][1]
+                partials.append(barrett_reduce(part, p))
             halves.append(barrett_reduce(sum(partials), p))
         outs.append(halves[0] if n_half == 1
                     else jnp.concatenate(halves, axis=-1))
@@ -875,7 +920,11 @@ def rotate_diag(res_list, t, plan: NTTPlan, minus_one: bool = True):
     """Multiply NTT residues by the diagonal of X^t (optionally X^t - 1).
 
     res_list: per prime int16/int32 [B, ..., N]; t: int32 [B] in [0, 2N).
-    Returns per-prime int32 residues.
+    Wide (unreduced, <= p + 768) residues from
+    ``pointwise_extprod(reduce_output=False)`` are accepted: the single
+    product per output |row * u| <= (p/2 + 2)(p + 768) < 2^31 for every
+    plan prime (worst 31502 * 63768 = 2.009e9 at the p = 63000 cap).
+    Returns per-prime int32 residues (<= 0.52p).
     """
     t = jnp.asarray(t) & jnp.int32(2 * plan.N - 1)      # X^(2N) == X^0
     N = plan.N

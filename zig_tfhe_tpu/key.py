@@ -128,7 +128,7 @@ class CloudKey:
         if engine_bgbit is None:
             if decomp_levels is None:
                 engine_bgbit, decomp_levels = _nttmod.default_engine_gadget(
-                    params)
+                    params, group)
             else:
                 engine_bgbit = params.bgbit
         # decomp_levels=None with an explicit engine_bgbit -> all
@@ -162,15 +162,17 @@ class CloudKey:
                         ntt_drop: int | None = None) -> "CloudKey":
         """Cheap test fixture: dummy all-zero BSK, zero KSK (key.zig:80-100).
 
-        group=2 gives the multi-bit BSK layout that CloudKey.generate()
-        produces by default (same compile graph as production).
+        group>1 gives the multi-bit BSK layout that CloudKey.generate()
+        produces by default (same compile graph as production); ntt_drop
+        (BSK rounding bits) overrides default_drop_bits, matching
+        generate()'s knob.
         """
         from zig_tfhe_tpu.ops import ntt as _nttmod
 
         if engine_bgbit is None:
             if decomp_levels is None:
                 engine_bgbit, decomp_levels = _nttmod.default_engine_gadget(
-                    params)
+                    params, group)
             else:
                 engine_bgbit = params.bgbit
         decomp_levels = _nttmod.norm_levels(params, decomp_levels,

@@ -217,3 +217,74 @@ def test_bootstrap_multi_lut_matches_individual():
         dec_mv = np.asarray(tlwe.decrypt_message(mv[k], m, sk.key_lv0))
         dec_ref = np.asarray(tlwe.decrypt_message(ref, m, sk.key_lv0))
         assert list(dec_mv) == [f(x) for x in range(m)] == list(dec_ref), k
+
+
+# ---------------------------------------------------------------------------
+# Radix (carry-decomposed) PBS — the m > 32 route
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_lut_radix_exact():
+    """Tree PBS (mid layer -> packing key switch -> select rotation) must
+    be exact at alpha=0: TEST_TINY_UINT, m=64 (m_hi=4, delta=N/4), an
+    affine LUT probed across all digit-boundary cases."""
+    from zig_tfhe_tpu import key as K
+    from zig_tfhe_tpu import params as P
+    from zig_tfhe_tpu.ops.packing_keyswitch import gen_packing_ksk
+
+    params = P.TEST_TINY_UINT
+    sk = K.SecretKey.generate(jax.random.key(7), params)
+    ck = K.CloudKey.generate(jax.random.key(8), sk, params)
+    pksk = gen_packing_ksk(jax.random.key(9), sk.key_lv1, params)
+    m = 64
+    f = lambda x: (x * 3 + 5) % m
+    msgs = np.array([0, 1, 15, 16, 31, 40, 55, 63])
+    cts = L.encrypt_radix_message(jax.random.key(10), msgs, m, 0.0,
+                                  sk.key_lv0)
+    assert list(np.asarray(L.decrypt_radix_message(cts, m, sk.key_lv0))) \
+        == list(msgs)
+    out = L.bootstrap_lut_radix(*cts, f, m, ck, pksk)
+    dec = np.asarray(L.decrypt_radix_message(out, m, sk.key_lv0))
+    assert list(dec) == [f(int(x)) for x in msgs]
+    # chaining: feed the radix outputs straight into a second evaluation
+    g = lambda x: (x * x + 1) % m
+    out2 = L.bootstrap_lut_radix(*out, g, m, ck, pksk)
+    dec2 = np.asarray(L.decrypt_radix_message(out2, m, sk.key_lv0))
+    assert list(dec2) == [g(f(int(x))) for x in msgs]
+
+
+def test_packing_key_switch_phase():
+    """pack_tlwes_blocks places sample k's message on the coefficient
+    block centered at k*delta (exact at alpha=0)."""
+    from zig_tfhe_tpu import key as K
+    from zig_tfhe_tpu import params as P
+    from zig_tfhe_tpu import trlwe
+    from zig_tfhe_tpu.ops.packing_keyswitch import (gen_packing_ksk,
+                                                    pack_tlwes_blocks)
+
+    params = P.TEST_TINY_UINT
+    N = params.N
+    sk = K.SecretKey.generate(jax.random.key(20), params)
+    pksk = gen_packing_ksk(jax.random.key(21), sk.key_lv1, params)
+    m_hi = 4
+    delta = N // m_hi
+    vals = np.array([1 << 28, -(1 << 28), 3 << 27, 0], np.int32)
+    # fresh TLWE lv1 encryptions of the four torus values
+    mu = jnp.asarray(vals)
+    ct1 = trlwe.encrypt_torus(jax.random.key(22),
+                              jnp.zeros((m_hi, N), jnp.int32).at[:, 0].set(mu),
+                              0.0, sk.key_lv1)
+    lv1 = trlwe.sample_extract(ct1, 0)                       # [m_hi, N+1]
+    packed = pack_tlwes_blocks(lv1[None], m_hi, pksk, params)  # [1, 2, N]
+    ph = np.asarray(trlwe.phase(packed, sk.key_lv1))[0]
+    # within each centered block the phase must equal the packed value up
+    # to the key-switch truncation (2^(32 - basebit*t) = 2^20 at tiny_uint)
+    tol = 1 << (32 - params.basebit * params.iks_t + 2)
+    for k in range(m_hi):
+        idx = [(k * delta + r) % N for r in range(-delta // 4, delta // 4)]
+        sign = np.array([1 if 0 <= (k * delta + r) < N else -1
+                         for r in range(-delta // 4, delta // 4)])
+        got = ph[idx] * sign
+        err = np.abs((got.astype(np.int64) - int(vals[k]) + 2**31)
+                     % 2**32 - 2**31)
+        assert err.max() <= tol * delta, (k, err.max(), tol)

@@ -16,6 +16,7 @@ import dataclasses
 import functools
 from typing import Callable, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -299,6 +300,129 @@ def apply_factored(acc, offsets, coeffs):
     if out is None:                                   # q == 0: the zero LUT
         out = jnp.zeros_like(acc)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Radix (carry-decomposed) PBS: message moduli beyond the modswitch capacity
+# ---------------------------------------------------------------------------
+#
+# Single-shot PBS at N = 1024 is modswitch-limited to ~m <= 32
+# (docs/NOISE.md §8) — the uint7/uint8 parameter sets DEFINE m = 128/256
+# but no single blind rotation can decode them reliably (the reference
+# defines the same sets and never executes them at all,
+# params.zig:386-416).  The production route, standard in mainstream TFHE
+# libraries, is carry decomposition: encrypt x as two digits
+# (x_lo = x mod 16 at modulus 16, x_hi = x // 16 at modulus m/16 — both
+# deep inside the modswitch budget), and evaluate an arbitrary
+# f: [0,m) -> [0,m) with a two-layer tree PBS:
+#
+#   1. mid layer — ONE batched blind rotation over B * 2 * m_hi lanes of
+#      ct_lo evaluates, for every hypothesis h of the hi digit, the two
+#      output-digit tables g_h_lo(x_lo) = f(16h + x_lo) mod 16 and
+#      g_h_hi(x_lo) = f(16h + x_lo) // 16 (kept at lv1 — no key switch);
+#   2. pack — each family's m_hi candidate TLWEs pack into one TRLWE
+#      testvec, candidate h's value occupying the coefficient block
+#      centered on h * (N/m_hi) (ops/packing_keyswitch.py);
+#   3. select — ONE batched blind rotation over ct_hi (modulus m_hi <= 16)
+#      rotates the packed testvec so the true h's block lands on
+#      coefficient 0; sample-extract + key switch yield the output digits.
+#
+# Total: 2 batched blind-rotation calls per batch of evaluations,
+# every PBS input at modulus <= 16.
+
+
+def encrypt_radix_message(key, message, message_modulus: int, alpha: float,
+                          sk):
+    """Encrypt messages of modulus m > 16 as (lo, hi) digit ciphertexts.
+
+    lo = message mod 16 at modulus 16; hi = message // 16 at modulus m/16.
+    message: int or int array [B].  Returns (ct_lo, ct_hi), each
+    int32 [B, n0+1] (scalars get a singleton batch axis).
+    """
+    import jax
+
+    m = message_modulus
+    if m % 16 or m < 32:
+        raise ValueError(f"radix encoding needs modulus 16*k >= 32, got {m}")
+    msg = jnp.atleast_1d(jnp.asarray(message, jnp.int32)) % m
+    k_lo, k_hi = jax.random.split(key)
+    ct_lo = _tlwe.encrypt_message(k_lo, msg % 16, 16, alpha, sk)
+    ct_hi = _tlwe.encrypt_message(k_hi, msg // 16, m // 16, alpha, sk)
+    return ct_lo, ct_hi
+
+
+def decrypt_radix_message(cts, message_modulus: int, sk):
+    """Inverse of encrypt_radix_message: (ct_lo, ct_hi) -> int [B]."""
+    m = message_modulus
+    ct_lo, ct_hi = cts
+    lo = _tlwe.decrypt_message(ct_lo, 16, sk)
+    hi = _tlwe.decrypt_message(ct_hi, m // 16, sk)
+    return (lo + 16 * hi) % m
+
+
+def radix_lut_testvecs(f: Callable[[int], int], message_modulus: int,
+                       params: SecurityParams) -> np.ndarray:
+    """The mid layer's 2 * m_hi testvecs: int32 [2, m_hi, 2, N].
+
+    [0, h] is g_h_lo (f's low output digit, modulus-16 encoding);
+    [1, h] is g_h_hi (high digit, modulus-m_hi encoding)."""
+    m = message_modulus
+    m_hi = m // 16
+    gen = Generator.new(16, params)
+    tvs = np.zeros((2, m_hi, 2, params.N), np.int32)
+    for h in range(m_hi):
+        lo = gen.generate_lookup_table(
+            lambda xl, h=h: f(16 * h + xl) % 16)
+        hi = gen.generate_lookup_table_custom(
+            lambda xl, h=h: (f(16 * h + xl) % m) // 16, 16, 1.0 / (2 * m_hi))
+        tvs[0, h] = lo.poly
+        tvs[1, h] = hi.poly
+    return tvs
+
+
+def bootstrap_lut_radix(ct_lo, ct_hi, f: Callable[[int], int],
+                        message_modulus: int, ck: CloudKey, pksk):
+    """Evaluate f: [0, m) -> [0, m) on radix-encoded inputs (m = 32..256).
+
+    ct_lo/ct_hi: int32 [B, n0+1] from encrypt_radix_message.
+    pksk: packing key from ops/packing_keyswitch.py:gen_packing_ksk
+          (generated once per secret key).
+    Returns (out_lo, out_hi) — the same radix encoding, so evaluations
+    chain.  Every constituent PBS runs at message modulus <= 16, so
+    accuracy is uint4-grade (vs the ~38%/29% single-shot uint7/uint8
+    envelope, docs/NOISE.md §8).
+    """
+    from zig_tfhe_tpu import trlwe as _trlwe
+    from zig_tfhe_tpu.ops.blind_rotate import blind_rotate
+    from zig_tfhe_tpu.ops.keyswitch import identity_key_switch
+    from zig_tfhe_tpu.ops.packing_keyswitch import pack_tlwes_blocks
+
+    params = ck.params
+    m = message_modulus
+    m_hi = m // 16
+    if m % 16 or not 2 <= m_hi <= 16:
+        raise ValueError(f"radix LUT supports m = 32..256 (16*k), got {m}")
+    B = ct_lo.shape[0]
+    N = params.N
+
+    # mid layer: one batched blind rotation, lanes ordered (B, family, h)
+    tvs = jnp.asarray(radix_lut_testvecs(f, m, params))       # [2, mh, 2, N]
+    tv_all = jnp.broadcast_to(tvs[None], (B, 2, m_hi, 2, N))
+    tv_all = tv_all.reshape(B * 2 * m_hi, 2, N)
+    lo_rep = jnp.repeat(ct_lo, 2 * m_hi, axis=0)
+    tr = blind_rotate(lo_rep, tv_all, ck, params)
+    lv1 = _trlwe.sample_extract(tr, 0)                        # [B*2*mh, N+1]
+    lv1 = lv1.reshape(B, 2, m_hi, N + 1)
+
+    # pack each family's m_hi candidates into one blind-rotation testvec
+    packed = pack_tlwes_blocks(lv1, m_hi, pksk, params)       # [B, 2, 2, N]
+
+    # select: one batched blind rotation over the hi digit
+    hi_rep = jnp.repeat(ct_hi, 2, axis=0)                     # [B*2, n0+1]
+    tr2 = blind_rotate(hi_rep, packed.reshape(B * 2, 2, N), ck, params)
+    out = identity_key_switch(_trlwe.sample_extract(tr2, 0), ck.ksk1, params)
+    out = out.reshape(B, 2, -1)
+    return out[:, 0], out[:, 1]
 
 
 def bootstrap_multi_lut(ct_batch, luts, message_modulus: int, ck: CloudKey):

@@ -33,13 +33,25 @@ try:
         _max_maps = int(f.read())
     if _max_maps < 262144:
         # self-heal when privileged (root CI containers, dev boxes after
-        # a reboot reset the sysctl), else warn loudly
-        try:
-            with open("/proc/sys/vm/max_map_count", "w") as f:
-                f.write("1048576")
-            _max_maps = 1048576
-        except OSError:
-            pass
+        # a reboot reset the sysctl), else warn loudly.  The write mutates
+        # HOST-GLOBAL kernel state, so it is opt-out (ZTFHE_FIX_MAX_MAP_COUNT=0
+        # on shared boxes), announced when it fires, and re-read to confirm
+        # it actually took effect rather than assumed.
+        if os.environ.get("ZTFHE_FIX_MAX_MAP_COUNT", "1") not in ("0", "false"):
+            _old_maps = _max_maps
+            try:
+                with open("/proc/sys/vm/max_map_count", "w") as f:
+                    f.write("1048576")
+                with open("/proc/sys/vm/max_map_count") as f:
+                    _max_maps = int(f.read())
+                import sys
+
+                print(f"[conftest] raised vm.max_map_count {_old_maps} -> "
+                      f"{_max_maps} (host-global; set "
+                      "ZTFHE_FIX_MAX_MAP_COUNT=0 to disable)",
+                      file=sys.stderr)
+            except (OSError, ValueError):
+                pass
     if _max_maps < 262144:
         import warnings
 

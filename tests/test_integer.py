@@ -13,6 +13,15 @@ from zig_tfhe_tpu import key as K
 from zig_tfhe_tpu import params as P
 from zig_tfhe_tpu.models import integer as I
 
+import os
+
+# The three division/barrel-shift cases dominate the file's wall time
+# (360/195/95 s of a ~20 min run); the CI production-params job runs
+# them with ZTFHE_SLOW_TESTS=1 so the default lane stays fast.
+slow = pytest.mark.skipif(
+    os.environ.get("ZTFHE_SLOW_TESTS", "") in ("", "0"),
+    reason="set ZTFHE_SLOW_TESTS=1 to run the slow divmod/shift cases")
+
 
 @pytest.fixture(scope="module")
 def ip():
@@ -188,6 +197,7 @@ def test_fheuint_shifts(ip, isk, ick):
     assert (cx >> 12).decrypt(isk) == 0             # overshoot -> zero
 
 
+@slow
 def test_fheuint_encrypted_amount_shifts(ip, isk, ick):
     x = 37
     cx = _enc(x, 2, isk, ick, 240)
@@ -246,6 +256,7 @@ def test_fheuint_batched_compare_select(ip, isk, ick):
     assert list((ca - cb).decrypt(isk)) == [(5 - 7) % 64, 0, 62]
 
 
+@slow
 def test_fheuint_divmod(ip, isk, ick):
     a = _enc(45, 2, isk, ick, 210)
     b = _enc(7, 1, isk, ick, 211)
@@ -335,6 +346,7 @@ def test_fheint_shifts_bitwise(ip, isk, ick):
     assert ((a ^ b).decrypt(isk)) % 512 == ((-100 ^ 37) & m)
 
 
+@slow
 def test_fheint_abs_divrem(ip, isk, ick):
     a = _senc(-21, 2, isk, ick, 220)
     b = _senc(13, 2, isk, ick, 221)

@@ -126,7 +126,9 @@ def main():
     params = P.PARAMS_BY_NAME[pname]
 
     drop = os.environ.get("BENCH_DROP")
-    group = int(os.environ.get("BENCH_GROUP", "2"))  # 4 favors B=1 latency
+    # default: the per-set measured-fastest group (ops/ntt.py:default_group)
+    group = os.environ.get("BENCH_GROUP")
+    group = int(group) if group else None
     t0 = time.time()
     sk = K.SecretKey.generate(jax.random.key(0), params)
     ck = K.CloudKey.generate(jax.random.key(1), sk, params, group=group,

@@ -22,15 +22,19 @@ from zig_tfhe_tpu.utils import serialization as S
 
 
 def test_default_engine_gadget_selection():
-    """Boolean sets (bgbit=6, L=3, N>=1024) get Bg_e=2^8 with (2,2) rows;
-    Uint sets and TEST_TINY keep the parameter base."""
+    """Boolean sets (bgbit=6, L=3, N>=1024) get Bg_e=2^8 with (2,2) rows
+    at group<=2 and Bg_e=2^7 at group>=3 (the per-set default group for
+    those sets IS 3); Uint sets and TEST_TINY keep the parameter base."""
     for p in (P.SECURITY_80_BIT, P.SECURITY_110_BIT, P.SECURITY_128_BIT):
         assert NTT.default_engine_gadget(p) == (8, (2, 2))
+        assert NTT.default_engine_gadget(p, group=3) == (7, (2, 2))
+        assert NTT.default_group(p) == 3
     for p in (P.SECURITY_UINT2, P.SECURITY_UINT4, P.SECURITY_UINT8,
               P.TEST_TINY, P.TEST_TINY_UINT):
         bg, lv = NTT.default_engine_gadget(p)
         assert bg == p.bgbit
         assert lv == NTT.default_decomp_levels(p)
+        assert NTT.default_group(p) == 2
 
 
 def test_gadget_offset_matches_reference_at_parameter_base():

@@ -238,12 +238,14 @@ def test_uint4_multivalue_lut_real_noise():
 
 @slow
 def test_128bit_nand_truth_table_real_noise():
-    """The bench configuration itself (128-bit, engine-gadget default,
-    group-2) at real noise on CPU: decrypts must be exact."""
+    """The bench configuration itself (128-bit, per-set default group and
+    engine gadget) at real noise on CPU: decrypts must be exact."""
     params = P.SECURITY_128_BIT
     sk = K.SecretKey.generate(jax.random.key(40), params)
     ck = K.CloudKey.generate(jax.random.key(41), sk, params)
-    assert ck.bsk_bgbit == 8 and ck.bsk_levels == (2, 2)  # engine gadget
+    # boolean-set defaults: group 3 at the bg7/(2,2) engine gadget
+    assert ck.bsk_group == 3
+    assert ck.bsk_bgbit == 7 and ck.bsk_levels == (2, 2)  # engine gadget
     bits_a = jnp.asarray(np.array([0, 0, 1, 1], bool))
     bits_b = jnp.asarray(np.array([0, 1, 0, 1], bool))
     cta = tlwe.encrypt_bool(jax.random.key(42), bits_a,
@@ -253,3 +255,29 @@ def test_128bit_nand_truth_table_real_noise():
     out = G.gate("nand", cta, ctb, ck)
     assert list(np.asarray(tlwe.decrypt_bool(out, sk.key_lv0))) == \
         [True, True, True, False]
+
+
+@slow
+@pytest.mark.parametrize("pname", ["uint7", "uint8"])
+def test_uint78_radix_lut_real_noise(pname):
+    """The COMPOSED (carry-decomposed) route at the modswitch-floored
+    sets: radix tree-PBS (models/lut.py:bootstrap_lut_radix) must deliver
+    >= 0.95 LUT accuracy where single-shot PBS measures 0.38/0.29
+    (envelope pinned above) — with this route every reference parameter
+    set is production-usable.  Measured at these seeds: 1.000 for both."""
+    from zig_tfhe_tpu.ops.packing_keyswitch import gen_packing_ksk
+
+    params = P.PARAMS_BY_NAME[pname]
+    m = 1 << params.security_bits
+    f = lambda x: (x * 5 + 1) % m
+    sk = K.SecretKey.generate(jax.random.key(10), params)
+    ck = K.CloudKey.generate(jax.random.key(11), sk, params)
+    pksk = gen_packing_ksk(jax.random.key(12), sk.key_lv1, params)
+    probe = np.unique(np.linspace(0, m - 1, 8, dtype=np.int64))
+    cts = L.encrypt_radix_message(jax.random.key(13), probe, m,
+                                  params.tlwe_lv0.alpha, sk.key_lv0)
+    out = L.bootstrap_lut_radix(*cts, f, m, ck, pksk)
+    dec = np.asarray(L.decrypt_radix_message(out, m, sk.key_lv0))
+    expected = np.array([f(int(x)) for x in probe])
+    acc = float((dec == expected).mean())
+    assert acc >= 0.95, (pname, dec.tolist(), expected.tolist())

@@ -68,9 +68,11 @@ class CloudKey:
     bsk_ntt:       BSK in NTT residue form (the fast engine's key, rounded
                    by bsk_ntt_drop bits):
                      bsk_group=1: int16 [n0, P, 2L, 2, N]
-                     bsk_group=2 (the generate() default): int16
-                       [ceil(n0/2), 3, P, 2L, 2, N] — (s1, s2, s1*s2)
-                       TRGSWs per coefficient pair (multi-bit rotation)
+                     bsk_group=g (generate() defaults per set —
+                       ops/ntt.py:default_group: 3 for boolean, 2 for
+                       uint): int16 [ceil(n0/g), 2^g - 1, P, 2L, 2, N] —
+                       TRGSWs of every nonempty subset product of g key
+                       bits per coefficient group (multi-bit rotation)
     bsk_ext_limbs: int8  [n0, 4, 2L, 2, 2N] (BSK in ext-limb form, for the
                    Toeplitz engines; optional)
     """
@@ -107,12 +109,15 @@ class CloudKey:
     @classmethod
     def generate(cls, key, secret_key: SecretKey, params: SecurityParams,
                  engines=("ntt",), bsk_limbs: int = 4,
-                 ntt_drop: int | None = None, group: int = 2,
+                 ntt_drop: int | None = None, group: int | None = None,
                  decomp_levels: int | None = None,
                  engine_bgbit: int | None = None) -> "CloudKey":
         """engines selects the BSK forms to materialize ('ntt' and/or
-        'toeplitz').  group=2 builds the multi-bit NTT bootstrapping key
-        (s1, s2, s1*s2 per coefficient pair — halves the blind-rotate scan);
+        'toeplitz').  group=g builds the multi-bit NTT bootstrapping key
+        (TRGSWs of every nonempty subset product of g secret bits per
+        coefficient group — divides the blind-rotate scan length by g);
+        None picks the measured-fastest default per parameter set
+        (ops/ntt.py:default_group — 3 for the boolean sets, 2 for uint).
         ntt_drop (BSK rounding bits) defaults per params; bsk_limbs < 4 is
         the Toeplitz engines' analogous knob.
 
@@ -125,6 +130,8 @@ class CloudKey:
         force the exact reference gadget."""
         from zig_tfhe_tpu.ops import ntt as _nttmod
 
+        if group is None:
+            group = _nttmod.default_group(params)
         if engine_bgbit is None:
             if decomp_levels is None:
                 engine_bgbit, decomp_levels = _nttmod.default_engine_gadget(
@@ -156,7 +163,7 @@ class CloudKey:
 
     @classmethod
     def generate_no_ksk(cls, params: SecurityParams,
-                        engines=("ntt",), group: int = 1,
+                        engines=("ntt",), group: int | None = 1,
                         decomp_levels: int | None = None,
                         engine_bgbit: int | None = None,
                         ntt_drop: int | None = None) -> "CloudKey":
@@ -165,10 +172,14 @@ class CloudKey:
         group>1 gives the multi-bit BSK layout that CloudKey.generate()
         produces by default (same compile graph as production); ntt_drop
         (BSK rounding bits) overrides default_drop_bits, matching
-        generate()'s knob.
+        generate()'s knob.  group=None matches generate()'s per-set
+        default (the keygen fixture keeps group=1 as ITS default: most
+        kernel tests want the single-bit layout).
         """
         from zig_tfhe_tpu.ops import ntt as _nttmod
 
+        if group is None:
+            group = _nttmod.default_group(params)
         if engine_bgbit is None:
             if decomp_levels is None:
                 engine_bgbit, decomp_levels = _nttmod.default_engine_gadget(

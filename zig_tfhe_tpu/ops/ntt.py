@@ -362,6 +362,22 @@ def norm_levels(params: SecurityParams, levels,
     return la, lb
 
 
+def default_group(params: SecurityParams) -> int:
+    """Default multi-bit blind-rotation group for CloudKey.generate.
+
+    Boolean sets: group 3 — measured fastest on v5e (234 steps at
+    bg7/(2,2)/drop5: 5,946 gates/s full-gate vs 5,732 BR/s at group 2,
+    accuracy 1.0 at B=1536/4096, noise margin BETTER than group 2:
+    sigma_out 2^25.77 / margin 6.59 vs 2^25.85 / 6.22 — tools/noise_probe).
+    Uint sets: group 2 — their parameter-base gadgets (Bg up to 2^22)
+    already sit on wide multi-prime plans where the (3^g - 1) pointwise
+    multiplier grows faster than the step count shrinks.
+    """
+    if params.bgbit == 6 and params.L == 3 and params.N >= 1024:
+        return 3
+    return 2
+
+
 def default_engine_gadget(params: SecurityParams,
                           group: int = 2) -> tuple[int, tuple[int, int]]:
     """(bgbit_e, (la, lb)) — the gadget the NTT blind rotation actually runs.

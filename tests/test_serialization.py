@@ -121,3 +121,29 @@ def test_seeded_ciphertext_roundtrip(tmp_path, tiny, tiny_sk):
     # wrong-kind guard
     with pytest.raises(ValueError, match="expected"):
         S.load_ciphertext(path)
+
+
+def test_packing_ksk_roundtrip(tmp_path):
+    """Packing key round-trips with its basebit/t contract, and the loaded
+    key drives the radix tree-PBS to the same exact result."""
+    import numpy as np
+
+    from zig_tfhe_tpu import key as K
+    from zig_tfhe_tpu import params as P
+    from zig_tfhe_tpu.models import lut as L
+    from zig_tfhe_tpu.ops.packing_keyswitch import gen_packing_ksk
+
+    params = P.TEST_TINY_UINT
+    sk = K.SecretKey.generate(jax.random.key(7), params)
+    ck = K.CloudKey.generate(jax.random.key(8), sk, params)
+    pksk = gen_packing_ksk(jax.random.key(9), sk.key_lv1, params)
+    S.save_packing_ksk(tmp_path / "pksk", pksk, params)
+    pksk2, p2, basebit, t = S.load_packing_ksk(tmp_path / "pksk")
+    assert p2 == params and (basebit, t) == (params.basebit, params.iks_t)
+    assert np.array_equal(np.asarray(pksk), np.asarray(pksk2))
+    m, f = 64, (lambda x: (x * 3 + 5) % 64)
+    cts = L.encrypt_radix_message(jax.random.key(10), np.array([9, 40]), m,
+                                  0.0, sk.key_lv0)
+    out = L.bootstrap_lut_radix(*cts, f, m, ck, pksk2)
+    assert list(np.asarray(L.decrypt_radix_message(out, m, sk.key_lv0))) \
+        == [f(9), f(40)]

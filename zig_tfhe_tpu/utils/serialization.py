@@ -215,3 +215,29 @@ def load_reenc_key(path):
         rk = PR.ProxyReencryptionKey(jnp.asarray(z["key_encryptions"]),
                                      basebit=m["basebit"], t=m["t"])
     return rk, _params_from_doc(m)
+
+
+_KIND_PACKING = "packing_ksk"
+
+
+def save_packing_ksk(path, pksk, params: P.SecurityParams,
+                     basebit: int | None = None, t: int | None = None) -> None:
+    """Packing key-switch key (ops/packing_keyswitch.py:gen_packing_ksk).
+
+    basebit/t default to the parameter set's key-switch settings (the
+    gen_packing_ksk defaults); pass explicit values if the key was built
+    with custom ones — they are stored so load reconstructs the contract.
+    """
+    np.savez(path, __manifest__=_manifest(
+        _KIND_PACKING, params,
+        {"basebit": params.basebit if basebit is None else basebit,
+         "t": params.iks_t if t is None else t}),
+        pksk=np.asarray(pksk))
+
+
+def load_packing_ksk(path):
+    """Returns (pksk, params, basebit, t)."""
+    z, m = _open(path, _KIND_PACKING)
+    with z:
+        pksk = jnp.asarray(z["pksk"])
+    return pksk, _params_from_doc(m), m["basebit"], m["t"]

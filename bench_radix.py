@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Radix (carry-decomposed) PBS benchmark: uint8 LUT evaluations/s.
+
+The composed route (models/lut.py:bootstrap_lut_radix) is the production
+path for message moduli 32-256 — the single-shot envelope at uint8 is
+29% accuracy (docs/NOISE.md §8), the radix route measures 1.000.  The
+reference defines the uint sets but cannot execute them (comptime-pinned
+to the boolean set), so there is no reference number; vs_baseline
+compares against OUR single-shot uint8 bootstrap rate divided by the
+route's 2(1 + m_hi) rotation-lanes-per-eval (the honest cost model).
+
+Env: BENCH_BATCH (default 32), BENCH_PARAMS (uint8), BENCH_ITERS (3).
+Prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+from zig_tfhe_tpu import key as K
+from zig_tfhe_tpu import params as P
+from zig_tfhe_tpu.models import lut as L
+from zig_tfhe_tpu.ops.packing_keyswitch import gen_packing_ksk
+
+
+def main():
+    B = int(os.environ.get("BENCH_BATCH", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    pname = os.environ.get("BENCH_PARAMS", "uint8")
+    params = P.PARAMS_BY_NAME[pname]
+    m = 1 << params.security_bits
+    f = lambda x: (x * 5 + 1) % m
+
+    t0 = time.time()
+    sk = K.SecretKey.generate(jax.random.key(0), params)
+    ck = K.CloudKey.generate(jax.random.key(1), sk, params)
+    pksk = gen_packing_ksk(jax.random.key(2), sk.key_lv1, params)
+    np.asarray(jax.tree_util.tree_leaves(ck)[1].ravel()[:1])
+    print(f"# keygen+pksk: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    msgs = rng.integers(0, m, B)
+    cts = L.encrypt_radix_message(jax.random.key(3), msgs, m,
+                                  params.tlwe_lv0.alpha, sk.key_lv0)
+
+    run = jax.jit(lambda lo, hi, ck, pksk: L.bootstrap_lut_radix(
+        lo, hi, f, m, ck, pksk))
+
+    def _sync(o):
+        np.asarray(o[0][..., 0])
+        return o
+
+    t0 = time.time()
+    out = _sync(run(*cts, ck, pksk))
+    print(f"# compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    dec = np.asarray(L.decrypt_radix_message(out, m, sk.key_lv0))
+    exp = np.array([f(int(x)) for x in msgs])
+    acc = float((dec == exp).mean())
+    print(f"# accuracy: {acc:.4f}", file=sys.stderr)
+
+    ts = []
+    for _ in range(iters):
+        t0 = time.time()
+        _sync(run(*cts, ck, pksk))
+        ts.append(time.time() - t0)
+    dt = float(np.median(ts))
+    per_s = B / dt
+    # cost model: one eval = 2*m_hi + 2 blind-rotation lanes (mid layer +
+    # select) vs one lane for a single-shot (29%-accurate) bootstrap
+    m_hi = m // 16
+    lanes = 2 * m_hi + 2
+    print(f"# {dt*1e3:.0f} ms/batch of {B} ({dt/B*1e3:.1f} ms/eval, "
+          f"{lanes} rotation lanes/eval)", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"radix_lut_evals_per_s_{pname}_batch{B}",
+        "value": round(per_s, 2),
+        "unit": "evals/s",
+        "vs_baseline": None,
+        "accuracy": acc,
+        "rotation_lanes_per_eval": lanes,
+    }))
+
+
+if __name__ == "__main__":
+    main()

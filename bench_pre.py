@@ -42,7 +42,12 @@ REF_REENC_PER_S = 1000.0 / 1.1  # ~909/s (PROXY_REENC.md:223)
 
 
 def _sync(x):
-    np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
+    # fence with a TINY readback: fetching a [..., :1] slice forces full
+    # execution (block_until_ready does not block on axon) without the
+    # multi-MB device->host transfer of the whole result, which at
+    # ~4-20 ms/MB would dominate and corrupt the timing
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
     return x
 
 

@@ -88,6 +88,23 @@ def _pk_encrypt_j(key, mu, bank, alpha):
     return PublicKeyLv0(bank).encrypt_torus(key, mu, alpha)
 
 
+# whole-keygen cores: ks_plaintexts + encrypt + reshape as ONE dispatch
+# (three separate dispatches measured ~3.3 s warm for the asymmetric key
+# on the tunnel; one jitted graph is ~1 dispatch + the output transfer)
+@functools.partial(jax.jit, static_argnames=("alpha", "basebit", "t"))
+def _asym_key_core(key, key_from, bank, alpha, basebit, t):
+    mu = ks_plaintexts(key_from, basebit, t)
+    ct = PublicKeyLv0(bank).encrypt_torus(key, mu, alpha)
+    return ct.reshape(key_from.shape[0] * t, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "basebit", "t"))
+def _sym_key_core(key, key_from, key_to, alpha, basebit, t):
+    mu = ks_plaintexts(key_from, basebit, t)
+    ct = _tlwe.encrypt_torus(key, mu, alpha, key_to)
+    return ct.reshape(key_from.shape[0] * t, -1)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class ProxyReencryptionKey:
@@ -117,10 +134,8 @@ class ProxyReencryptionKey:
         basebit = params.basebit if basebit is None else basebit
         t = params.iks_t if t is None else t
         alpha = params.ksk_alpha if alpha is None else alpha
-        mu = ks_plaintexts(key_from, basebit, t)
-        ct = _encrypt_torus_j(key, mu, alpha, key_to)
-        n0 = key_from.shape[0]
-        return cls(ct.reshape(n0 * t, -1), basebit=basebit, t=t)
+        ct = _sym_key_core(key, key_from, key_to, float(alpha), basebit, t)
+        return cls(ct, basebit=basebit, t=t)
 
     @classmethod
     def new_asymmetric(cls, key, key_from, public_key_to: PublicKeyLv0,
@@ -130,11 +145,9 @@ class ProxyReencryptionKey:
         basebit = params.basebit if basebit is None else basebit
         t = params.iks_t if t is None else t
         alpha = params.ksk_alpha if alpha is None else alpha
-        mu = ks_plaintexts(key_from, basebit, t)
-        ct = _pk_encrypt_j(key, mu, public_key_to.encryptions,
-                           alpha=float(alpha))
-        n0 = key_from.shape[0]
-        return cls(ct.reshape(n0 * t, -1), basebit=basebit, t=t)
+        ct = _asym_key_core(key, key_from, public_key_to.encryptions,
+                            float(alpha), basebit, t)
+        return cls(ct, basebit=basebit, t=t)
 
 
 def reencrypt(ct, reenc_key: ProxyReencryptionKey):

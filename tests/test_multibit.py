@@ -154,3 +154,36 @@ def test_asymmetric_key_serialization_roundtrip(tmp_path, tiny, tiny_sk):
     ck2 = S.load_cloud_key(path)
     assert ck2.bsk_levels == (2, 1)
     assert np.array_equal(np.asarray(ck.bsk_ntt), np.asarray(ck2.bsk_ntt))
+
+
+def test_rotate_combine_wide_matches_narrow():
+    """The pointwise/rotate barrett FOLD (unreduced pointwise sums +
+    per-term combine reduction) must agree with the reduced/pairwise
+    path exactly mod every plan prime, including at the bound-stressing
+    extremes (residues at +-(p/2 + 384), the barrett output envelope)."""
+    from zig_tfhe_tpu.ops import ntt as NTT
+
+    plan = NTT.make_plan(1024, 45)          # the production 3-prime plan
+    rng = np.random.default_rng(0)
+    B, g = 4, 3
+    ts = [jnp.asarray(rng.integers(0, 2048, B).astype(np.int32))
+          for _ in range(g)]
+    us_wide, us_narrow = [], []
+    for m in range((1 << g) - 1):
+        per_prime_w, per_prime_n = [], []
+        for p in plan.primes:
+            hi = p + 768                     # the documented wide bound
+            v = rng.integers(-hi, hi + 1, (B, 2, 1024)).astype(np.int32)
+            per_prime_w.append(jnp.asarray(v))
+            # narrow variant: the same values centered into [-p/2, p/2]
+            per_prime_n.append(jnp.asarray(
+                ((v + p // 2) % p) - p // 2))
+        us_wide.append(per_prime_w)
+        us_narrow.append(per_prime_n)
+    out_w = NTT.rotate_combine_multi(us_wide, ts, plan, u_wide=True)
+    out_n = NTT.rotate_combine_multi(us_narrow, ts, plan, u_wide=False)
+    for i, p in enumerate(plan.primes):
+        a = np.asarray(out_w[i]).astype(np.int64)
+        b = np.asarray(out_n[i]).astype(np.int64)
+        assert ((a - b) % p == 0).all(), p
+        assert np.abs(a).max() <= 0.55 * p

@@ -9,7 +9,7 @@ M-series core (CHANGELOG.md:86) => ~26.8 gates/s.  vs_baseline is our
 batched gates/s divided by that.
 
 Env knobs:
-  BENCH_BATCH   gate batch per step (default 1024)
+  BENCH_BATCH   gate batch per step (default 2048, the measured knee)
   BENCH_ITERS   timed iterations (default 4)
   BENCH_PARAMS  parameter set name (default 128bit)
 """
@@ -120,7 +120,7 @@ def _gate_int8_macs(params, group, levels, n_primes=3):
 
 
 def main():
-    B = int(os.environ.get("BENCH_BATCH", "1536"))  # measured sweet spot
+    B = int(os.environ.get("BENCH_BATCH", "2048"))  # measured sweet spot (r3)
     iters = int(os.environ.get("BENCH_ITERS", "4"))
     pname = os.environ.get("BENCH_PARAMS", "128bit")
     params = P.PARAMS_BY_NAME[pname]

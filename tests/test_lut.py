@@ -288,3 +288,27 @@ def test_packing_key_switch_phase():
         err = np.abs((got.astype(np.int64) - int(vals[k]) + 2**31)
                      % 2**32 - 2**31)
         assert err.max() <= tol * delta, (k, err.max(), tol)
+
+
+def test_bootstrap_lut_radix_random_f_exact():
+    """Arbitrary (pseudo-random) tables exercise the true-difference
+    factoring fallback in _factor_lut_cached — steep tables whose wrap
+    jumps exceed +-m are unrepresentable in the centered mod-2m
+    construction and previously could not factor at all."""
+    from zig_tfhe_tpu import key as K
+    from zig_tfhe_tpu import params as P
+    from zig_tfhe_tpu.ops.packing_keyswitch import gen_packing_ksk
+
+    params = P.TEST_TINY_UINT
+    sk = K.SecretKey.generate(jax.random.key(30), params)
+    ck = K.CloudKey.generate(jax.random.key(31), sk, params)
+    pksk = gen_packing_ksk(jax.random.key(32), sk.key_lv1, params)
+    m = 64
+    table = np.random.default_rng(5).integers(0, m, m)
+    f = lambda x: int(table[x])
+    msgs = np.array([0, 7, 16, 33, 48, 63])
+    cts = L.encrypt_radix_message(jax.random.key(33), msgs, m, 0.0,
+                                  sk.key_lv0)
+    out = L.bootstrap_lut_radix(*cts, f, m, ck, pksk)
+    dec = np.asarray(L.decrypt_radix_message(out, m, sk.key_lv0))
+    assert list(dec) == [f(int(x)) for x in msgs]

@@ -257,7 +257,20 @@ def factor_lut(lut, message_modulus: int):
 def _factor_lut_cached(b_bytes: bytes, N: int, m: int):
     """factor_lut's host-side factorization + O(nnz*N) exactness check,
     cached on the table bytes so repeated traces (e.g. every radix_add /
-    digit_mul specialization calling bootstrap_multi_lut) pay it once."""
+    digit_mul specialization calling bootstrap_multi_lut) pay it once.
+
+    Two coefficient constructions, both verified exactly:
+      1. centered mod-2m quotients of the first difference — the smallest
+         ||q||_1, but AMBIGUOUS when a true jump's magnitude reaches m
+         (e.g. across the anti-periodic tail of a steep table);
+      2. TRUE integer differences of the canonical grid lifts
+         g = tv/delta in [0, 2m), wrap term c_0 = g_0 + g_{N-1}.  Always
+         exact for on-grid tables: with S_k the prefix sums,
+         (T0*q)_k = s*(2 S_k - C) and S_k - S_0 = g_k - g_0 telescopes
+         exactly, while c_0 = g_0 + g_{N-1} satisfies the wrap relation
+         c_0 = g_0 + g_{N-1} (mod 4m).  Larger ||q||_1 (<= ~2m per
+         boundary), used only when (1)'s verification fails.
+    """
     b = np.frombuffer(b_bytes, np.int32).astype(np.int64) & 0xFFFFFFFF
     # d = (1 - X) * tv  (negacyclic): d_0 = tv_0 + tv_{N-1}, d_j = tv_j - tv_{j-1}
     d = np.empty(N, np.int64)
@@ -269,20 +282,33 @@ def _factor_lut_cached(b_bytes: bytes, N: int, m: int):
         raise ValueError(
             "LUT values are not on the 1/(2m) encode grid; only "
             "generate_lookup_table outputs (power-of-two m) factor")
+    s = delta // 2
+    ones = np.full(N, s, np.int64)
+
+    def _verify(offsets, coeffs):
+        # exact check: T0 * q == tv (schoolbook negacyclic, mod 2^32)
+        recon = np.zeros(N, np.int64)
+        for j, cj in zip(offsets, coeffs):
+            rot = np.concatenate([-ones[N - j:], ones[:N - j]]) if j else ones
+            recon += cj * rot
+        return not np.any((recon - b) & 0xFFFFFFFF)
+
+    def _pack(c):
+        nz = np.nonzero(c)[0]
+        return (tuple(int(j) for j in nz), tuple(int(c[j]) for j in nz))
+
     c = (d // delta).astype(np.int64)                # quotients mod 2m
     c = np.where(c >= m, c - 2 * m, c)               # centered lift
-    nz = np.nonzero(c)[0]
-    offsets = tuple(int(j) for j in nz)
-    coeffs = tuple(int(c[j]) for j in nz)
-    # exact verification: T0 * q == tv (schoolbook negacyclic, mod 2^32)
-    s = delta // 2
-    recon = np.zeros(N, np.int64)
-    ones = np.full(N, s, np.int64)
-    for j, cj in zip(offsets, coeffs):
-        rot = np.concatenate([-ones[N - j:], ones[:N - j]]) if j else ones
-        recon += cj * rot
-    if np.any((recon - b) & 0xFFFFFFFF):
-        raise ValueError("internal: multi-value factorization check failed")
+    offsets, coeffs = _pack(c)
+    if not _verify(offsets, coeffs):
+        g = b // delta                               # canonical lifts [0, 2m)
+        c2 = np.empty(N, np.int64)
+        c2[1:] = g[1:] - g[:-1]
+        c2[0] = g[0] + g[N - 1]
+        offsets, coeffs = _pack(c2)
+        if not _verify(offsets, coeffs):
+            raise ValueError(
+                "internal: multi-value factorization check failed")
     return offsets, coeffs, int(np.abs(np.asarray(coeffs)).sum())
 
 
@@ -405,13 +431,22 @@ def bootstrap_lut_radix(ct_lo, ct_hi, f: Callable[[int], int],
     B = ct_lo.shape[0]
     N = params.N
 
-    # mid layer: one batched blind rotation, lanes ordered (B, family, h)
-    tvs = jnp.asarray(radix_lut_testvecs(f, m, params))       # [2, mh, 2, N]
-    tv_all = jnp.broadcast_to(tvs[None], (B, 2, m_hi, 2, N))
-    tv_all = tv_all.reshape(B * 2 * m_hi, 2, N)
-    lo_rep = jnp.repeat(ct_lo, 2 * m_hi, axis=0)
-    tr = blind_rotate(lo_rep, tv_all, ck, params)
-    lv1 = _trlwe.sample_extract(tr, 0)                        # [B*2*mh, N+1]
+    # mid layer.  All 2*m_hi tables are LUTs of the SAME input, and both
+    # families sit on the 1/(2*16) encode grid (T_lo encodes [0,16) at
+    # modulus-16 scale; T_hi values h/(2*m_hi) are multiples of 1/32 for
+    # m_hi <= 16) — so CIM17 multi-value factoring applies: ONE blind
+    # rotation of ct_lo against the all-ones base, then a cheap factored
+    # multiplication per table (docs/NOISE.md §9; ||q||_1 <= 16 * 16
+    # against the uint-family budget's >= 20x headroom).  This replaces
+    # the 2*m_hi-lane rotation — the dominant cost of the route.
+    tvs = radix_lut_testvecs(f, m, params)                    # [2, mh, 2, N]
+    factored = [factor_lut(tvs[fam, h], 16)
+                for fam in range(2) for h in range(m_hi)]
+    base = jnp.asarray(multi_lut_base(16, N))
+    acc = blind_rotate(ct_lo, base, ck, params)               # [B, 2, N]
+    outs = jnp.stack([apply_factored(acc, o, c) for o, c, _ in factored],
+                     axis=1)                                  # [B, 2mh, 2, N]
+    lv1 = _trlwe.sample_extract(outs.reshape(B * 2 * m_hi, 2, N), 0)
     lv1 = lv1.reshape(B, 2, m_hi, N + 1)
 
     # pack each family's m_hi candidates into one blind-rotation testvec

@@ -37,7 +37,7 @@ from zig_tfhe_tpu.ops.packing_keyswitch import gen_packing_ksk
 
 
 def main():
-    B = int(os.environ.get("BENCH_BATCH", "32"))
+    B = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     pname = os.environ.get("BENCH_PARAMS", "uint8")
     params = P.PARAMS_BY_NAME[pname]
@@ -79,12 +79,14 @@ def main():
         ts.append(time.time() - t0)
     dt = float(np.median(ts))
     per_s = B / dt
-    # cost model: one eval = 2*m_hi + 2 blind-rotation lanes (mid layer +
-    # select) vs one lane for a single-shot (29%-accurate) bootstrap
+    # cost model: one eval = 2 blind-rotation lanes (multi-value mid layer
+    # + select) plus 2*m_hi factored multiplications and the packing
+    # matmul; a single-shot (29%-accurate) bootstrap is 1 lane
     m_hi = m // 16
-    lanes = 2 * m_hi + 2
+    lanes = 2
     print(f"# {dt*1e3:.0f} ms/batch of {B} ({dt/B*1e3:.1f} ms/eval, "
-          f"{lanes} rotation lanes/eval)", file=sys.stderr)
+          f"{lanes} rotation lanes + {2*m_hi} factored muls/eval)",
+          file=sys.stderr)
     print(json.dumps({
         "metric": f"radix_lut_evals_per_s_{pname}_batch{B}",
         "value": round(per_s, 2),

@@ -342,10 +342,12 @@ def apply_factored(acc, offsets, coeffs):
 # deep inside the modswitch budget), and evaluate an arbitrary
 # f: [0,m) -> [0,m) with a two-layer tree PBS:
 #
-#   1. mid layer — ONE batched blind rotation over B * 2 * m_hi lanes of
-#      ct_lo evaluates, for every hypothesis h of the hi digit, the two
-#      output-digit tables g_h_lo(x_lo) = f(16h + x_lo) mod 16 and
-#      g_h_hi(x_lo) = f(16h + x_lo) // 16 (kept at lv1 — no key switch);
+#   1. mid layer — ONE multi-value blind rotation of ct_lo (CIM17,
+#      docs/NOISE.md §9) evaluates, for every hypothesis h of the hi
+#      digit, the two output-digit tables g_h_lo(x_lo) = f(16h + x_lo)
+#      mod 16 and g_h_hi(x_lo) = f(16h + x_lo) // 16 via cheap factored
+#      multiplications of the one rotated accumulator (kept at lv1 — no
+#      key switch);
 #   2. pack — each family's m_hi candidate TLWEs pack into one TRLWE
 #      testvec, candidate h's value occupying the coefficient block
 #      centered on h * (N/m_hi) (ops/packing_keyswitch.py);

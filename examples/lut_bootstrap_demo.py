@@ -70,7 +70,23 @@ def main():
         print(f"  f({x:2d}) = {d:2d}{mark}")
     print(f"\n{m} programmable bootstraps in {dt*1e3:.0f} ms "
           f"({'all correct' if ok else 'ERRORS'})")
-    sys.exit(0 if ok else 1)
+
+    # --- large-modulus (radix tree-PBS) leg: moduli the single-shot route
+    # cannot decode at N=1024 (docs/NOISE.md §8) ---
+    big_m = 64
+    g = lambda x: (x * 3 + 5) % big_m
+    from zig_tfhe_tpu.ops.packing_keyswitch import gen_packing_ksk
+    pksk = gen_packing_ksk(jax.random.key(3), sk.key_lv1, params)
+    big_msgs = np.array([0, 9, 17, 31, 40, 63]) % big_m
+    cts = L.encrypt_radix_message(jax.random.key(4), big_msgs, big_m,
+                                  params.tlwe_lv0.alpha, sk.key_lv0)
+    out2 = L.bootstrap_lut_radix(*cts, g, big_m, ck, pksk)
+    dec2 = np.asarray(L.decrypt_radix_message(out2, big_m, sk.key_lv0))
+    ok2 = all(int(d) == g(int(x)) for d, x in zip(dec2, big_msgs))
+    print(f"radix tree-PBS at m={big_m}: "
+          f"{[int(d) for d in dec2]} ({'all correct' if ok2 else 'ERRORS'})")
+    print("> OK" if ok and ok2 else "> FAIL")
+    sys.exit(0 if ok and ok2 else 1)
 
 
 if __name__ == "__main__":

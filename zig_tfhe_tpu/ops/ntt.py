@@ -462,7 +462,12 @@ def default_drop_bits(params: SecurityParams, group: int = 1,
     # drop 5: amplitude 2^6*2^5 = 2^11, terms x2.17 vs group-2 ->
     # 0.54x the shipped group-2 drop variance, and the Hoeffding plan
     # bound (tau = 2^44.09, bits 45) stays 3-prime (docs/NOISE.md §6).
-    base = {1: 12, 2: 13, 3: 12, 4: 10}[group]
+    # group=4 at bg7/(2,2) likewise needs drop 5 for the 3-prime plan
+    # (tau = 2^44.9); amplitude 2^11 at 5x the group-2 term count =
+    # 1.25x the shipped group-2 drop variance (a latency-tuned config —
+    # 175 scan steps; throughput loses to group 3 on the 15-subset
+    # combine, docs/ROADMAP.md).
+    base = {1: 12, 2: 13, 3: 12, 4: 12}[group]
     return max(0, base - (params.bgbit if bgbit is None else bgbit))
 
 

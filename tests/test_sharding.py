@@ -112,3 +112,37 @@ def test_sharded_integer_ops_bit_exact(mesh8):
     assert np.array_equal(out_add, ref_add)
     assert np.array_equal(out_lt, ref_lt)
     assert np.array_equal(I.decrypt_radix(out_add, sk.key_lv0), av + bv)
+
+
+def test_sharded_radix_lut_bit_exact(mesh8):
+    """The radix tree-PBS (multi-value mid layer + packing key switch +
+    select rotation) under a data-sharded batch must be BIT-EXACT vs
+    single-device — the whole route is batch-leading ops, so sharding
+    the lo/hi digit batches shards every stage."""
+    from zig_tfhe_tpu import params as P
+    from zig_tfhe_tpu.models import lut as L
+    from zig_tfhe_tpu.ops.packing_keyswitch import gen_packing_ksk
+
+    params = P.TEST_TINY_UINT
+    sk = K.SecretKey.generate(jax.random.key(400), params)
+    ck = K.CloudKey.generate(jax.random.key(401), sk, params)
+    pksk = gen_packing_ksk(jax.random.key(402), sk.key_lv1, params)
+    m = 64
+    f = lambda x: (x * 3 + 5) % m
+    msgs = np.arange(8) * 8 % m
+    cts = L.encrypt_radix_message(jax.random.key(403), msgs, m, 0.0,
+                                  sk.key_lv0)
+    ref = tuple(np.asarray(o)
+                for o in L.bootstrap_lut_radix(*cts, f, m, ck, pksk))
+
+    batch_sh = NamedSharding(mesh8, Pspec("data"))
+    repl = NamedSharding(mesh8, Pspec())
+    ck_r = jax.tree.map(lambda x: jax.device_put(x, repl), ck)
+    pksk_r = jax.device_put(pksk, repl)
+    cts_s = tuple(jax.device_put(c, batch_sh) for c in cts)
+    with mesh8:
+        out = L.bootstrap_lut_radix(*cts_s, f, m, ck_r, pksk_r)
+    assert np.array_equal(np.asarray(out[0]), ref[0])
+    assert np.array_equal(np.asarray(out[1]), ref[1])
+    assert list(np.asarray(L.decrypt_radix_message(out, m, sk.key_lv0))) \
+        == [f(int(x)) for x in msgs]

@@ -9,7 +9,7 @@ to the boolean set), so there is no reference number; vs_baseline
 compares against OUR single-shot uint8 bootstrap rate divided by the
 route's 2(1 + m_hi) rotation-lanes-per-eval (the honest cost model).
 
-Env: BENCH_BATCH (default 32), BENCH_PARAMS (uint8), BENCH_ITERS (3).
+Env: BENCH_BATCH (default 256), BENCH_PARAMS (uint8), BENCH_ITERS (3).
 Prints one JSON line.
 """
 

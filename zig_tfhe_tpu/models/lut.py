@@ -367,11 +367,12 @@ def encrypt_radix_message(key, message, message_modulus: int, alpha: float,
     message: int or int array [B].  Returns (ct_lo, ct_hi), each
     int32 [B, n0+1] (scalars get a singleton batch axis).
     """
-    import jax
-
     m = message_modulus
-    if m % 16 or m < 32:
-        raise ValueError(f"radix encoding needs modulus 16*k >= 32, got {m}")
+    if m & (m - 1) or not 32 <= m <= 256:
+        raise ValueError(
+            f"radix encoding needs a power-of-two modulus in 32..256, "
+            f"got {m} (the hi-digit tables must sit on the 1/32 factoring "
+            f"grid and the packing blocks must divide N)")
     msg = jnp.atleast_1d(jnp.asarray(message, jnp.int32)) % m
     k_lo, k_hi = jax.random.split(key)
     ct_lo = _tlwe.encrypt_message(k_lo, msg % 16, 16, alpha, sk)
@@ -409,12 +410,18 @@ def radix_lut_testvecs(f: Callable[[int], int], message_modulus: int,
 
 
 def bootstrap_lut_radix(ct_lo, ct_hi, f: Callable[[int], int],
-                        message_modulus: int, ck: CloudKey, pksk):
-    """Evaluate f: [0, m) -> [0, m) on radix-encoded inputs (m = 32..256).
+                        message_modulus: int, ck: CloudKey, pksk,
+                        pksk_basebit: int | None = None,
+                        pksk_t: int | None = None):
+    """Evaluate f: [0, m) -> [0, m) on radix-encoded inputs
+    (m a power of two in 32..256).
 
     ct_lo/ct_hi: int32 [B, n0+1] from encrypt_radix_message.
     pksk: packing key from ops/packing_keyswitch.py:gen_packing_ksk
-          (generated once per secret key).
+          (generated once per secret key).  pksk_basebit/pksk_t must
+          match the key's build contract when it used custom values
+          (serialization.load_packing_ksk returns them); None = the
+          parameter set's defaults, matching gen_packing_ksk's.
     Returns (out_lo, out_hi) — the same radix encoding, so evaluations
     chain.  Every constituent PBS runs at message modulus <= 16, so
     accuracy is uint4-grade (vs the ~38%/29% single-shot uint7/uint8
@@ -428,8 +435,9 @@ def bootstrap_lut_radix(ct_lo, ct_hi, f: Callable[[int], int],
     params = ck.params
     m = message_modulus
     m_hi = m // 16
-    if m % 16 or not 2 <= m_hi <= 16:
-        raise ValueError(f"radix LUT supports m = 32..256 (16*k), got {m}")
+    if m & (m - 1) or not 2 <= m_hi <= 16:
+        raise ValueError(
+            f"radix LUT supports power-of-two m = 32..256, got {m}")
     B = ct_lo.shape[0]
     N = params.N
 
@@ -452,7 +460,8 @@ def bootstrap_lut_radix(ct_lo, ct_hi, f: Callable[[int], int],
     lv1 = lv1.reshape(B, 2, m_hi, N + 1)
 
     # pack each family's m_hi candidates into one blind-rotation testvec
-    packed = pack_tlwes_blocks(lv1, m_hi, pksk, params)       # [B, 2, 2, N]
+    packed = pack_tlwes_blocks(lv1, m_hi, pksk, params,
+                               basebit=pksk_basebit, t=pksk_t)  # [B,2,2,N]
 
     # select: one batched blind rotation over the hi digit
     hi_rep = jnp.repeat(ct_hi, 2, axis=0)                     # [B*2, n0+1]

@@ -83,11 +83,6 @@ class PublicKeyLv0:
 _encrypt_torus_j = jax.jit(_tlwe.encrypt_torus, static_argnums=2)
 
 
-@functools.partial(jax.jit, static_argnames=("alpha",))
-def _pk_encrypt_j(key, mu, bank, alpha):
-    return PublicKeyLv0(bank).encrypt_torus(key, mu, alpha)
-
-
 # whole-keygen cores: ks_plaintexts + encrypt + reshape as ONE dispatch
 # (three separate dispatches measured ~3.3 s warm for the asymmetric key
 # on the tunnel; one jitted graph is ~1 dispatch + the output transfer)

@@ -26,7 +26,7 @@ from zig_tfhe_tpu import bootstrap
 from zig_tfhe_tpu import models
 from zig_tfhe_tpu import parallel
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 
 def get_info() -> dict:

@@ -9,7 +9,7 @@ to the boolean set), so there is no reference number; vs_baseline
 compares against OUR single-shot uint8 bootstrap rate divided by the
 route's 2(1 + m_hi) rotation-lanes-per-eval (the honest cost model).
 
-Env: BENCH_BATCH (default 256), BENCH_PARAMS (uint8), BENCH_ITERS (3).
+Env: BENCH_BATCH (default 512, the measured knee: 256 -> 643, 512 -> 663, 1024 -> 603 evals/s), BENCH_PARAMS (uint8), BENCH_ITERS (3).
 Prints one JSON line.
 """
 
@@ -37,7 +37,7 @@ from zig_tfhe_tpu.ops.packing_keyswitch import gen_packing_ksk
 
 
 def main():
-    B = int(os.environ.get("BENCH_BATCH", "256"))
+    B = int(os.environ.get("BENCH_BATCH", "512"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     pname = os.environ.get("BENCH_PARAMS", "uint8")
     params = P.PARAMS_BY_NAME[pname]

@@ -5,11 +5,11 @@ The composed route (models/lut.py:bootstrap_lut_radix) is the production
 path for message moduli 32-256 — the single-shot envelope at uint8 is
 29% accuracy (docs/NOISE.md §8), the radix route measures 1.000.  The
 reference defines the uint sets but cannot execute them (comptime-pinned
-to the boolean set), so there is no reference number; vs_baseline
-compares against OUR single-shot uint8 bootstrap rate divided by the
-route's 2(1 + m_hi) rotation-lanes-per-eval (the honest cost model).
+to the boolean set), so vs_baseline is null; the cost model is 2
+blind-rotation lanes + 2*m_hi factored multiplications per evaluation.
 
-Env: BENCH_BATCH (default 512, the measured knee: 256 -> 643, 512 -> 663, 1024 -> 603 evals/s), BENCH_PARAMS (uint8), BENCH_ITERS (3).
+Env: BENCH_BATCH (default 512, the measured knee: 256 -> 643, 512 ->
+663, 1024 -> 603 evals/s), BENCH_PARAMS (uint8), BENCH_ITERS (3).
 Prints one JSON line.
 """
 

@@ -312,3 +312,31 @@ def test_bootstrap_lut_radix_random_f_exact():
     out = L.bootstrap_lut_radix(*cts, f, m, ck, pksk)
     dec = np.asarray(L.decrypt_radix_message(out, m, sk.key_lv0))
     assert list(dec) == [f(int(x)) for x in msgs]
+
+
+def test_bootstrap_lut_bivariate_exact():
+    """Bivariate PBS (tfhe-rs-style): f2(x, y) on two modulus-16 inputs
+    via the radix route — exact at alpha=0 for mul and a random table."""
+    from zig_tfhe_tpu import key as K
+    from zig_tfhe_tpu import params as P
+    from zig_tfhe_tpu.ops.packing_keyswitch import gen_packing_ksk
+
+    params = P.TEST_TINY_UINT
+    sk = K.SecretKey.generate(jax.random.key(50), params)
+    ck = K.CloudKey.generate(jax.random.key(51), sk, params)
+    pksk = gen_packing_ksk(jax.random.key(52), sk.key_lv1, params)
+    xs = np.array([0, 3, 7, 15, 9, 12])
+    ys = np.array([0, 2, 3, 1, 3, 2])
+    ct_x = L.encrypt_message(jax.random.key(53), jnp.asarray(xs), 16, 0.0,
+                             sk.key_lv0)
+    ct_y = L.encrypt_message(jax.random.key(54), jnp.asarray(ys), 4, 0.0,
+                             sk.key_lv0)
+    mul = lambda x, y: (x * y) % 16
+    out = L.bootstrap_lut_bivariate(ct_x, ct_y, mul, ck, pksk, y_modulus=4)
+    dec = np.asarray(L.decrypt_message(out, 16, sk.key_lv0))
+    assert list(dec) == [mul(int(x), int(y)) for x, y in zip(xs, ys)]
+    tbl = np.random.default_rng(8).integers(0, 16, (16, 4))
+    g = lambda x, y: int(tbl[x, y])
+    out2 = L.bootstrap_lut_bivariate(ct_x, ct_y, g, ck, pksk, y_modulus=4)
+    dec2 = np.asarray(L.decrypt_message(out2, 16, sk.key_lv0))
+    assert list(dec2) == [g(int(x), int(y)) for x, y in zip(xs, ys)]

@@ -471,6 +471,30 @@ def bootstrap_lut_radix(ct_lo, ct_hi, f: Callable[[int], int],
     return out[:, 0], out[:, 1]
 
 
+def bootstrap_lut_bivariate(ct_x, ct_y, f2: Callable[[int, int], int],
+                            ck: CloudKey, pksk,
+                            y_modulus: int = 16,
+                            out_modulus: int = 16):
+    """Bivariate PBS: out = f2(x, y) for two modulus-16-encoded inputs.
+
+    A direct corollary of the radix tree-PBS: the packed value
+    v = x + 16*y IS a radix encoding with lo digit x and hi digit y, so
+    evaluating f2 is one bootstrap_lut_radix call at modulus 16*y_modulus
+    with f(v) = f2(v mod 16, v // 16).  No reference analog (tfhe-rs
+    calls this a bivariate PBS); cost = 2 blind-rotation lanes.
+
+    ct_x: int32 [B, n0+1], modulus-16 codec; ct_y: same at y_modulus
+    (power of two, 2..16).  Returns int32 [B, n0+1] encrypting
+    f2(x, y) mod out_modulus at the modulus-16 codec (out_modulus <= 16).
+    """
+    if out_modulus > 16:
+        raise ValueError(f"bivariate output modulus <= 16, got {out_modulus}")
+    m = 16 * y_modulus
+    out_lo, _ = bootstrap_lut_radix(
+        ct_x, ct_y, lambda v: f2(v % 16, v // 16) % out_modulus, m, ck, pksk)
+    return out_lo
+
+
 def bootstrap_multi_lut(ct_batch, luts, message_modulus: int, ck: CloudKey):
     """K LUTs of the same inputs for ONE blind rotation.
 

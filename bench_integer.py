@@ -7,7 +7,8 @@ per integer amortizes like the gate benches.  Accuracy is checked against
 plain arithmetic (must be 1.0 at uint4 real noise).
 
 Env: BENCH_BATCH (default 256), BENCH_PARAMS (default uint4),
-     BENCH_ITERS (default 3), BENCH_OP (mul|div|lt|eq, default mul).
+     BENCH_ITERS (default 3), BENCH_OP (mul|div|lt|eq, default mul),
+     BENCH_PACKING=1 (tree-PBS digit multiplier via a packing key).
 Prints one JSON line.
 """
 
@@ -35,7 +36,9 @@ from zig_tfhe_tpu.models import integer as I  # noqa: E402
 
 
 def _sync(x):
-    np.asarray(x).ravel()[:1]
+    # tiny-slice readback: full execution is forced without the multi-MB
+    # device->host transfer of the whole result
+    np.asarray(x[(slice(0, 1),) * x.ndim])
     return x
 
 
@@ -47,7 +50,9 @@ def main():
 
     t0 = time.time()
     sk = K.SecretKey.generate(jax.random.key(0), params)
-    ck = K.CloudKey.generate(jax.random.key(1), sk, params)
+    packing = os.environ.get("BENCH_PACKING", "") in ("1", "true")
+    ck = K.CloudKey.generate(jax.random.key(1), sk, params,
+                             packing_key=packing)
     np.asarray(jax.tree_util.tree_leaves(ck)[1].ravel()[:1])
     print(f"# keygen (cold, incl jit compile): {time.time()-t0:.1f}s",
           file=sys.stderr)
@@ -95,8 +100,9 @@ def main():
     plural = {"mul": "mults"}.get(opname, f"{opname}s")
     print(f"# median: {dt*1e3:.1f} ms for {B} {plural} "
           f"({dt/B*1e3:.2f} ms each)", file=sys.stderr)
+    suffix = "_treepbs" if packing else ""
     print(json.dumps({
-        "metric": f"encrypted_int6_{plural}_per_s_{pname}_batch{B}",
+        "metric": f"encrypted_int6_{plural}_per_s_{pname}_batch{B}{suffix}",
         "value": round(B / dt, 2),
         "unit": f"{plural}/s",
         "accuracy": acc,

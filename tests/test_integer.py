@@ -370,3 +370,29 @@ def test_overflowing_ops(ip, isk, ick):
     assert r.decrypt(isk) == 31 and o.decrypt(isk) == 0
 
 
+
+
+def test_digit_mul_tree_path_matches_classic(ip, isk, ick):
+    """CloudKey.generate(packing_key=True) switches digit_mul to the
+    bivariate tree PBS; results must decrypt identically to the classic
+    bit-decomposition pipeline (alpha=0: both are exact)."""
+    ick_pk = K.CloudKey.generate(jax.random.key(51), isk, ip,
+                                 packing_key=True)
+    assert ick_pk.pksk is not None and ick.pksk is None
+    rng = np.random.default_rng(3)
+    xs = rng.integers(0, 8, 6)
+    ys = rng.integers(0, 8, 6)
+    cx = I.encrypt_radix(jax.random.key(60), xs, 1, 0.0, isk.key_lv0)[..., 0, :]
+    cy = I.encrypt_radix(jax.random.key(61), ys, 1, 0.0, isk.key_lv0)[..., 0, :]
+    lo_c, hi_c = I.digit_mul(cx, cy, ick)          # classic
+    lo_t, hi_t = I.digit_mul(cx, cy, ick_pk)       # tree
+    for lo, hi in ((lo_c, hi_c), (lo_t, hi_t)):
+        got = (np.asarray(I.decrypt_radix(lo[..., None, :], isk.key_lv0))
+               + 8 * np.asarray(I.decrypt_radix(hi[..., None, :],
+                                                isk.key_lv0)))
+        assert np.array_equal(got, xs * ys)
+    # end-to-end: a full FheUint multiply through the tree path (products
+    # widen to the exact value, matching the classic-path semantics)
+    a = I.FheUint.encrypt(jax.random.key(62), 45, 2, isk, ick_pk, alpha=0.0)
+    b = I.FheUint.encrypt(jax.random.key(63), 7, 2, isk, ick_pk, alpha=0.0)
+    assert (a * b).decrypt(isk) == 45 * 7

@@ -282,3 +282,25 @@ def test_uint_radix_lut_real_noise(pname):
     expected = np.array([f(int(x)) for x in probe])
     acc = float((dec == expected).mean())
     assert acc >= 0.95, (pname, dec.tolist(), expected.tolist())
+
+
+@slow
+def test_uint4_digit_mul_tree_real_noise():
+    """The bivariate tree-PBS digit multiplier at real uint4 noise: all
+    64 digit pairs exact (the select rotation consumes a NOISY packed
+    testvec — mid-layer PBS noise x sqrt(delta) spread — so this pins
+    the tree path's real-noise budget end-to-end)."""
+    from zig_tfhe_tpu.models import integer as I
+    params = P.SECURITY_UINT4
+    sk = K.SecretKey.generate(jax.random.key(80), params)
+    ck = K.CloudKey.generate(jax.random.key(81), sk, params,
+                             packing_key=True)
+    xs, ys = np.meshgrid(np.arange(8), np.arange(8))
+    xs, ys = xs.ravel(), ys.ravel()
+    a = params.tlwe_lv0.alpha
+    cx = I.encrypt_radix(jax.random.key(82), xs, 1, a, sk.key_lv0)[..., 0, :]
+    cy = I.encrypt_radix(jax.random.key(83), ys, 1, a, sk.key_lv0)[..., 0, :]
+    lo, hi = I.digit_mul(cx, cy, ck)
+    got = (np.asarray(I.decrypt_radix(lo[..., None, :], sk.key_lv0))
+           + 8 * np.asarray(I.decrypt_radix(hi[..., None, :], sk.key_lv0)))
+    assert np.array_equal(got, xs * ys)

@@ -147,3 +147,16 @@ def test_packing_ksk_roundtrip(tmp_path):
     out = L.bootstrap_lut_radix(*cts, f, m, ck, pksk2)
     assert list(np.asarray(L.decrypt_radix_message(out, m, sk.key_lv0))) \
         == [f(9), f(40)]
+
+
+def test_cloud_key_with_packing_key_roundtrip(tmp_path, tiny, tiny_sk):
+    ck = K.CloudKey.generate(jax.random.key(9), tiny_sk, tiny,
+                             packing_key=True)
+    S.save_cloud_key(tmp_path / "ckpk", ck)
+    ck2 = S.load_cloud_key(tmp_path / "ckpk")
+    assert ck2.pksk is not None
+    assert np.array_equal(np.asarray(ck.pksk), np.asarray(ck2.pksk))
+    # a key saved without one loads with pksk None
+    S.save_cloud_key(tmp_path / "cknopk", K.CloudKey.generate(
+        jax.random.key(10), tiny_sk, tiny))
+    assert S.load_cloud_key(tmp_path / "cknopk").pksk is None

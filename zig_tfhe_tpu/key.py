@@ -81,6 +81,11 @@ class CloudKey:
     ksk1: Any
     bsk_ntt: Any = None
     bsk_ext_limbs: Any = None
+    # optional TLWE->TRLWE packing key-switch key (int32 [n1*t, 2, N],
+    # ops/packing_keyswitch.py): enables the tree-PBS fast paths (radix
+    # LUTs, the integer layer's bivariate digit multiplier).  Built at
+    # the parameter set's (basebit, iks_t); generate(packing_key=True).
+    pksk: Any = None
     params: SecurityParams = dataclasses.field(
         default=None, metadata=dict(static=True))
     bsk_ntt_drop: int = dataclasses.field(
@@ -97,7 +102,8 @@ class CloudKey:
         default=None, metadata=dict(static=True))
 
     def tree_flatten(self):
-        return ((self.testvec, self.ksk1, self.bsk_ntt, self.bsk_ext_limbs),
+        return ((self.testvec, self.ksk1, self.bsk_ntt, self.bsk_ext_limbs,
+                 self.pksk),
                 (self.params, self.bsk_ntt_drop, self.bsk_group,
                  self.bsk_levels, self.bsk_bgbit))
 
@@ -111,7 +117,8 @@ class CloudKey:
                  engines=("ntt",), bsk_limbs: int = 4,
                  ntt_drop: int | None = None, group: int | None = None,
                  decomp_levels: int | None = None,
-                 engine_bgbit: int | None = None) -> "CloudKey":
+                 engine_bgbit: int | None = None,
+                 packing_key: bool = False) -> "CloudKey":
         """engines selects the BSK forms to materialize ('ntt' and/or
         'toeplitz').  group=g builds the multi-bit NTT bootstrapping key
         (TRGSWs of every nonempty subset product of g secret bits per
@@ -149,11 +156,16 @@ class CloudKey:
             with_ntt="ntt" in engines, with_toeplitz="toeplitz" in engines,
             bsk_limbs=bsk_limbs, ntt_drop=ntt_drop, group=group,
             levels=decomp_levels, bgbit=engine_bgbit)
+        pksk = None
+        if packing_key:
+            pksk = _gen_pksk_jit(jax.random.fold_in(key, 0x9acc), secret_key,
+                                 params)
         return cls(
             testvec=testvec,
             ksk1=ksk1,
             bsk_ntt=bsk_ntt,
             bsk_ext_limbs=bsk_ext,
+            pksk=pksk,
             params=params,
             bsk_ntt_drop=ntt_drop,
             bsk_group=group if "ntt" in engines else 1,
@@ -219,6 +231,15 @@ class CloudKey:
             bsk_levels=decomp_levels if "ntt" in engines else None,
             bsk_bgbit=engine_bgbit if "ntt" in engines else None,
         )
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _gen_pksk_jit(key, secret_key: "SecretKey", params: SecurityParams):
+    """Packing key as one jitted dispatch (gen_packing_ksk at the
+    parameter defaults; ops/packing_keyswitch.py for the layout)."""
+    from zig_tfhe_tpu.ops.packing_keyswitch import gen_packing_ksk
+
+    return gen_packing_ksk(key, secret_key.key_lv1, params)
 
 
 @functools.partial(

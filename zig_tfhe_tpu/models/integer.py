@@ -573,11 +573,37 @@ def radix_shr(a_digits, s: int, ck: CloudKey):
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
+def _digit_mul_tvs(params: SecurityParams) -> np.ndarray:
+    """Tree-PBS tables for the bivariate digit multiplier: [2, 8, 2, N];
+    [fam, h] is (x*h) mod 8 (fam 0) / (x*h) div 8 (fam 1) over the
+    modulus-16 input grid (digits live in [0, 8))."""
+    gen = L.Generator.new(M, params)
+    tvs = np.zeros((2, BASE, 2, params.N), np.int32)
+    for h in range(BASE):
+        tvs[0, h] = gen.generate_lookup_table(
+            lambda x, h=h: ((x % 8) * h) % BASE).poly
+        tvs[1, h] = gen.generate_lookup_table(
+            lambda x, h=h: ((x % 8) * h) // BASE).poly
+    return tvs
+
+
 def digit_mul(x_ct, y_ct, ck: CloudKey):
     """Exact product of two encrypted digits (< 8): returns (lo, hi).
 
-    5 sequential PBS rounds (7 blind rotations total with multi-value
-    bootstrapping; 14 without), every message <= 15:
+    With a packing key on the cloud key (CloudKey.generate(
+    packing_key=True)) this is a BIVARIATE tree PBS (models/lut.py:
+    tree_pbs): one multi-value rotation of x against the 16 hypothesis
+    tables + one select rotation over y — 3 rotation-lane scans and
+    2 sequential rounds, vs the 5-round / 7-rotation bit-decomposition
+    pipeline below.  Noise: both output digits are fresh select-rotation
+    outputs (testvec noise = mid-layer PBS noise x sqrt(delta) from the
+    packing spread, docs/NOISE.md §9 budget); validated exact at alpha=0
+    and at real uint4 noise.
+
+    Classic path (no packing key): 5 sequential PBS rounds (7 blind
+    rotations total with multi-value bootstrapping; 14 without), every
+    message <= 15:
       1. bits of y (3 LUTs, 1 rotation);
       2. partial products via the w = x + 8*b packing (6 LUTs over the
          3 distinct w_k — lo_k = (x*y_k*2^k) mod 8, hi_k = ... div 8 —
@@ -590,6 +616,15 @@ def digit_mul(x_ct, y_ct, ck: CloudKey):
     carries are <= 1 each, so the linear hi sum is <= 6 < 8 — a single
     mod-8 refresh is exact.
     """
+    if getattr(ck, "pksk", None) is not None:
+        batch = x_ct.shape[:-1]
+        B = int(np.prod(batch)) if batch else 1
+        n1 = x_ct.shape[-1]
+        out = L.tree_pbs(x_ct.reshape(B, n1), y_ct.reshape(B, n1),
+                         _digit_mul_tvs(ck.params), M, ck, ck.pksk)
+        lo = out[:, 0].reshape(batch + (n1,))
+        hi = out[:, 1].reshape(batch + (n1,))
+        return lo, hi
     x, y = x_ct, y_ct                                   # [..., n0+1]
     bits8 = _pbs_mv(y, ("bit0", "bit1", "bit2"), ck)    # 1 rotation, 3 LUTs
     w = x[None] + bits8                                 # w_k = x + 8*y_k

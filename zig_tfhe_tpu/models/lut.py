@@ -432,43 +432,71 @@ def bootstrap_lut_radix(ct_lo, ct_hi, f: Callable[[int], int],
     from zig_tfhe_tpu.ops.keyswitch import identity_key_switch
     from zig_tfhe_tpu.ops.packing_keyswitch import pack_tlwes_blocks
 
-    params = ck.params
     m = message_modulus
     m_hi = m // 16
     if m & (m - 1) or not 2 <= m_hi <= 16:
         raise ValueError(
             f"radix LUT supports power-of-two m = 32..256, got {m}")
-    B = ct_lo.shape[0]
-    N = params.N
-
-    # mid layer.  All 2*m_hi tables are LUTs of the SAME input, and both
-    # families sit on the 1/(2*16) encode grid (T_lo encodes [0,16) at
-    # modulus-16 scale; T_hi values h/(2*m_hi) are multiples of 1/32 for
-    # m_hi <= 16) — so CIM17 multi-value factoring applies: ONE blind
-    # rotation of ct_lo against the all-ones base, then a cheap factored
-    # multiplication per table (docs/NOISE.md §9; ||q||_1 <= 16 * 16
-    # against the uint-family budget's >= 20x headroom).  This replaces
-    # the 2*m_hi-lane rotation — the dominant cost of the route.
-    tvs = radix_lut_testvecs(f, m, params)                    # [2, mh, 2, N]
-    factored = [factor_lut(tvs[fam, h], 16)
-                for fam in range(2) for h in range(m_hi)]
-    base = jnp.asarray(multi_lut_base(16, N))
-    acc = blind_rotate(ct_lo, base, ck, params)               # [B, 2, N]
-    outs = jnp.stack([apply_factored(acc, o, c) for o, c, _ in factored],
-                     axis=1)                                  # [B, 2mh, 2, N]
-    lv1 = _trlwe.sample_extract(outs.reshape(B * 2 * m_hi, 2, N), 0)
-    lv1 = lv1.reshape(B, 2, m_hi, N + 1)
-
-    # pack each family's m_hi candidates into one blind-rotation testvec
-    packed = pack_tlwes_blocks(lv1, m_hi, pksk, params,
-                               basebit=pksk_basebit, t=pksk_t)  # [B,2,2,N]
-
-    # select: one batched blind rotation over the hi digit
-    hi_rep = jnp.repeat(ct_hi, 2, axis=0)                     # [B*2, n0+1]
-    tr2 = blind_rotate(hi_rep, packed.reshape(B * 2, 2, N), ck, params)
-    out = identity_key_switch(_trlwe.sample_extract(tr2, 0), ck.ksk1, params)
-    out = out.reshape(B, 2, -1)
+    tvs = radix_lut_testvecs(f, m, ck.params)                 # [2, mh, 2, N]
+    out = tree_pbs(ct_lo, ct_hi, tvs, m_hi, ck, pksk,
+                   pksk_basebit=pksk_basebit, pksk_t=pksk_t)  # [B, 2, n0+1]
     return out[:, 0], out[:, 1]
+
+
+def tree_pbs(ct_in, ct_sel, tvs, n_blocks: int, ck: CloudKey, pksk,
+             pksk_basebit: int | None = None, pksk_t: int | None = None):
+    """Generic two-layer tree PBS: F output families, H hypotheses.
+
+    tvs: int32 [F, H, 2, N] — Generator-built (modulus-16 grid) testvecs;
+    table [fam, h] is the family's LUT of ct_in under hypothesis h of the
+    selector.  ct_in: int32 [B, n0+1] modulus-16 codec; ct_sel: int32
+    [B, n0+1] at modulus n_blocks (power of two; H <= n_blocks — unused
+    blocks are packed as zero samples).  Returns int32 [B, F, n0+1].
+
+    Mid layer: all F*H tables are LUTs of the SAME input on the 1/32
+    encode grid, so CIM17 multi-value factoring applies — ONE blind
+    rotation of ct_in against the all-ones base, then a cheap factored
+    multiplication per table (docs/NOISE.md §9; steep tables factor via
+    the true-difference fallback).  Pack layer: each family's candidates
+    land on the selector's N/n_blocks coefficient blocks via the packing
+    key switch.  Select layer: ONE blind rotation over ct_sel (F*B
+    lanes).  Total: 2 rotation lanes per (input, selector) pair.
+    """
+    from zig_tfhe_tpu import trlwe as _trlwe
+    from zig_tfhe_tpu.ops.blind_rotate import blind_rotate
+    from zig_tfhe_tpu.ops.keyswitch import identity_key_switch
+    from zig_tfhe_tpu.ops.packing_keyswitch import pack_tlwes_blocks
+
+    params = ck.params
+    N = params.N
+    tvs = np.asarray(tvs)
+    F, H = tvs.shape[0], tvs.shape[1]
+    if n_blocks & (n_blocks - 1) or not 2 <= n_blocks <= 16:
+        raise ValueError(f"selector modulus must be a power of two in "
+                         f"2..16, got {n_blocks}")
+    if H > n_blocks:
+        raise ValueError(f"{H} hypotheses exceed {n_blocks} selector blocks")
+    B = ct_in.shape[0]
+
+    factored = [factor_lut(tvs[fam, h], 16)
+                for fam in range(F) for h in range(H)]
+    base = jnp.asarray(multi_lut_base(16, N))
+    acc = blind_rotate(ct_in, base, ck, params)               # [B, 2, N]
+    outs = jnp.stack([apply_factored(acc, o, c) for o, c, _ in factored],
+                     axis=1)                                  # [B, F*H, 2, N]
+    lv1 = _trlwe.sample_extract(outs.reshape(B * F * H, 2, N), 0)
+    lv1 = lv1.reshape(B, F, H, N + 1)
+    if H < n_blocks:                                          # pad blocks
+        pad = jnp.zeros((B, F, n_blocks - H, N + 1), lv1.dtype)
+        lv1 = jnp.concatenate([lv1, pad], axis=2)
+
+    packed = pack_tlwes_blocks(lv1, n_blocks, pksk, params,
+                               basebit=pksk_basebit, t=pksk_t)  # [B,F,2,N]
+
+    sel_rep = jnp.repeat(ct_sel, F, axis=0)                   # [B*F, n0+1]
+    tr2 = blind_rotate(sel_rep, packed.reshape(B * F, 2, N), ck, params)
+    out = identity_key_switch(_trlwe.sample_extract(tr2, 0), ck.ksk1, params)
+    return out.reshape(B, F, -1)
 
 
 def bootstrap_lut_bivariate(ct_x, ct_y, f2: Callable[[int, int], int],

@@ -44,10 +44,16 @@ def gen_packing_ksk(key, secret_key_lv1, params: SecurityParams,
     constant polynomial with coefficient 0 equal to
     ``s1[i] * 2^(32-(j+1)*basebit)`` — the shared key-switch row encoding
     (ops/keyswitch.py:ks_plaintexts) lifted to ring ciphertexts.
+
+    alpha defaults to the LV1 noise (params.bsk_alpha): the rows are
+    TRLWE encryptions under the lv1 key, the same assumption as the
+    bootstrapping key's rows.  (The lv0-calibrated ksk_alpha would be
+    dimensionally wrong here — at uint4 it measurably blows the packed
+    testvec's budget once the block spread multiplies it by sqrt(delta).)
     """
     basebit = params.basebit if basebit is None else basebit
     t = params.iks_t if t is None else t
-    alpha = params.ksk_alpha if alpha is None else alpha
+    alpha = params.bsk_alpha if alpha is None else alpha
     n1, N = params.n1, params.N
     vals = ks_plaintexts(secret_key_lv1, basebit, t)       # [n1, t]
     mu = jnp.zeros((n1, t, N), jnp.int32).at[:, :, 0].set(vals)

@@ -115,6 +115,11 @@ def save_cloud_key(path, ck: K.CloudKey) -> None:
         arrays["bsk_ntt"] = np.asarray(ck.bsk_ntt)
     if ck.bsk_ext_limbs is not None:
         arrays["bsk_ext_limbs"] = np.asarray(ck.bsk_ext_limbs)
+    if getattr(ck, "pksk", None) is not None:
+        # embedded packing key always uses the parameter-set (basebit, t)
+        # contract (CloudKey.generate builds it that way); custom-gadget
+        # packing keys travel via save_packing_ksk
+        arrays["pksk"] = np.asarray(ck.pksk)
     np.savez(path, __manifest__=_manifest(
         _KIND_CLOUD, ck.params,
         {"bsk_ntt_drop": ck.bsk_ntt_drop, "bsk_group": ck.bsk_group,
@@ -133,6 +138,7 @@ def load_cloud_key(path) -> K.CloudKey:
             bsk_ntt=jnp.asarray(z["bsk_ntt"]) if "bsk_ntt" in z else None,
             bsk_ext_limbs=(jnp.asarray(z["bsk_ext_limbs"])
                            if "bsk_ext_limbs" in z else None),
+            pksk=jnp.asarray(z["pksk"]) if "pksk" in z else None,
             params=_params_from_doc(m),
             bsk_ntt_drop=m.get("bsk_ntt_drop", 0),
             bsk_group=m.get("bsk_group", 1),

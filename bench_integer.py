@@ -50,7 +50,7 @@ def main():
 
     t0 = time.time()
     sk = K.SecretKey.generate(jax.random.key(0), params)
-    packing = os.environ.get("BENCH_PACKING", "") in ("1", "true")
+    packing = os.environ.get("BENCH_PACKING", "1") in ("1", "true")
     ck = K.CloudKey.generate(jax.random.key(1), sk, params,
                              packing_key=packing)
     np.asarray(jax.tree_util.tree_leaves(ck)[1].ravel()[:1])

@@ -36,7 +36,8 @@ from zig_tfhe_tpu.models import lut as L
 
 
 def _sync(x):
-    np.asarray(x)[..., :1]
+    # tiny-slice readback fence (a full-array fetch costs ~4-20 ms/MB)
+    np.asarray(x[..., :1])
     return x
 
 

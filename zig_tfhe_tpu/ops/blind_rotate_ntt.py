@@ -32,6 +32,22 @@ from zig_tfhe_tpu.ops.blind_rotate import modswitch, _decompose_to_rows
 from zig_tfhe_tpu.params import SecurityParams
 
 
+def _use_fold(e_limbs: int) -> bool:
+    """Pointwise/rotate barrett fold (ops/ntt.py:pointwise_extprod
+    reduce_output=False).  PLAN-AWARE default: ON for single-limb engine
+    digits (the boolean gadgets — measured win: g2 0.776->0.766, g3
+    1.118->1.101 ms/step on the 3-prime plans), OFF for multi-limb
+    digits (uint sets — measured LOSS: uint4 PBS 2,156 -> 1,832/s with
+    the fold; the per-term combine reductions multiply across their
+    5+ prime planes).  ZTFHE_FOLD=0/1 overrides either way."""
+    env = os.environ.get("ZTFHE_FOLD", "")
+    if env in ("0", "false"):
+        return False
+    if env in ("1", "true"):
+        return True
+    return e_limbs == 1
+
+
 def _use_pallas() -> bool:
     """Fused Pallas inverse+CRT kernel (ops/pallas/ntt_inverse.py).
 
@@ -132,7 +148,7 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
             # pointwise output (bounds in its docstring) — one fewer
             # barrett per prime per step
             u_hat = _ntt.pointwise_extprod(fwd(acc), bsk_i, plan,
-                                           reduce_output=False)
+                                           reduce_output=not _use_fold(e_limbs))
             v_hat = _ntt.rotate_diag(u_hat, t, plan, minus_one=True)
             return finish(acc, v_hat), None
 
@@ -157,10 +173,11 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
             bsk_g, a_grp = xs          # [2^g-1, P, 2L', 2, N], [g, B]
             ts = [modswitch(a_grp[j], params) for j in range(group)]
             d_hat = fwd(acc)
+            fold = _use_fold(e_limbs)
             us = [_ntt.pointwise_extprod(d_hat, bsk_g[m], plan,
-                                         reduce_output=False)
+                                         reduce_output=not fold)
                   for m in range((1 << group) - 1)]
-            v_hat = _ntt.rotate_combine_multi(us, ts, plan, u_wide=True)
+            v_hat = _ntt.rotate_combine_multi(us, ts, plan, u_wide=fold)
             return finish(acc, v_hat), None
 
         acc, _ = jax.lax.scan(step_multi, acc, (bsk_ntt, a_pairs),
@@ -217,13 +234,14 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
         t1 = modswitch(a_pair[0], params)
         t2 = modswitch(a_pair[1], params)
         d_hat = fwd(acc)
+        fold = _use_fold(e_limbs)
         u1 = _ntt.pointwise_extprod(d_hat, bsk_g[0], plan,
-                                    reduce_output=False)
+                                    reduce_output=not fold)
         u2 = _ntt.pointwise_extprod(d_hat, bsk_g[1], plan,
-                                    reduce_output=False)
+                                    reduce_output=not fold)
         u12 = _ntt.pointwise_extprod(d_hat, bsk_g[2], plan,
-                                     reduce_output=False)
-        v_hat = _ntt.rotate_combine2(u1, u2, u12, t1, t2, plan, u_wide=True)
+                                     reduce_output=not fold)
+        v_hat = _ntt.rotate_combine2(u1, u2, u12, t1, t2, plan, u_wide=fold)
         return finish(acc, v_hat), None
 
     acc, _ = jax.lax.scan(step2, acc, (bsk_ntt, a_pairs), unroll=unroll)

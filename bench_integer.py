@@ -50,7 +50,11 @@ def main():
 
     t0 = time.time()
     sk = K.SecretKey.generate(jax.random.key(0), params)
-    packing = os.environ.get("BENCH_PACKING", "1") in ("1", "true")
+    opname = os.environ.get("BENCH_OP", "mul")
+    # only mul's digit multiplier uses the packing key; div/lt/eq keep
+    # their round-1 metric names (and skip the extra keygen)
+    packing = opname == "mul" and \
+        os.environ.get("BENCH_PACKING", "1") in ("1", "true")
     ck = K.CloudKey.generate(jax.random.key(1), sk, params,
                              packing_key=packing)
     np.asarray(jax.tree_util.tree_leaves(ck)[1].ravel()[:1])
@@ -65,7 +69,6 @@ def main():
     cb = I.encrypt_radix(jax.random.key(3), b, 2, params.tlwe_lv0.alpha,
                          sk.key_lv0)
 
-    opname = os.environ.get("BENCH_OP", "mul")
     ops = {
         # (jitted fn on digit arrays, plain reference on values)
         "mul": (lambda x, y, k: I.radix_mul(x, y, k), lambda: a * b),

@@ -5,8 +5,9 @@ The composed route (models/lut.py:bootstrap_lut_radix) is the production
 path for message moduli 32-256 — the single-shot envelope at uint8 is
 29% accuracy (docs/NOISE.md §8), the radix route measures 1.000.  The
 reference defines the uint sets but cannot execute them (comptime-pinned
-to the boolean set), so vs_baseline is null; the cost model is 2
-blind-rotation lanes + 2*m_hi factored multiplications per evaluation.
+to the boolean set), so vs_baseline is null; the cost model is 3
+blind-rotation lanes (1 multi-value mid + 2 select-family lanes) plus
+2*m_hi factored multiplications per evaluation.
 
 Env: BENCH_BATCH (default 512, the measured knee: 256 -> 643, 512 ->
 663, 1024 -> 603 evals/s), BENCH_PARAMS (uint8), BENCH_ITERS (3).
@@ -79,11 +80,12 @@ def main():
         ts.append(time.time() - t0)
     dt = float(np.median(ts))
     per_s = B / dt
-    # cost model: one eval = 2 blind-rotation lanes (multi-value mid layer
-    # + select) plus 2*m_hi factored multiplications and the packing
-    # matmul; a single-shot (29%-accurate) bootstrap is 1 lane
+    # cost model: one eval = 1 + F = 3 blind-rotation lanes (multi-value
+    # mid layer + a 2-family select) plus 2*m_hi factored multiplications
+    # and the packing matmul; a single-shot (29%-accurate) bootstrap is
+    # 1 lane
     m_hi = m // 16
-    lanes = 2
+    lanes = 3
     print(f"# {dt*1e3:.0f} ms/batch of {B} ({dt/B*1e3:.1f} ms/eval, "
           f"{lanes} rotation lanes + {2*m_hi} factored muls/eval)",
           file=sys.stderr)

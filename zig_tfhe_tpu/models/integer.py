@@ -617,6 +617,18 @@ def digit_mul(x_ct, y_ct, ck: CloudKey):
     mod-8 refresh is exact.
     """
     if getattr(ck, "pksk", None) is not None:
+        # the cloud key's embedded packing key uses the parameter-set
+        # (basebit, iks_t) contract (CloudKey.generate builds it that
+        # way); a custom-gadget key with a different t has the wrong row
+        # count — fail fast instead of decomposing against wrong rows
+        p = ck.params
+        if ck.pksk.shape[0] != p.n1 * p.iks_t:
+            raise ValueError(
+                f"cloud key's packing key has {ck.pksk.shape[0]} rows, "
+                f"expected n1*iks_t = {p.n1 * p.iks_t}: custom-gadget "
+                "packing keys must be used via models/lut.py:tree_pbs "
+                "with explicit pksk_basebit/pksk_t, not attached to the "
+                "cloud key")
         batch = x_ct.shape[:-1]
         B = int(np.prod(batch)) if batch else 1
         n1 = x_ct.shape[-1]

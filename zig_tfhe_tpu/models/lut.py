@@ -355,8 +355,8 @@ def apply_factored(acc, offsets, coeffs):
 #      rotates the packed testvec so the true h's block lands on
 #      coefficient 0; sample-extract + key switch yield the output digits.
 #
-# Total: 2 batched blind-rotation calls per batch of evaluations,
-# every PBS input at modulus <= 16.
+# Total: 2 batched blind-rotation calls (1 + F=2 lanes) per batch of
+# evaluations, every PBS input at modulus <= 16.
 
 
 def encrypt_radix_message(key, message, message_modulus: int, alpha: float,
@@ -460,7 +460,7 @@ def tree_pbs(ct_in, ct_sel, tvs, n_blocks: int, ck: CloudKey, pksk,
     the true-difference fallback).  Pack layer: each family's candidates
     land on the selector's N/n_blocks coefficient blocks via the packing
     key switch.  Select layer: ONE blind rotation over ct_sel (F*B
-    lanes).  Total: 2 rotation lanes per (input, selector) pair.
+    lanes).  Total: 1 + F rotation lanes per (input, selector) pair.
     """
     from zig_tfhe_tpu import trlwe as _trlwe
     from zig_tfhe_tpu.ops.blind_rotate import blind_rotate
@@ -505,11 +505,10 @@ def bootstrap_lut_bivariate(ct_x, ct_y, f2: Callable[[int, int], int],
                             out_modulus: int = 16):
     """Bivariate PBS: out = f2(x, y) for two modulus-16-encoded inputs.
 
-    A direct corollary of the radix tree-PBS: the packed value
-    v = x + 16*y IS a radix encoding with lo digit x and hi digit y, so
-    evaluating f2 is one bootstrap_lut_radix call at modulus 16*y_modulus
-    with f(v) = f2(v mod 16, v // 16).  No reference analog (tfhe-rs
-    calls this a bivariate PBS); cost = 2 blind-rotation lanes.
+    A direct corollary of the radix tree-PBS: x is the tree's input and
+    y its selector, with one hypothesis table per y value.  No reference
+    analog (tfhe-rs calls this a bivariate PBS); cost = 2 blind-rotation
+    lanes (one multi-value mid rotation + one single-family select).
 
     ct_x: int32 [B, n0+1], modulus-16 codec; ct_y: same at y_modulus
     (power of two, 2..16).  Returns int32 [B, n0+1] encrypting
@@ -517,10 +516,13 @@ def bootstrap_lut_bivariate(ct_x, ct_y, f2: Callable[[int, int], int],
     """
     if out_modulus > 16:
         raise ValueError(f"bivariate output modulus <= 16, got {out_modulus}")
-    m = 16 * y_modulus
-    out_lo, _ = bootstrap_lut_radix(
-        ct_x, ct_y, lambda v: f2(v % 16, v // 16) % out_modulus, m, ck, pksk)
-    return out_lo
+    params = ck.params
+    gen = Generator.new(16, params)
+    tvs = np.zeros((1, y_modulus, 2, params.N), np.int32)
+    for h in range(y_modulus):
+        tvs[0, h] = gen.generate_lookup_table(
+            lambda x, h=h: f2(x, h) % out_modulus).poly
+    return tree_pbs(ct_x, ct_y, tvs, y_modulus, ck, pksk)[:, 0]
 
 
 def bootstrap_multi_lut(ct_batch, luts, message_modulus: int, ck: CloudKey):

@@ -144,11 +144,12 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
         def step(acc, xs):
             bsk_i, a_col = xs                          # [P, 2L, 2, N], [B]
             t = modswitch(a_col, params)               # [B] in [0, 2N)
-            # FOLD: rotate_diag's single product absorbs the unreduced
-            # pointwise output (bounds in its docstring) — one fewer
-            # barrett per prime per step
+            # FOLD unconditionally: rotate_diag's single product absorbs
+            # the unreduced pointwise output with the SAME one barrett
+            # either way (its docstring bounds) — unlike the multi-bit
+            # combiners there is no narrow/wide trade-off here
             u_hat = _ntt.pointwise_extprod(fwd(acc), bsk_i, plan,
-                                           reduce_output=not _use_fold(e_limbs))
+                                           reduce_output=False)
             v_hat = _ntt.rotate_diag(u_hat, t, plan, minus_one=True)
             return finish(acc, v_hat), None
 

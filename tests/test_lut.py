@@ -340,3 +340,38 @@ def test_bootstrap_lut_bivariate_exact():
     out2 = L.bootstrap_lut_bivariate(ct_x, ct_y, g, ck, pksk, y_modulus=4)
     dec2 = np.asarray(L.decrypt_message(out2, 16, sk.key_lv0))
     assert list(dec2) == [g(int(x), int(y)) for x, y in zip(xs, ys)]
+
+
+def test_radix_and_tree_pbs_input_validation():
+    """Error paths fail fast with actionable messages (non-power-of-two
+    moduli, hypothesis overflow, custom-gadget packing keys on the cloud
+    key)."""
+    from zig_tfhe_tpu import key as K
+    from zig_tfhe_tpu import params as P
+    from zig_tfhe_tpu.models import integer as I
+    from zig_tfhe_tpu.ops.packing_keyswitch import gen_packing_ksk
+
+    params = P.TEST_TINY_UINT
+    sk = K.SecretKey.generate(jax.random.key(70), params)
+    ck = K.CloudKey.generate(jax.random.key(71), sk, params)
+    pksk = gen_packing_ksk(jax.random.key(72), sk.key_lv1, params)
+    with pytest.raises(ValueError, match="power-of-two"):
+        L.encrypt_radix_message(jax.random.key(73), 5, 48, 0.0, sk.key_lv0)
+    ct = L.encrypt_message(jax.random.key(74), jnp.asarray([1]), 16, 0.0,
+                           sk.key_lv0)
+    with pytest.raises(ValueError, match="power-of-two"):
+        L.bootstrap_lut_radix(ct, ct, lambda x: x, 48, ck, pksk)
+    with pytest.raises(ValueError, match="hypotheses exceed"):
+        L.tree_pbs(ct, ct, np.zeros((1, 5, 2, params.N), np.int32), 4,
+                   ck, pksk)
+    with pytest.raises(ValueError, match="selector modulus"):
+        L.tree_pbs(ct, ct, np.zeros((1, 3, 2, params.N), np.int32), 3,
+                   ck, pksk)
+    # a custom-gadget packing key (t=2 != iks_t) attached to the cloud
+    # key must be rejected by the digit multiplier, not decode garbage
+    bad = gen_packing_ksk(jax.random.key(75), sk.key_lv1, params,
+                          basebit=8, t=2)
+    import dataclasses
+    ck_bad = dataclasses.replace(ck, pksk=bad)
+    with pytest.raises(ValueError, match="packing key has"):
+        I.digit_mul(ct, ct, ck_bad)

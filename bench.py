@@ -277,12 +277,16 @@ def main():
                 return float(np.median(ts))
 
             prev = os.environ.get("ZTFHE_PALLAS")
-            t_xla = timed_mode("0")
-            t_pal = timed_mode("1")
-            if prev is None:
-                os.environ.pop("ZTFHE_PALLAS", None)
-            else:
-                os.environ["ZTFHE_PALLAS"] = prev
+            try:
+                t_xla = timed_mode("0")
+                t_pal = timed_mode("1")
+            finally:
+                # restore on ALL paths: a raise mid-probe must not leave
+                # the rest of the process pinned to a mode (ADVICE r3 #5)
+                if prev is None:
+                    os.environ.pop("ZTFHE_PALLAS", None)
+                else:
+                    os.environ["ZTFHE_PALLAS"] = prev
             ratio = t_pal / t_xla
             result["pallas_vs_xla_step_ratio"] = round(ratio, 2)
             print(f"# mosaic tripwire: fused Pallas step = {ratio:.2f}x the "

@@ -373,12 +373,16 @@ def test_overflowing_ops(ip, isk, ick):
 
 
 def test_digit_mul_tree_path_matches_classic(ip, isk, ick):
-    """CloudKey.generate(packing_key=True) switches digit_mul to the
-    bivariate tree PBS; results must decrypt identically to the classic
-    bit-decomposition pipeline (alpha=0: both are exact)."""
-    ick_pk = K.CloudKey.generate(jax.random.key(51), isk, ip,
-                                 packing_key=True)
+    """The stock uint-set CloudKey now builds the packing key by default
+    (VERDICT r3 #3), routing digit_mul through the bivariate tree PBS;
+    results must decrypt identically to the classic bit-decomposition
+    pipeline, reached via an explicit packing_key=False opt-out (alpha=0:
+    both are exact)."""
+    ick_pk = ick                                   # default: tree path
+    ick = K.CloudKey.generate(jax.random.key(51), isk, ip,
+                              packing_key=False)   # classic opt-out
     assert ick_pk.pksk is not None and ick.pksk is None
+    assert ick_pk.pksk_gadget == (ip.basebit, ip.iks_t)
     rng = np.random.default_rng(3)
     xs = rng.integers(0, 8, 6)
     ys = rng.integers(0, 8, 6)
@@ -396,3 +400,23 @@ def test_digit_mul_tree_path_matches_classic(ip, isk, ick):
     a = I.FheUint.encrypt(jax.random.key(62), 45, 2, isk, ick_pk, alpha=0.0)
     b = I.FheUint.encrypt(jax.random.key(63), 7, 2, isk, ick_pk, alpha=0.0)
     assert (a * b).decrypt(isk) == 45 * 7
+
+
+def test_digit_mul_pksk_gadget_guard(ip, isk, ick):
+    """A packing key whose declared (basebit, t) contract differs from the
+    parameter set must fail fast in digit_mul — same row count or not
+    (ADVICE r3 #1: a same-t/different-basebit key has the RIGHT row count
+    but would silently decode garbage)."""
+    import dataclasses as dc
+
+    assert ick.pksk is not None                    # uint default builds it
+    cx = I.encrypt_radix(jax.random.key(70), 3, 1, 0.0, isk.key_lv0)[..., 0, :]
+    cy = I.encrypt_radix(jax.random.key(71), 5, 1, 0.0, isk.key_lv0)[..., 0, :]
+    # wrong basebit, same t: row count matches, contract does not
+    bad = dc.replace(ick, pksk_gadget=(ip.basebit + 1, ip.iks_t))
+    with pytest.raises(ValueError, match="basebit"):
+        I.digit_mul(cx, cy, bad)
+    # wrong row count (legacy guard still fires for undeclared keys)
+    bad2 = dc.replace(ick, pksk=ick.pksk[: ip.n1], pksk_gadget=None)
+    with pytest.raises(ValueError, match="rows"):
+        I.digit_mul(cx, cy, bad2)

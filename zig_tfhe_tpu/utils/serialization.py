@@ -115,31 +115,43 @@ def save_cloud_key(path, ck: K.CloudKey) -> None:
         arrays["bsk_ntt"] = np.asarray(ck.bsk_ntt)
     if ck.bsk_ext_limbs is not None:
         arrays["bsk_ext_limbs"] = np.asarray(ck.bsk_ext_limbs)
+    extra = {"bsk_ntt_drop": ck.bsk_ntt_drop, "bsk_group": ck.bsk_group,
+             "bsk_levels": (list(ck.bsk_levels)
+                            if ck.bsk_levels is not None else None),
+             "bsk_bgbit": ck.bsk_bgbit}
     if getattr(ck, "pksk", None) is not None:
         # embedded packing key always uses the parameter-set (basebit, t)
         # contract (CloudKey.generate builds it that way); custom-gadget
-        # packing keys travel via save_packing_ksk
+        # packing keys travel via save_packing_ksk.  The contract is
+        # persisted so digit_mul's fail-fast guard survives a round trip
+        # (ADVICE r3 #1).
         arrays["pksk"] = np.asarray(ck.pksk)
-    np.savez(path, __manifest__=_manifest(
-        _KIND_CLOUD, ck.params,
-        {"bsk_ntt_drop": ck.bsk_ntt_drop, "bsk_group": ck.bsk_group,
-         "bsk_levels": (list(ck.bsk_levels)
-                        if ck.bsk_levels is not None else None),
-         "bsk_bgbit": ck.bsk_bgbit}),
-        **arrays)
+        gadget = getattr(ck, "pksk_gadget", None)
+        extra["pksk_gadget"] = (
+            list(gadget) if gadget is not None
+            else [ck.params.basebit, ck.params.iks_t])
+    np.savez(path, __manifest__=_manifest(_KIND_CLOUD, ck.params, extra),
+             **arrays)
 
 
 def load_cloud_key(path) -> K.CloudKey:
     z, m = _open(path, _KIND_CLOUD)
     with z:
+        params = _params_from_doc(m)
+        has_pksk = "pksk" in z
         return K.CloudKey(
             testvec=jnp.asarray(z["testvec"]),
             ksk1=jnp.asarray(z["ksk1"]),
             bsk_ntt=jnp.asarray(z["bsk_ntt"]) if "bsk_ntt" in z else None,
             bsk_ext_limbs=(jnp.asarray(z["bsk_ext_limbs"])
                            if "bsk_ext_limbs" in z else None),
-            pksk=jnp.asarray(z["pksk"]) if "pksk" in z else None,
-            params=_params_from_doc(m),
+            pksk=jnp.asarray(z["pksk"]) if has_pksk else None,
+            # pre-contract files (no pksk_gadget) always embedded a
+            # parameter-default key — CloudKey.generate built it that way
+            pksk_gadget=(tuple(m["pksk_gadget"]) if "pksk_gadget" in m
+                         else (params.basebit, params.iks_t) if has_pksk
+                         else None),
+            params=params,
             bsk_ntt_drop=m.get("bsk_ntt_drop", 0),
             bsk_group=m.get("bsk_group", 1),
             bsk_levels=(tuple(m["bsk_levels"])

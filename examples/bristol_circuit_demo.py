@@ -71,6 +71,37 @@ def bristol_adder(nbits: int) -> str:
 
 
 def main():
+    # DEMO_MULT=w evaluates the scheduler-scale Wallace-tree multiplier
+    # netlist instead (models/netlists.py; w=64 is the ~27k-gate corpus
+    # circuit — run it on TPU via bench_circuit.py; w=8 is a ~1 min CPU
+    # demo).  Default: the 8-bit adder below.
+    mult_w = int(os.environ.get("DEMO_MULT", "0"))
+    if mult_w:
+        from zig_tfhe_tpu.models.netlists import bristol_multiplier
+
+        a_val, b_val = 202 % (1 << mult_w), 142 % (1 << mult_w)
+        params = P.TEST_TINY
+        print(f"{mult_w}x{mult_w} Bristol multiplier: {a_val} * {b_val}")
+        text = bristol_multiplier(mult_w)
+        plan = S.parse_bristol(text)
+        print(f"scheduled: {plan.n_gates} gates in {plan.n_levels} levels")
+        sk = K.SecretKey.generate(jax.random.key(0), params)
+        ck = K.CloudKey.generate(jax.random.key(1), sk, params)
+        bits = [(a_val >> i) & 1 for i in range(mult_w)] + \
+               [(b_val >> i) & 1 for i in range(mult_w)]
+        cts = tlwe.encrypt_bool(jax.random.key(2), jnp.asarray(bits, bool),
+                                params.tlwe_lv0.alpha, sk.key_lv0)
+        t0 = time.time()
+        out = S.evaluate(plan, cts, ck)
+        out_bits = np.asarray(tlwe.decrypt_bool(out, sk.key_lv0))
+        dt = time.time() - t0
+        result = sum(int(b) << i for i, b in enumerate(out_bits))
+        status = "OK" if result == a_val * b_val else "MISMATCH"
+        print(f"decrypted product: {result} (expected {a_val * b_val}) -> "
+              f"{status} [{dt:.1f}s, {dt/plan.n_levels*1e3:.0f} ms/level]")
+        assert result == a_val * b_val
+        return
+
     nbits = 8
     a_val, b_val = 157, 89
     params = P.TEST_TINY

@@ -18,6 +18,11 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# int64 carriers for the 64-bit-torus pipeline (tests/test_torus64.py).
+# The 32-bit paths are dtype-explicit throughout (int32/int16/int8), so
+# enabling x64 suite-wide changes nothing for them — and one uniform
+# config beats an import-order-dependent flip inside one test module.
+jax.config.update("jax_enable_x64", True)
 # persistent compile cache: repeated suite runs skip most XLA compiles
 jax.config.update("jax_compilation_cache_dir", "/tmp/ztfhe_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

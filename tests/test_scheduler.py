@@ -272,3 +272,27 @@ def test_random_circuit_batched_matches_unbatched(tiny, tiny_sk, tiny_ck):
         single = S.evaluate(plan, cts[:, j], tiny_ck)
         dec_s = np.asarray(tlwe.decrypt_bool(single, tiny_sk.key_lv0))
         assert list(dec_b[:, j]) == list(dec_s), j
+
+
+def test_bristol_multiplier_netlist_encrypted(tiny, tiny_sk, tiny_ck):
+    """The generated Wallace-tree multiplier netlist (models/netlists.py —
+    the scheduler-scale Bristol corpus, VERDICT r3 #7) evaluates exactly
+    under encryption at w=8 (491 gates, ~30 levels); the plain evaluator
+    is the oracle."""
+    from zig_tfhe_tpu.models.netlists import bristol_multiplier, \
+        eval_bristol_plain
+
+    w = 8
+    text = bristol_multiplier(w)
+    plan = S.parse_bristol(text)
+    assert plan.n_gates > 400 and plan.n_levels > 10
+    a, b = 202, 142
+    bits = [(a >> i) & 1 for i in range(w)] + [(b >> i) & 1 for i in range(w)]
+    assert sum(v << i for i, v in enumerate(
+        eval_bristol_plain(text, bits))) == a * b
+    cts = tlwe.encrypt_bool(jax.random.key(31), jnp.asarray(
+        np.asarray(bits, bool)), 0.0, tiny_sk.key_lv0)
+    out = S.evaluate(plan, cts, tiny_ck)
+    dec = np.asarray(tlwe.decrypt_bool(out, tiny_sk.key_lv0))
+    got = sum(int(v) << i for i, v in enumerate(dec))
+    assert got == a * b, got

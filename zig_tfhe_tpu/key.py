@@ -157,7 +157,13 @@ class CloudKey:
         gadget on the reference's Bg); pass (params.bgbit, params.L) to
         force the exact reference gadget."""
         from zig_tfhe_tpu.ops import ntt as _nttmod
+        from zig_tfhe_tpu.utils.torus import require_width
 
+        require_width(params.torus_bits)
+        if params.torus_bits != 32 and "toeplitz" in engines:
+            raise ValueError(
+                "the Toeplitz engine is 32-bit-only (ext-limb key form); "
+                "64-bit-torus sets use engines=('ntt',)")
         if group is None:
             group = _nttmod.default_group(params)
         if engine_bgbit is None:
@@ -167,7 +173,7 @@ class CloudKey:
             else:
                 engine_bgbit = params.bgbit
         # decomp_levels=None with an explicit engine_bgbit -> all
-        # floor(32/bgbit) levels (full precision at that base)
+        # floor(torus_bits/bgbit) levels (full precision at that base)
         decomp_levels = _nttmod.norm_levels(params, decomp_levels,
                                             bgbit=engine_bgbit)
         if ntt_drop is None:
@@ -245,9 +251,12 @@ class CloudKey:
             bsk_ext = jnp.zeros(
                 (params.n0, _trgsw.N_KLIMBS, 2 * params.L, 2, 2 * params.N),
                 jnp.int8)
+        from zig_tfhe_tpu.utils.torus import carrier_dtype
+
         return cls(
             testvec=gen_testvec(params),
-            ksk1=jnp.zeros((params.n1 * params.iks_t, params.n0 + 1), jnp.int32),
+            ksk1=jnp.zeros((params.n1 * params.iks_t, params.n0 + 1),
+                           carrier_dtype(params.torus_bits)),
             bsk_ntt=bsk_ntt,
             bsk_ext_limbs=bsk_ext,
             params=params,
@@ -313,20 +322,27 @@ def _gen_cloud_key_arrays(key, secret_key: "SecretKey", *,
 
 def gen_testvec(params: SecurityParams):
     """Trivial TRLWE with b == 1/8 everywhere (key.zig:134-145)."""
-    b = jnp.full((params.N,), to_i32(torus_constant(0.125)), jnp.int32)
-    a = jnp.zeros((params.N,), jnp.int32)
+    from zig_tfhe_tpu.utils.torus import carrier_dtype, to_carrier
+    from zig_tfhe_tpu.utils.torus import torus_constant_w
+
+    w = params.torus_bits
+    dt = carrier_dtype(w)
+    b = jnp.full((params.N,), to_carrier(torus_constant_w(0.125, w), w), dt)
+    a = jnp.zeros((params.N,), dt)
     return jnp.stack([a, b])
 
 
 def gen_key_switching_key(key, secret_key: SecretKey, params: SecurityParams):
-    """KSK1[i*t+j] = TLWE_lv0( s1[i] * 2^(32-(j+1)*basebit) ), noise KSK_ALPHA.
+    """KSK1[i*t+j] = TLWE_lv0( s1[i] * 2^(w-(j+1)*basebit) ), noise KSK_ALPHA.
 
     Single batched TLWE encrypt (vs 27k sequential encrypts, key.zig:148-172).
     The row encoding is the shared key-switch contract
     (ops/keyswitch.py:ks_plaintexts); proxy re-encryption keys use it too.
     """
-    mu = _ks_plaintexts(secret_key.key_lv1, params.basebit, params.iks_t)
-    ct = _tlwe.encrypt_torus(key, mu, params.ksk_alpha, secret_key.key_lv0)
+    w = params.torus_bits
+    mu = _ks_plaintexts(secret_key.key_lv1, params.basebit, params.iks_t, w)
+    ct = _tlwe.encrypt_torus(key, mu, params.ksk_alpha, secret_key.key_lv0,
+                             width=w)
     return ct.reshape(params.n1 * params.iks_t, params.n0 + 1)
 
 
@@ -392,7 +408,8 @@ def gen_bootstrapping_key_ntt(key, secret_key: SecretKey,
         values = jnp.stack(subset_vals, axis=1).reshape(n_masks * G)
     trgsw_ct = _trgsw.encrypt_gadget_rows(
         key, values, params.bsk_alpha, secret_key.key_lv1, params, e, la, lb)
-    res = jnp.moveaxis(_nttmod.to_ntt_form(trgsw_ct, plan, drop), 0, 1)
+    res = jnp.moveaxis(_nttmod.to_ntt_form(trgsw_ct, plan, drop,
+                                           width=params.torus_bits), 0, 1)
     if group > 1:
         G = -(-params.n0 // group)
         res = res.reshape(G, (1 << group) - 1, plan.n_primes,

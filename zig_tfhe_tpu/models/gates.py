@@ -26,7 +26,8 @@ import numpy as np
 from zig_tfhe_tpu import bootstrap as _bootstrap
 from zig_tfhe_tpu.key import CloudKey
 from zig_tfhe_tpu.ops.keyswitch import identity_key_switch
-from zig_tfhe_tpu.utils.torus import f64_to_torus, to_i32, torus_constant
+from zig_tfhe_tpu.utils.torus import (f64_to_torus, to_carrier, to_i32,
+                                      torus_constant, torus_constant_w)
 
 # gate id -> (coeff_a, coeff_b, bias_fraction)
 GATE_DEFS = {
@@ -52,6 +53,15 @@ _COEFF_A = np.array([GATE_DEFS[g][0] for g in GATE_NAMES], np.int32)
 _COEFF_B = np.array([GATE_DEFS[g][1] for g in GATE_NAMES], np.int32)
 _BIAS = np.array([int(np.uint32(f64_to_torus(GATE_DEFS[g][2])))
                   for g in GATE_NAMES], np.uint32).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _bias_table(width: int) -> np.ndarray:
+    """Gate bias constants at the carrier width (== _BIAS at width 32)."""
+    if width == 32:
+        return _BIAS
+    return np.array([to_carrier(torus_constant_w(GATE_DEFS[g][2], width),
+                                width) for g in GATE_NAMES], np.int64)
 
 
 def _linear_combo(ca, cb, bias, a, b, n0: int):
@@ -116,8 +126,9 @@ def _padded_bootstrap(combo, ck: CloudKey, to_lv1: bool = False):
 def gate(name: str, a, b, ck: CloudKey):
     """Evaluate one gate type over a batch: a, b int32 [..., n0+1]."""
     ca, cb, frac = GATE_DEFS[name]
+    w = ck.params.torus_bits
     combo = _linear_combo(jnp.int32(ca), jnp.int32(cb),
-                          to_i32(torus_constant(frac)),
+                          to_carrier(torus_constant_w(frac, w), w),
                           a, b, ck.params.n0)
     return _padded_bootstrap(combo, ck)
 
@@ -135,8 +146,8 @@ def apply_gates(gate_ids, a, b, ck: CloudKey):
         gate_ids.shape + (1,) * (extra + 1))
     cb = jnp.take(jnp.asarray(_COEFF_B), gate_ids).reshape(
         gate_ids.shape + (1,) * (extra + 1))
-    bias = jnp.take(jnp.asarray(_BIAS), gate_ids).reshape(
-        gate_ids.shape + (1,) * extra)
+    bias = jnp.take(jnp.asarray(_bias_table(ck.params.torus_bits)),
+                    gate_ids).reshape(gate_ids.shape + (1,) * extra)
     combo = ca * a + cb * b
     combo = combo.at[..., ck.params.n0].add(bias)
     return _padded_bootstrap(combo, ck)
@@ -171,10 +182,12 @@ def constant(value: bool, params, batch=()):
     Matches the reference exactly, including its quirky false-encoding
     ``1 -% mu`` (one ulp off -mu; decrypts identically).
     """
-    mu = torus_constant(0.125)
-    val = mu if value else ((1 - mu) % (1 << 32))
-    ct = jnp.zeros(batch + (params.n0 + 1,), jnp.int32)
-    return ct.at[..., params.n0].set(to_i32(val))
+    w = params.torus_bits
+    mu = torus_constant_w(0.125, w)
+    val = mu if value else ((1 - mu) % (1 << w))
+    from zig_tfhe_tpu.utils.torus import carrier_dtype
+    ct = jnp.zeros(batch + (params.n0 + 1,), carrier_dtype(w))
+    return ct.at[..., params.n0].set(to_carrier(val, w))
 
 
 def mux_naive(a, b, c, ck: CloudKey):
@@ -209,12 +222,13 @@ def mux(a, b, c, ck: CloudKey):
     reference only ships the naive 3-gate version).
     """
     n0 = ck.params.n0
-    bias = to_i32(torus_constant(-0.125))
+    w = ck.params.torus_bits
+    bias = to_carrier(torus_constant_w(-0.125, w), w)
     and_combo = _linear_combo(jnp.int32(1), jnp.int32(1), bias, a, b, n0)
     andny_combo = _linear_combo(jnp.int32(-1), jnp.int32(1), bias, a, c, n0)
     stacked = jnp.concatenate([and_combo, andny_combo], axis=0)
     lv1 = _padded_bootstrap(stacked, ck, to_lv1=True)
     half = lv1.shape[0] // 2
     u = lv1[:half] + lv1[half:]
-    u = u.at[..., ck.params.n1].add(to_i32(torus_constant(0.125)))
+    u = u.at[..., ck.params.n1].add(to_carrier(torus_constant_w(0.125, w), w))
     return identity_key_switch(u, ck.ksk1, ck.params)

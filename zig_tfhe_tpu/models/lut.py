@@ -389,12 +389,19 @@ def decrypt_radix_message(cts, message_modulus: int, sk):
     return (lo + 16 * hi) % m
 
 
+@functools.lru_cache(maxsize=256)
 def radix_lut_testvecs(f: Callable[[int], int], message_modulus: int,
                        params: SecurityParams) -> np.ndarray:
     """The mid layer's 2 * m_hi testvecs: int32 [2, m_hi, 2, N].
 
     [0, h] is g_h_lo (f's low output digit, modulus-16 encoding);
-    [1, h] is g_h_hi (high digit, modulus-m_hi encoding)."""
+    [1, h] is g_h_hi (high digit, modulus-m_hi encoding).
+
+    Cached per (f, m, params): rebuilding 2*m_hi Generator tables is a
+    host-side O(m_hi * N) Python loop paid at every trace otherwise
+    (VERDICT r3 #4) — pass a STABLE function object (module-level def or
+    a cached lambda) to hit the cache; a fresh lambda per call misses by
+    identity, which is correct-but-slower."""
     m = message_modulus
     m_hi = m // 16
     gen = Generator.new(16, params)
@@ -406,6 +413,7 @@ def radix_lut_testvecs(f: Callable[[int], int], message_modulus: int,
             lambda xl, h=h: (f(16 * h + xl) % m) // 16, 16, 1.0 / (2 * m_hi))
         tvs[0, h] = lo.poly
         tvs[1, h] = hi.poly
+    tvs.setflags(write=False)           # cached: callers must not mutate
     return tvs
 
 

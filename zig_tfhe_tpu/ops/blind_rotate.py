@@ -118,14 +118,18 @@ def cmux(ext_limbs, ct0, ct1, params: SecurityParams):
 
 
 def modswitch(x, params: SecurityParams):
-    """Torus int32 -> [0, 2N] rotation amount (trgsw.zig:297,312).
+    """Torus carrier -> [0, 2N] rotation amount, int32 (trgsw.zig:297,312).
 
-    (x + 2^(32-nbit-2)) >>u (32-nbit-1).  int32 wrap at the add maps
-    2N -> 0, which is the same rotation mod 2N.
+    (x + 2^(w-nbit-2)) >>u (w-nbit-1), w = torus_bits.  Carrier wrap at
+    the add maps 2N -> 0, which is the same rotation mod 2N.  The result
+    is a tiny index, returned int32 at every width.
     """
+    from zig_tfhe_tpu.utils.torus import to_carrier
+
+    w = params.torus_bits
     nbit = params.nbit
-    rounded = x + jnp.int32(1 << (32 - nbit - 2))
-    return shift_right_logical(rounded, 32 - nbit - 1)
+    rounded = x + to_carrier(1 << (w - nbit - 2), w)
+    return shift_right_logical(rounded, w - nbit - 1).astype(jnp.int32)
 
 
 def _external_product_pallas(bsk_i, ct, params: SecurityParams):

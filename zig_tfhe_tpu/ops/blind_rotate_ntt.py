@@ -69,19 +69,21 @@ def _use_pallas() -> bool:
     return os.environ.get("ZTFHE_PALLAS", "") not in ("", "0", "false")
 
 
-def rotate_via_ntt(polys, t, plan):
+def rotate_via_ntt(polys, t, plan, width: int = 32):
     """Exact negacyclic X^t rotation of full-torus polys through the NTT.
 
-    polys: int32 [..., N] (any torus values); t: int32 [B] with the batch
+    polys: carrier [..., N] (any torus values); t: int32 [B] with the batch
     axis leading in polys (or polys unbatched, broadcast against t).
     Coefficient-domain rotation is a per-batch gather along the lane axis —
     the slowest op on TPU by far (~29 ms at B=1024).  Round-tripping
     through the NTT costs ~1 matmul-step instead.  Exactness: the result's
-    integer coefficients are the original values (|.| <= 2^31 < P/4).
+    integer coefficients are the original values (|.| <= 2^(width-1)
+    < P/4 on the width's plan).
     """
-    p_hat = _ntt.ntt_forward(polys, plan, digit_limbs=4, digit_bound=128)
+    p_hat = _ntt.ntt_forward(polys, plan, digit_limbs=width // 8,
+                             digit_bound=128)
     r_hat = _ntt.rotate_diag(p_hat, t, plan, minus_one=False)
-    return _ntt.ntt_inverse_to_crt(r_hat, plan)
+    return _ntt.ntt_inverse_to_crt(r_hat, plan, width)
 
 
 def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
@@ -119,6 +121,7 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
             "a different plan bound (regenerate it, or set "
             "ZTFHE_WORSTCASE_BOUND to match how it was built)")
     n0, N = params.n0, params.N
+    w = params.torus_bits
     B = tlwe_batch.shape[0]
     e_limbs = _ntt.engine_digit_limbs(e)
     dbound = _ntt.top_limb_bound(1 << (e - 1), e_limbs)
@@ -127,7 +130,7 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
     b_tilda = jnp.int32(2 * N) - modswitch(b, params)
     if testvec.ndim == 2:
         testvec = testvec[None]          # [1, 2, N] broadcasts against [B]
-    acc = rotate_via_ntt(testvec, b_tilda, plan)
+    acc = rotate_via_ntt(testvec, b_tilda, plan, w)
     acc = jnp.broadcast_to(acc, (B, 2, N)) if acc.shape[0] != B else acc
 
     a_cols = jnp.swapaxes(tlwe_batch[..., :n0], 0, 1)  # [n0, B]
@@ -138,7 +141,7 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
         rows = _decompose_to_rows(acc, params, levels, bgbit=e)
         return _ntt.ntt_forward(rows, plan, e_limbs, dbound)
 
-    pallas_path = pallas_inv and B % 128 == 0
+    pallas_path = pallas_inv and B % 128 == 0 and w == 32
 
     def finish(acc, v_hat):
         if pallas_path:
@@ -146,9 +149,10 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
                 ntt_inverse_to_crt_pallas)
             v32 = jnp.stack([v.astype(jnp.int32) for v in v_hat])
             return ntt_inverse_to_crt_pallas(v32, acc, plan, drop_bits)
-        delta = _ntt.ntt_inverse_to_crt(v_hat, plan)   # [B, 2, N] int32
+        delta = _ntt.ntt_inverse_to_crt(v_hat, plan, w)  # [B, 2, N] carrier
         if drop_bits:
-            delta = jax.lax.shift_left(delta, jnp.int32(drop_bits))
+            delta = jax.lax.shift_left(delta, jnp.asarray(drop_bits,
+                                                          delta.dtype))
         return acc + delta
 
     if group == 1:
@@ -202,7 +206,8 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
     # combine bound (N * Bg/2 * (p/512+1) * 256 < 2^31 => Bg/2 <= 32);
     # some kernel tile size must divide B
     _tile = next((t for t in (256, 128, 64) if B % t == 0), None)
-    _fused_ok = (e_limbs == 1 and (1 << (e - 1)) <= 32 and _tile is not None)
+    _fused_ok = (e_limbs == 1 and (1 << (e - 1)) <= 32 and _tile is not None
+                 and w == 32)
     if pallas_inv and not _fused_ok:
         # explicit-request rule (ADVICE r1): never silently skip a path the
         # user opted into.  The engine-gadget default (Bg_e=2^8) exceeds
@@ -286,7 +291,7 @@ def external_product_ntt(trgsw_ntt, ct, params: SecurityParams,
     rows = _decompose_to_rows(ct, params, levels, bgbit=e)
     d_hat = _ntt.ntt_forward(rows, plan, e_limbs, dbound)
     u_hat = _ntt.pointwise_extprod(d_hat, trgsw_ntt, plan)
-    out = _ntt.ntt_inverse_to_crt(u_hat, plan)
+    out = _ntt.ntt_inverse_to_crt(u_hat, plan, params.torus_bits)
     if drop_bits:
-        out = jax.lax.shift_left(out, jnp.int32(drop_bits))
+        out = jax.lax.shift_left(out, jnp.asarray(drop_bits, out.dtype))
     return out

@@ -17,24 +17,25 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from zig_tfhe_tpu.params import SecurityParams
-from zig_tfhe_tpu.utils.torus import shift_right_logical, to_i32
+from zig_tfhe_tpu.utils.torus import (shift_right_logical, to_carrier,
+                                      to_i32)
 
 
-def gadget_offset(bgbit: int, n_terms: int) -> int:
-    """sum_{i=1..n_terms} (Bg/2) * 2^(32 - i*bgbit), mod 2^32.
+def gadget_offset(bgbit: int, n_terms: int, width: int = 32) -> int:
+    """sum_{i=1..n_terms} (Bg/2) * 2^(width - i*bgbit), mod 2^width.
 
-    The reference's offset (key.zig:121-131) is this with n_terms = L.
-    ENGINE gadgets (a base chosen by the NTT engine, decoupled from the
-    parameter set — ops/ntt.py:default_engine_gadget) use n_terms =
-    floor(32/bgbit) so the truncation remainder at ANY kept level count
-    stays centered.
+    The reference's offset (key.zig:121-131) is this with n_terms = L at
+    width 32.  ENGINE gadgets (a base chosen by the NTT engine, decoupled
+    from the parameter set — ops/ntt.py:default_engine_gadget) use
+    n_terms = floor(width/bgbit) so the truncation remainder at ANY kept
+    level count stays centered.
     """
     off, half = 0, 1 << (bgbit - 1)
     for i in range(n_terms):
-        sh = 32 - (i + 1) * bgbit
+        sh = width - (i + 1) * bgbit
         if sh < 0:
             break
-        off = (off + half * (1 << sh)) % (1 << 32)
+        off = (off + half * (1 << sh)) % (1 << width)
     return off
 
 
@@ -64,42 +65,48 @@ def gadget_decompose(x, params: SecurityParams, level_axis: int = -1,
     floor(32/bgbit) terms so the remainder is centered at every level
     count; levels may range up to floor(32/bgbit).
     """
+    w = params.torus_bits
     if bgbit is None or bgbit == params.bgbit:
         bgbit, L = params.bgbit, params.L
         offset = params.decomposition_offset
     else:
-        L = 32 // bgbit
-        offset = gadget_offset(bgbit, L)
+        L = w // bgbit
+        offset = gadget_offset(bgbit, L, w)
     levels = L if levels is None else levels
     assert 1 <= levels <= L, (levels, L)
-    mask = jnp.int32((1 << bgbit) - 1)
-    half = jnp.int32(1 << (bgbit - 1))
-    tmp = x + to_i32(offset)
+    mask = (1 << bgbit) - 1
+    half = 1 << (bgbit - 1)
+    tmp = x + to_carrier(offset, w)
     digs = []
     for i in range(levels):
-        sh = 32 - (i + 1) * bgbit
-        digs.append((shift_right_logical(tmp, sh) & mask) - half)
+        sh = w - (i + 1) * bgbit
+        d = (shift_right_logical(tmp, sh) & mask) - half
+        # digits are tiny (|.| < Bg/2); keep them int32 so the downstream
+        # int8-limb split / matmuls are width-independent
+        digs.append(d.astype(jnp.int32))
     return jnp.stack(digs, axis=level_axis)
 
 
-def ks_decompose(a, basebit: int, t: int):
+def ks_decompose(a, basebit: int, t: int, width: int = 32):
     """Signed key-switch digits.
 
-    a: int32 [...]; returns int32 [..., t] with digits in [-B/2, B/2).
-    Reconstruction sum_j d_j * 2^(32-(j+1)*basebit) == a + prec_offset - eps,
-    eps in [0, 2^(32-basebit*t)), i.e. a rounded to basebit*t bits — the same
-    rounding the reference's unsigned decomposition achieves
+    a: carrier [...] at ``width``; returns int32 [..., t] with digits in
+    [-B/2, B/2).  Reconstruction
+    sum_j d_j * 2^(width-(j+1)*basebit) == a + prec_offset - eps,
+    eps in [0, 2^(width-basebit*t)), i.e. a rounded to basebit*t bits — the
+    same rounding the reference's unsigned decomposition achieves
     (trgsw.zig:483-499), with digits balanced instead of in [0, B).
     """
-    mask = jnp.int32((1 << basebit) - 1)
-    half = jnp.int32(1 << (basebit - 1))
-    prec = 1 << (32 - (1 + basebit * t))
+    mask = (1 << basebit) - 1
+    half = 1 << (basebit - 1)
+    prec = 1 << (width - (1 + basebit * t))
     balance = 0
     for j in range(t):
-        balance += (1 << (basebit - 1)) * (1 << (32 - (j + 1) * basebit))
-    a_bar = a + to_i32((prec + balance) % (1 << 32))
+        balance += (1 << (basebit - 1)) * (1 << (width - (j + 1) * basebit))
+    a_bar = a + to_carrier((prec + balance) % (1 << width), width)
     digs = []
     for j in range(t):
-        sh = 32 - (j + 1) * basebit
-        digs.append((shift_right_logical(a_bar, sh) & mask) - half)
+        sh = width - (j + 1) * basebit
+        digs.append(((shift_right_logical(a_bar, sh) & mask)
+                     - half).astype(jnp.int32))
     return jnp.stack(digs, axis=-1)

@@ -32,31 +32,49 @@ from zig_tfhe_tpu.params import SecurityParams
 from zig_tfhe_tpu.utils.torus import to_i32
 
 
-def ks_plaintexts(key_from, basebit: int, t: int):
-    """[n, t] plaintexts ``key_from[i] * 2^(32-(j+1)*basebit)``.
+def ks_plaintexts(key_from, basebit: int, t: int, width: int = 32):
+    """[n, t] plaintexts ``key_from[i] * 2^(width-(j+1)*basebit)``.
 
     This is the row encoding every key-switch-style key must match (row
     i*t+j of the KSK / proxy re-encryption key encrypts this value); it is
     defined once here, next to the kernel that consumes it.
     """
-    shifts = np.array([to_i32(1 << (32 - (j + 1) * basebit))
-                       for j in range(t)], dtype=np.int32)
-    return key_from[:, None] * jnp.asarray(shifts)[None, :]
+    from zig_tfhe_tpu.utils.torus import to_carrier
+
+    dtype = np.int32 if width == 32 else np.int64
+    shifts = np.array([to_carrier(1 << (width - (j + 1) * basebit), width)
+                       for j in range(t)], dtype=dtype)
+    return key_from.astype(dtype)[:, None] * jnp.asarray(shifts)[None, :]
 
 
-def key_switch_matmul(ct, ksk1, basebit: int, t: int):
+def key_switch_matmul(ct, ksk1, basebit: int, t: int, width: int = 32):
     """Generic digit-decompose + matmul key switch.
 
-    ct:   int32 [..., n_from+1]
-    ksk1: int32 [n_from*t, n_to+1]  row (i*t + j) encrypts
-          key_from[i] * 2^(32-(j+1)*basebit) under key_to.
-    Returns int32 [..., n_to+1].
+    ct:   carrier [..., n_from+1]
+    ksk1: carrier [n_from*t, n_to+1]  row (i*t + j) encrypts
+          key_from[i] * 2^(width-(j+1)*basebit) under key_to.
+    Returns carrier [..., n_to+1].
+
+    width=32 runs the int8-limb MXU form (small_matmul_torus); width=64
+    contracts digits against the int64 KSK directly (two's-complement
+    wrap is exact mod 2^64) — spike-grade: an int8-limb form over 8 key
+    limbs is the TPU-optimized variant when a 64-bit production path
+    lands (docs/TORUS64.md).
     """
     n_from = ct.shape[-1] - 1
     half_base = 1 << (basebit - 1)
-    digits = ks_decompose(ct[..., :n_from], basebit, t)   # [..., n_from, t]
+    digits = ks_decompose(ct[..., :n_from], basebit, t,
+                          width)                          # [..., n_from, t]
     d = digits.reshape(digits.shape[:-2] + (n_from * t,))
-    sub = small_matmul_torus(d, ksk1, half_base)          # [..., n_to+1]
+    if width == 64:
+        import jax
+
+        sub = jax.lax.dot_general(
+            d.astype(jnp.int64), ksk1,
+            dimension_numbers=(((d.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int64)
+    else:
+        sub = small_matmul_torus(d, ksk1, half_base)      # [..., n_to+1]
     n_to = ksk1.shape[-1] - 1
     out = -sub
     out = out.at[..., n_to].add(ct[..., n_from])
@@ -65,4 +83,5 @@ def key_switch_matmul(ct, ksk1, basebit: int, t: int):
 
 def identity_key_switch(tlwe_lv1, ksk1, params: SecurityParams):
     """TLWE lv1 -> lv0 under the lv0 key (trgsw.zig:471-502 semantics)."""
-    return key_switch_matmul(tlwe_lv1, ksk1, params.basebit, params.iks_t)
+    return key_switch_matmul(tlwe_lv1, ksk1, params.basebit, params.iks_t,
+                             params.torus_bits)

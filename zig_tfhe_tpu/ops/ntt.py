@@ -149,6 +149,10 @@ class NTTPlan:
     crt_e: tuple
     crt_theta: tuple
     p_mod: int
+    # 64-bit-torus CRT constants (e_p / P mod 2^64 as int64 bit patterns);
+    # same lift, wider wrap — used when the carrier width is 64
+    crt_e64: tuple = ()
+    p_mod64: int = 0
 
     def __hash__(self):
         return hash((self.N, self.primes))
@@ -206,7 +210,7 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
     inv_cat_lo, inv_cat_hi = [], []
     inv_ilv_lo, inv_ilv_hi = [], []
     inv_pk_lo, inv_pk_hi, inv_corr = [], [], []
-    crt_e, crt_theta = [], []
+    crt_e, crt_e64, crt_theta = [], [], []
     P = 1
     for p in primes:
         P *= p
@@ -265,6 +269,7 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
         pp = P // p
         e = pp * pow(pp, p - 2, p)  # e ≡ 1 mod p, ≡ 0 mod others
         crt_e.append(np.int32(np.uint32(e % (1 << 32)).view(np.int32)))
+        crt_e64.append(np.int64(np.uint64(e % (1 << 64)).view(np.int64)))
         crt_theta.append(np.float32(e / P))
 
     return NTTPlan(
@@ -280,6 +285,8 @@ def make_plan(N: int, bound_bits: int) -> NTTPlan:
         rot_merged_half=np.concatenate([r[:, : N // 2] for r in rot], axis=1),
         crt_e=tuple(crt_e), crt_theta=tuple(crt_theta),
         p_mod=int(np.uint32(P % (1 << 32)).view(np.int32)),
+        crt_e64=tuple(crt_e64),
+        p_mod64=int(np.uint64(P % (1 << 64)).view(np.int64)),
     )
 
 
@@ -323,7 +330,7 @@ def plan_for_params(params: SecurityParams, drop_bits: int = 0,
     la, lb = norm_levels(params, levels, bgbit=e)
     digit_bound = 1 << (e - 1)
     mult = 3 ** group - 1
-    key_bound = 1 << (31 - drop_bits)
+    key_bound = 1 << (params.torus_bits - 1 - drop_bits)
     bound = mult * (la + lb) * params.N * digit_bound * key_bound
     bits = bound.bit_length()
     if (pseudorandom_key or e != params.bgbit) and os.environ.get(
@@ -349,9 +356,10 @@ def norm_levels(params: SecurityParams, levels,
     at a tiny noise cost (docs/NOISE.md §6, measured).
 
     With an ENGINE gadget base bgbit != params.bgbit the level ceiling is
-    floor(32/bgbit) (the engine gadget has no reference-L tie).
+    floor(torus_bits/bgbit) (the engine gadget has no reference-L tie).
     """
-    l_max = (params.L if bgbit in (None, params.bgbit) else 32 // bgbit)
+    l_max = (params.L if bgbit in (None, params.bgbit)
+             else params.torus_bits // bgbit)
     if levels is None:
         return l_max, l_max
     if isinstance(levels, tuple):
@@ -648,13 +656,14 @@ def residue_bytes_pack32(v, p: int):
     return b.reshape(b.shape[:-2] + (4 * b.shape[-2],))
 
 
-def ntt_inverse_to_crt(res_list, plan: NTTPlan):
-    """Inverse NTT per prime + exact CRT lift to int32 (mod 2^32).
+def ntt_inverse_to_crt(res_list, plan: NTTPlan, width: int = 32):
+    """Inverse NTT per prime + exact CRT lift to int32 mod 2^32 (or int64
+    mod 2^64 with width=64).
 
     res_list: per prime, EITHER int16/int32 [..., N] centered residues
     (|.| <= 0.52p) OR an (lo8, hi8) limb pair from residue_limbs.
-    Returns int32 [..., N] == centered-exact convolution mod 2^32, provided
-    the true integer convolution magnitude is < P/4.
+    Returns carrier [..., N] == centered-exact convolution mod 2^width,
+    provided the true integer convolution magnitude is < P/4.
 
     The [limbs] @ [Minv ; 256*Minv mod p] concatenated contraction keeps
     the MXU on one 2N-deep streaming matmul per output-limb matrix; a
@@ -701,18 +710,24 @@ def ntt_inverse_to_crt(res_list, plan: NTTPlan):
         if corr is not None:
             y = y + jnp.asarray(corr)                           # +p/2: safe
         xs.append(barrett_reduce(y, p))
-    return crt_combine(xs, plan)
+    return crt_combine(xs, plan, width)
 
 
-def crt_combine(xs, plan: NTTPlan):
-    """Centered-exact CRT: x mod 2^32 from centered residues.
+def crt_combine(xs, plan: NTTPlan, width: int = 32):
+    """Centered-exact CRT: x mod 2^width from centered residues.
 
     m = round(sum x_p * e_p / P) recovers the integer multiple of P in
-    sum x_p*e_p; valid because |x| < P/4 and the f32 error is < 2^-6.
+    sum x_p*e_p; valid because |x| < P/4 and the f32 error is < 2^-6
+    (frac terms |x_p * theta_p| <= 0.55p <= 2^15.1, so even a 14-prime
+    64-bit plan's summed rounding error stays ~2^-5.7 < 1/4).
     """
     frac = sum(x.astype(jnp.float32) * np.float32(t)
                for x, t in zip(xs, plan.crt_theta))
     m = jnp.round(frac).astype(jnp.int32)
+    if width == 64:
+        out = sum(x.astype(jnp.int64) * jnp.int64(e)
+                  for x, e in zip(xs, plan.crt_e64))
+        return out - m.astype(jnp.int64) * jnp.int64(plan.p_mod64)
     out = sum(x * jnp.int32(e) for x, e in zip(xs, plan.crt_e))
     return out - m * jnp.int32(plan.p_mod)
 
@@ -722,18 +737,21 @@ def crt_combine(xs, plan: NTTPlan):
 # ---------------------------------------------------------------------------
 
 
-def to_ntt_form(polys, plan: NTTPlan, drop_bits: int = 0):
-    """Torus polys int32 [..., N] -> int16 [n_primes, ..., N] residues.
+def to_ntt_form(polys, plan: NTTPlan, drop_bits: int = 0, width: int = 32):
+    """Torus polys [..., N] (carrier at ``width``) -> int16
+    [n_primes, ..., N] residues.
 
-    drop_bits > 0 rounds the polys to their top (32 - drop_bits) bits first
-    (noise/performance trade, same role as bsk_limbs in the Toeplitz engine);
-    callers must scale the convolution back by 2^drop_bits.
+    drop_bits > 0 rounds the polys to their top (width - drop_bits) bits
+    first (noise/performance trade, same role as bsk_limbs in the Toeplitz
+    engine); callers must scale the convolution back by 2^drop_bits.
     """
-    x = jnp.asarray(polys, jnp.int32)
+    dtype = jnp.int32 if width == 32 else jnp.int64
+    x = jnp.asarray(polys, dtype)
     if drop_bits:
-        half = jnp.int32(1 << (drop_bits - 1))
-        x = jax.lax.shift_right_arithmetic(x + half, jnp.int32(drop_bits))
-    res = ntt_forward(x, plan, digit_limbs=4, digit_bound=128)
+        half = jnp.asarray(1 << (drop_bits - 1), dtype)
+        x = jax.lax.shift_right_arithmetic(
+            x + half, jnp.asarray(drop_bits, dtype))
+    res = ntt_forward(x, plan, digit_limbs=width // 8, digit_bound=128)
     out = []
     for r, p in zip(res, plan.primes):
         # final centered reduce to |.| <= p/2 so int16 storage is canonical

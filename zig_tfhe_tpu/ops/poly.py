@@ -131,17 +131,19 @@ def negacyclic_polymul(a, b, a_bound: int):
 
 
 def negacyclic_polymul_binary(a_torus, s_binary):
-    """Exact a * s for binary s in {0,1}: plain int32 matmul suffices.
+    """Exact a * s for binary s in {0,1}: plain carrier-width matmul.
 
-    Products are a*1 or 0, so int32 multiply-accumulate with natural wrap is
-    exact mod 2^32 — no limb split needed.  Used by encrypt/decrypt where the
-    second operand is a secret key polynomial (trlwe.zig:54-60).
+    Products are a*1 or 0, so multiply-accumulate at the carrier width with
+    natural two's-complement wrap is exact mod 2^width — no limb split
+    needed.  Used by encrypt/decrypt where the second operand is a secret
+    key polynomial (trlwe.zig:54-60); int64 carriers (the 64-bit-torus
+    pipeline) accumulate in int64 the same way.
     """
-    T = toeplitz(s_binary.astype(jnp.int32))  # entries in {0, 1, -1}
+    T = toeplitz(s_binary.astype(a_torus.dtype))  # entries in {0, 1, -1}
     return jax.lax.dot_general(
         a_torus, T,
         dimension_numbers=(((a_torus.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
+        preferred_element_type=a_torus.dtype,
     )
 
 

@@ -46,7 +46,15 @@ class TrgswParams:
 
 @dataclasses.dataclass(frozen=True)
 class SecurityParams:
-    """One TFHE parameter set (params.zig:36-43)."""
+    """One TFHE parameter set (params.zig:36-43).
+
+    ``torus_bits`` generalizes the discretized-torus width.  The reference
+    pins Torus=u32 at comptime (params.zig:21-30); here the width is a
+    runtime parameter: 32 (the default, int32 carriers — every stock set)
+    or 64 (int64 carriers — the N=2048 door: secure lv1 noise at N=2048
+    is ~2^-50 of the torus, which underflows u32; see docs/TORUS64.md).
+    64-bit sets require ``jax_enable_x64`` (utils/torus.py:require_width).
+    """
 
     security_bits: int
     description: str
@@ -55,6 +63,7 @@ class SecurityParams:
     trlwe_lv1: TrlweParams
     trgsw_lv1: TrgswParams
     name: str = ""
+    torus_bits: int = 32
 
     # ----- derived shape/constant helpers (all static Python ints) -----
 
@@ -104,20 +113,27 @@ class SecurityParams:
         return self.tlwe_lv1.alpha
 
     @property
-    def decomposition_offset(self) -> int:
-        """Gadget decomposition offset, mod 2^32 (key.zig:121-131).
+    def torus_mod(self) -> int:
+        """2^torus_bits (the discretized-torus modulus)."""
+        return 1 << self.torus_bits
 
-        offset = sum_i (Bg/2) * 2^(32 - (i+1)*bgbit)
+    @property
+    def decomposition_offset(self) -> int:
+        """Gadget decomposition offset, mod 2^torus_bits (key.zig:121-131).
+
+        offset = sum_i (Bg/2) * 2^(torus_bits - (i+1)*bgbit)
         """
+        w = self.torus_bits
         off = 0
         for i in range(self.L):
-            off = (off + (self.trgsw_lv1.bg // 2) * (1 << (TORUS_SIZE - (i + 1) * self.bgbit))) % TORUS_MOD
+            off = (off + (self.trgsw_lv1.bg // 2)
+                   * (1 << (w - (i + 1) * self.bgbit))) % (1 << w)
         return off
 
     @property
     def ks_prec_offset(self) -> int:
-        """Key-switch rounding offset 2^(32-(1+basebit*iks_t)) (trgsw.zig:483)."""
-        return 1 << (TORUS_SIZE - (1 + self.basebit * self.iks_t))
+        """Key-switch rounding offset 2^(w-(1+basebit*iks_t)) (trgsw.zig:483)."""
+        return 1 << (self.torus_bits - (1 + self.basebit * self.iks_t))
 
     @property
     def ks_balance_offset(self) -> int:
@@ -130,10 +146,12 @@ class SecurityParams:
         single entry per (i, j).  Balancing uses the same offset trick as the
         gadget decomposition: add sum_j (base/2)*2^(32-(j+1)*basebit).
         """
+        w = self.torus_bits
         off = 0
         base = 1 << self.basebit
         for j in range(self.iks_t):
-            off = (off + (base // 2) * (1 << (TORUS_SIZE - (j + 1) * self.basebit))) % TORUS_MOD
+            off = (off + (base // 2)
+                   * (1 << (w - (j + 1) * self.basebit))) % (1 << w)
         return off
 
     @property
@@ -151,10 +169,11 @@ class SecurityParams:
         return -(-self.basebit // 8)
 
     def __hash__(self):
-        return hash((self.name, self.security_bits))
+        return hash((self.name, self.security_bits, self.torus_bits))
 
 
-def _sp(name, bits, desc, n0, a0, a1, nbit, bgbit, l, basebit, iks_t, N=1024):
+def _sp(name, bits, desc, n0, a0, a1, nbit, bgbit, l, basebit, iks_t, N=1024,
+        torus_bits=32):
     return SecurityParams(
         name=name,
         security_bits=bits,
@@ -166,6 +185,7 @@ def _sp(name, bits, desc, n0, a0, a1, nbit, bgbit, l, basebit, iks_t, N=1024):
             n=N, nbit=nbit, bgbit=bgbit, bg=1 << bgbit, l=l,
             basebit=basebit, iks_t=iks_t, alpha=a1,
         ),
+        torus_bits=torus_bits,
     )
 
 
@@ -216,6 +236,15 @@ SECURITY_UINT8 = _sp("uint8", 8, "Uint8 parameters (8-bit messages, messageModul
 TEST_TINY = _sp("tiny", 0, "INSECURE tiny test-only parameters",
                 8, 0.0, 0.0, 6, 6, 2, 2, 8, N=64)
 
+# Tiny 64-BIT-TORUS test set (NOT SECURE; alpha=0 exact pipeline).  Same
+# shape story as TEST_TINY but with int64 carriers: margins are modswitch
+# phase error <= (n0+1)/(4N) = 9/256 << 1/8, gadget truncation 2^-13
+# (L*bgbit = 12 of 64 bits decomposed, remainder centered), KS truncation
+# 2^-17.  Exercises the width-generalized pipeline (the N=2048 door —
+# docs/TORUS64.md); requires jax_enable_x64.
+TEST_TINY64 = _sp("tiny64", 0, "INSECURE tiny 64-bit-torus test-only parameters",
+                  8, 0.0, 0.0, 6, 6, 2, 2, 8, N=64, torus_bits=64)
+
 # Tiny multi-bit (Uint-style) test set: N=256 supports message modulus up to
 # 16 with modswitch error (n0+1)/(4N) = 9/1024 < 1/(2*16); bgbit=11 forces
 # the 2-limb digit path the real Uint sets use.  NOT SECURE.
@@ -230,7 +259,8 @@ ALL_PARAMS = (
     SECURITY_UINT5, SECURITY_UINT6, SECURITY_UINT7, SECURITY_UINT8,
 )
 
-PARAMS_BY_NAME = {p.name: p for p in ALL_PARAMS + (TEST_TINY, TEST_TINY_UINT)}
+PARAMS_BY_NAME = {p.name: p for p in ALL_PARAMS
+                  + (TEST_TINY, TEST_TINY_UINT, TEST_TINY64)}
 
 
 def security_info(params: SecurityParams) -> str:

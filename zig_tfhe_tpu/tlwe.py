@@ -16,31 +16,35 @@ import jax.numpy as jnp
 import numpy as np
 
 from zig_tfhe_tpu.utils import rng as _rng
-from zig_tfhe_tpu.utils.torus import f64_to_torus, to_i32, torus_to_float
+from zig_tfhe_tpu.utils.torus import (carrier_dtype, f64_to_torus, to_carrier,
+                                      to_i32, torus_constant_w,
+                                      torus_to_float, torus_to_float_w)
 
 BOOL_MU = 0.125  # tlwe.zig:53
 
 
 def _inner_product_binary(a, s):
-    """<a, s> mod 2^32 for binary s: int32 multiply-accumulate is exact."""
+    """<a, s> mod 2^width for binary s: carrier-width multiply-accumulate
+    is exact (products are a*1 or 0; two's-complement wrap)."""
     return jax.lax.dot_general(
-        a, s.astype(jnp.int32),
+        a, s.astype(a.dtype),
         dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
+        preferred_element_type=a.dtype,
     )
 
 
-def encrypt_torus(key, mu, alpha: float, sk):
-    """Encrypt torus plaintexts ``mu`` (int32 [...]) under binary key ``sk``.
+def encrypt_torus(key, mu, alpha: float, sk, width: int = 32):
+    """Encrypt torus plaintexts ``mu`` ([...] carriers at ``width``) under
+    binary key ``sk``.
 
-    Returns int32 [..., n+1].  b = <a, s> + gaussian(mu, alpha), a uniform
+    Returns carrier [..., n+1].  b = <a, s> + gaussian(mu, alpha), a uniform
     (tlwe.zig:34-49).
     """
-    mu = jnp.asarray(mu, jnp.int32)
+    mu = jnp.asarray(mu, carrier_dtype(width))
     n = sk.shape[-1]
     ka, kn = jax.random.split(key)
-    a = _rng.uniform_torus(ka, mu.shape + (n,))
-    noise = _rng.gaussian_torus(kn, mu.shape, alpha)
+    a = _rng.uniform_torus(ka, mu.shape + (n,), width)
+    noise = _rng.gaussian_torus(kn, mu.shape, alpha, width)
     b = _inner_product_binary(a, sk) + noise + mu
     return jnp.concatenate([a, b[..., None]], axis=-1)
 
@@ -78,9 +82,9 @@ def expand_seeded(mask_seed, b, n: int):
     return jnp.concatenate([a, b[..., None]], axis=-1)
 
 
-def encrypt_bool(key, bits, alpha: float, sk):
+def encrypt_bool(key, bits, alpha: float, sk, width: int = 32):
     """Encrypt booleans as +-1/8 (tlwe.zig:52-55)."""
-    return encrypt_torus(key, _bool_mu(bits), alpha, sk)
+    return encrypt_torus(key, _bool_mu(bits, width), alpha, sk, width)
 
 
 def encrypt_bool_seeded(key, bits, alpha: float, sk):
@@ -88,10 +92,10 @@ def encrypt_bool_seeded(key, bits, alpha: float, sk):
     return encrypt_torus_seeded(key, _bool_mu(bits), alpha, sk)
 
 
-def _bool_mu(bits):
+def _bool_mu(bits, width: int = 32):
     bits = jnp.asarray(bits, bool)
-    return jnp.where(bits, to_i32(int(f64_to_torus(BOOL_MU))),
-                     to_i32(int(f64_to_torus(-BOOL_MU))))
+    return jnp.where(bits, to_carrier(torus_constant_w(BOOL_MU, width), width),
+                     to_carrier(torus_constant_w(-BOOL_MU, width), width))
 
 
 def phase(ct, sk):
@@ -105,24 +109,28 @@ def decrypt_bool(ct, sk):
     return phase(ct, sk) >= 0
 
 
-def encrypt_message(key, message, message_modulus: int, alpha: float, sk):
+def encrypt_message(key, message, message_modulus: int, alpha: float, sk,
+                    width: int = 32):
     """PBS codec encrypt: msg * 1/(2m) on the torus (tlwe.zig:74-88)."""
     message = jnp.asarray(message) % message_modulus
-    mu = _encode_message_table(message_modulus)
+    mu = _encode_message_table(message_modulus, width)
     mu = jnp.take(jnp.asarray(mu), message)
-    return encrypt_torus(key, mu, alpha, sk)
+    return encrypt_torus(key, mu, alpha, sk, width)
 
 
-def _encode_message_table(message_modulus: int) -> np.ndarray:
-    """Torus encodings of all messages in [0, m): trunc(x/(2m) * 2^32)."""
+def _encode_message_table(message_modulus: int, width: int = 32) -> np.ndarray:
+    """Torus encodings of all messages in [0, m): trunc(x/(2m) * 2^width)."""
     scale = 1.0 / (2.0 * message_modulus)
-    return f64_to_torus(np.arange(message_modulus) * scale)
+    if width == 32:
+        return f64_to_torus(np.arange(message_modulus) * scale)
+    return np.array([to_carrier(torus_constant_w(x * scale, 64), 64)
+                     for x in range(message_modulus)], np.int64)
 
 
-def decrypt_message(ct, message_modulus: int, sk):
+def decrypt_message(ct, message_modulus: int, sk, width: int = 32):
     """PBS codec decrypt with +0.5 rounding (tlwe.zig:100-117)."""
     ph = phase(ct, sk)
-    f = torus_to_float(ph)
+    f = torus_to_float_w(ph, width)
     m = jnp.floor(f * (2.0 * message_modulus) + 0.5).astype(jnp.int32)
     return m % message_modulus
 

@@ -26,13 +26,17 @@ from zig_tfhe_tpu.utils.torus import i32_to_i8_limbs, to_i32
 N_KLIMBS = 4  # full 32-bit torus => 4 signed 8-bit limbs
 
 
-def gadget_scales(bgbit: int, count: int) -> np.ndarray:
-    """h_i = f64ToTorus(Bg^-(i+1)) = 2^(32-(i+1)*bgbit), int32 [count]."""
+def gadget_scales(bgbit: int, count: int, width: int = 32) -> np.ndarray:
+    """h_i = torus(Bg^-(i+1)) = 2^(width-(i+1)*bgbit), carrier [count]."""
+    from zig_tfhe_tpu.utils.torus import to_carrier
+
+    dtype = np.int32 if width == 32 else np.int64
     return np.array(
-        [to_i32(1 << (32 - (i + 1) * bgbit)) if (i + 1) * bgbit < 32
-         else to_i32(1) if (i + 1) * bgbit == 32 else 0
+        [to_carrier(1 << (width - (i + 1) * bgbit), width)
+         if (i + 1) * bgbit < width
+         else 1 if (i + 1) * bgbit == width else 0
          for i in range(count)],
-        dtype=np.int32,
+        dtype=dtype,
     )
 
 
@@ -76,10 +80,13 @@ def encrypt_gadget_rows(key, p, alpha: float, sk_poly,
     detail — each row is an ordinary TRLWE encryption under the SAME
     security assumption, only the public scaling constants differ.
     """
+    w = params.torus_bits
     p = jnp.asarray(p, jnp.int32)
-    zeros = jnp.zeros(p.shape + (la + lb, params.N), jnp.int32)
-    ct = _trlwe.encrypt_torus(key, zeros, alpha, sk_poly)  # [..., la+lb, 2, N]
-    h = gadget_scales(bgbit, max(la, lb))
+    zeros = jnp.zeros(p.shape + (la + lb, params.N),
+                      jnp.int32 if w == 32 else jnp.int64)
+    ct = _trlwe.encrypt_torus(key, zeros, alpha, sk_poly,
+                              width=w)              # [..., la+lb, 2, N]
+    h = gadget_scales(bgbit, max(la, lb), w)
     if la:
         ct = ct.at[..., 0:la, _trlwe.A, 0].add(p[..., None] * jnp.asarray(h[:la]))
     if lb:

@@ -22,16 +22,18 @@ from zig_tfhe_tpu.utils.torus import f64_to_torus, to_i32
 A, B = 0, 1  # component indices on axis -2
 
 
-def encrypt_torus(key, mu, alpha: float, sk_poly):
-    """Encrypt torus polynomial plaintexts ``mu`` (int32 [..., N]).
+def encrypt_torus(key, mu, alpha: float, sk_poly, width: int = 32):
+    """Encrypt torus polynomial plaintexts ``mu`` ([..., N] carriers).
 
-    Returns int32 [..., 2, N].
+    Returns carrier [..., 2, N].
     """
-    mu = jnp.asarray(mu, jnp.int32)
+    from zig_tfhe_tpu.utils.torus import carrier_dtype
+
+    mu = jnp.asarray(mu, carrier_dtype(width))
     N = sk_poly.shape[-1]
     ka, kn = jax.random.split(key)
-    a = _rng.uniform_torus(ka, mu.shape)
-    noise = _rng.gaussian_torus(kn, mu.shape, alpha)
+    a = _rng.uniform_torus(ka, mu.shape, width)
+    noise = _rng.gaussian_torus(kn, mu.shape, alpha, width)
     b = negacyclic_polymul_binary(a, sk_poly) + noise + mu
     return jnp.stack([a, b], axis=-2)
 

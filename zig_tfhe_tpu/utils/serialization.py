@@ -62,6 +62,7 @@ def _params_from_doc(m: dict) -> P.SecurityParams:
         trlwe_lv1=P.TrlweParams(**doc["trlwe_lv1"]),
         trgsw_lv1=P.TrgswParams(**doc["trgsw_lv1"]),
         name=doc.get("name", ""),
+        torus_bits=doc.get("torus_bits", 32),  # pre-width files: u32
     )
     # canonicalize to the stock instance when it matches field-for-field
     # (keeps object identity for the common case; tweaked sets round-trip
@@ -162,15 +163,18 @@ def load_cloud_key(path) -> K.CloudKey:
 
 
 def save_ciphertext(path, ct, params: P.SecurityParams) -> None:
+    u = np.uint32 if params.torus_bits == 32 else np.uint64
     np.savez(path, __manifest__=_manifest(_KIND_CIPHERTEXT, params),
-             ct=np.asarray(ct).view(np.uint32))
+             ct=np.asarray(ct).view(u))
 
 
 def load_ciphertext(path):
     z, m = _open(path, _KIND_CIPHERTEXT)
+    params = _params_from_doc(m)
+    i = np.int32 if params.torus_bits == 32 else np.int64
     with z:
-        ct = jnp.asarray(z["ct"].view(np.int32))
-    return ct, _params_from_doc(m)
+        ct = jnp.asarray(z["ct"].view(i))
+    return ct, params
 
 
 def save_seeded_ciphertext(path, mask_seed, b, params: P.SecurityParams) -> None:

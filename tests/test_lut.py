@@ -375,3 +375,38 @@ def test_radix_and_tree_pbs_input_validation():
     ck_bad = dataclasses.replace(ck, pksk=bad)
     with pytest.raises(ValueError, match="packing key has"):
         I.digit_mul(ct, ct, ck_bad)
+
+
+def test_tree_pbs_interleaved_select_matches_per_family():
+    """The family-interleaved select (ONE rotation lane for both output
+    digits, VERDICT r3 #4) must decrypt identically to the per-family
+    route at alpha=0.  TEST_TINY_UINT at m=32 (m_hi=2) sits exactly on
+    the interleave guard 2*n_blocks*64 <= N."""
+    import os
+
+    from zig_tfhe_tpu import key as K
+    from zig_tfhe_tpu import params as P
+    from zig_tfhe_tpu.ops.packing_keyswitch import gen_packing_ksk
+
+    params = P.TEST_TINY_UINT
+    sk = K.SecretKey.generate(jax.random.key(70), params)
+    ck = K.CloudKey.generate(jax.random.key(71), sk, params)
+    pksk = gen_packing_ksk(jax.random.key(72), sk.key_lv1, params)
+    m = 32
+    f = lambda x: (x * 7 + 3) % m                   # noqa: E731
+    msgs = np.array([0, 1, 15, 16, 17, 30, 31, 24])
+    cts = L.encrypt_radix_message(jax.random.key(73), msgs, m, 0.0,
+                                  sk.key_lv0)
+    out_i = L.bootstrap_lut_radix(*cts, f, m, ck, pksk)     # interleaved
+    prev = os.environ.get("ZTFHE_NO_INTERLEAVE")
+    os.environ["ZTFHE_NO_INTERLEAVE"] = "1"
+    try:
+        out_p = L.bootstrap_lut_radix(*cts, f, m, ck, pksk)  # per-family
+    finally:
+        if prev is None:
+            os.environ.pop("ZTFHE_NO_INTERLEAVE", None)
+        else:
+            os.environ["ZTFHE_NO_INTERLEAVE"] = prev
+    dec_i = list(np.asarray(L.decrypt_radix_message(out_i, m, sk.key_lv0)))
+    dec_p = list(np.asarray(L.decrypt_radix_message(out_p, m, sk.key_lv0)))
+    assert dec_i == dec_p == [f(int(x)) for x in msgs]

@@ -451,6 +451,14 @@ def bootstrap_lut_radix(ct_lo, ct_hi, f: Callable[[int], int],
     return out[:, 0], out[:, 1]
 
 
+def _use_interleave() -> bool:
+    """Family-interleaved select packing (default on where the margin
+    holds; ZTFHE_NO_INTERLEAVE=1 forces one select lane per family).
+    Trace-time semantics like ZTFHE_FOLD/ZTFHE_PALLAS."""
+    import os
+    return os.environ.get("ZTFHE_NO_INTERLEAVE", "") not in ("1", "true")
+
+
 def tree_pbs(ct_in, ct_sel, tvs, n_blocks: int, ck: CloudKey, pksk,
              pksk_basebit: int | None = None, pksk_t: int | None = None):
     """Generic two-layer tree PBS: F output families, H hypotheses.
@@ -466,9 +474,21 @@ def tree_pbs(ct_in, ct_sel, tvs, n_blocks: int, ck: CloudKey, pksk,
     rotation of ct_in against the all-ones base, then a cheap factored
     multiplication per table (docs/NOISE.md §9; steep tables factor via
     the true-difference fallback).  Pack layer: each family's candidates
-    land on the selector's N/n_blocks coefficient blocks via the packing
-    key switch.  Select layer: ONE blind rotation over ct_sel (F*B
-    lanes).  Total: 1 + F rotation lanes per (input, selector) pair.
+    land on the selector's coefficient blocks via the packing key switch.
+
+    Select layer, two shapes (VERDICT r3 #4):
+      * INTERLEAVED (default when F == 2 and 2*n_blocks*64 <= N): both
+        families pack into ONE testvec — family fam's hypothesis h on the
+        block centered at (2h + fam) * N/(2*n_blocks) — so ONE rotation
+        lane serves both families; family 0 extracts at coefficient 0,
+        family 1 at N/(2*n_blocks).  The route is 1 + 1 rotation lanes
+        instead of 1 + 2.  Margin: the block half-width halves to
+        N/(4*n_blocks) >= 32 under the guard — the SAME select margin as
+        the measured-exact m_hi=16 route (uint8 radix, accuracy 1.000 at
+        real noise), so uint5/6/7 inherit a validated envelope.  The r3
+        ledger refuted interleaving only at m_hi = 16 (width 32), which
+        the guard excludes.
+      * PER-FAMILY (fallback): one select lane per family (F*B lanes).
     """
     from zig_tfhe_tpu import trlwe as _trlwe
     from zig_tfhe_tpu.ops.blind_rotate import blind_rotate
@@ -485,6 +505,7 @@ def tree_pbs(ct_in, ct_sel, tvs, n_blocks: int, ck: CloudKey, pksk,
     if H > n_blocks:
         raise ValueError(f"{H} hypotheses exceed {n_blocks} selector blocks")
     B = ct_in.shape[0]
+    interleave = (F == 2 and 2 * n_blocks * 64 <= N and _use_interleave())
 
     factored = [factor_lut(tvs[fam, h], 16)
                 for fam in range(F) for h in range(H)]
@@ -497,6 +518,19 @@ def tree_pbs(ct_in, ct_sel, tvs, n_blocks: int, ck: CloudKey, pksk,
     if H < n_blocks:                                          # pad blocks
         pad = jnp.zeros((B, F, n_blocks - H, N + 1), lv1.dtype)
         lv1 = jnp.concatenate([lv1, pad], axis=2)
+
+    if interleave:
+        # [B, 2*n_blocks, N+1]: slot 2h + fam holds family fam, hypothesis h
+        mixed = jnp.swapaxes(lv1, 1, 2).reshape(B, 2 * n_blocks, N + 1)
+        packed = pack_tlwes_blocks(mixed, 2 * n_blocks, pksk, params,
+                                   basebit=pksk_basebit, t=pksk_t)  # [B,2,N]
+        tr2 = blind_rotate(ct_sel, packed, ck, params)        # ONE lane/pair
+        delta2 = N // (2 * n_blocks)
+        out0 = _trlwe.sample_extract(tr2, 0)
+        out1 = _trlwe.sample_extract(tr2, delta2)
+        out = identity_key_switch(jnp.stack([out0, out1], axis=1),
+                                  ck.ksk1, params)            # [B, 2, n0+1]
+        return out
 
     packed = pack_tlwes_blocks(lv1, n_blocks, pksk, params,
                                basebit=pksk_basebit, t=pksk_t)  # [B,F,2,N]

@@ -221,6 +221,12 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
     if pallas_inv and _fused_ok:
         from zig_tfhe_tpu.ops.pallas.ntt_step import ntt_step_fused_pallas
 
+        # ZTFHE_PALLAS_SUB=k > 1 selects the MXU/VPU-interleaved pipeline
+        # variant with k sub-tiles (VERDICT r3 #2 experiment); trace-time
+        try:
+            _sub = int(os.environ.get("ZTFHE_PALLAS_SUB", "0") or 0)
+        except ValueError:
+            _sub = 0
         rot_tabs = [jnp.asarray(t) for t in plan.rot]
 
         def step2p(acc, xs):
@@ -232,7 +238,8 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
             rows1 = jnp.stack([jnp.take(t, t1, axis=0) for t in rot_tabs])
             rows2 = jnp.stack([jnp.take(t, t2, axis=0) for t in rot_tabs])
             x = ntt_step_fused_pallas(digits, bsk_g, rows1, rows2,
-                                      plan, tile_b=_tile)
+                                      plan, tile_b=_tile,
+                                      pipeline_sub=_sub)
             delta = _ntt.crt_combine([x[i] for i in range(len(rot_tabs))],
                                      plan)
             if drop_bits:

@@ -16,10 +16,12 @@ No reference analog: zig-tfhe evaluates circuits gate-by-gate in user code
 from __future__ import annotations
 
 import ctypes
+import functools
 import os
 import subprocess
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -216,6 +218,89 @@ def _pad_pow2(n: int) -> int:
     return p
 
 
+def _pack_level(lvl: np.ndarray, trash: int) -> dict:
+    """Pad one level's lanes to power-of-two widths (trash-slot lanes) so
+    the jitted level step's compile is shared across levels with the same
+    padded signature.  Padding lanes read slot 0 and write the trash row
+    (slot 0 always holds a valid ciphertext: zeros decrypt fine and padded
+    gate lanes' outputs are never read)."""
+    out = {}
+    two = lvl[lvl[:, 0] < 100]
+    k = _pad_pow2(len(two)) if len(two) else 0
+    ids = np.zeros(k, np.int32)
+    s0 = np.zeros(k, np.int32)
+    s1 = np.zeros(k, np.int32)
+    sout = np.full(k, trash, np.int32)
+    ids[: len(two)] = two[:, 0]
+    s0[: len(two)] = two[:, 1]
+    s1[: len(two)] = two[:, 2]
+    sout[: len(two)] = two[:, 4]
+    out["two"] = (ids, s0, s1, sout)
+    mux = lvl[lvl[:, 0] == OP_MUX]
+    k = _pad_pow2(len(mux)) if len(mux) else 0
+    sel = np.zeros(k, np.int32)
+    tv = np.zeros(k, np.int32)
+    fv = np.zeros(k, np.int32)
+    sout = np.full(k, trash, np.int32)
+    sel[: len(mux)] = mux[:, 1]
+    tv[: len(mux)] = mux[:, 2]
+    fv[: len(mux)] = mux[:, 3]
+    sout[: len(mux)] = mux[:, 4]
+    out["mux"] = (sel, tv, fv, sout)
+    for name, cop in (("not", OP_NOT), ("copy", OP_COPY)):
+        un = lvl[lvl[:, 0] == cop]
+        k = _pad_pow2(len(un)) if len(un) else 0
+        src = np.zeros(k, np.int32)
+        sout = np.full(k, trash, np.int32)
+        src[: len(un)] = un[:, 1]
+        sout[: len(un)] = un[:, 4]
+        out[name] = (src, sout)
+    for name, cop in (("c0", OP_CONST0), ("c1", OP_CONST1)):
+        consts = lvl[lvl[:, 0] == cop]
+        k = _pad_pow2(len(consts)) if len(consts) else 0
+        sout = np.full(k, trash, np.int32)
+        sout[: len(consts)] = consts[:, 4]
+        out[name] = (sout,)
+    return out
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _run_level(arena, ck, two, mux, nots, copies, c0, c1):
+    """One circuit level as ONE jitted dispatch over the slot arena.
+
+    arena: int32 [n_slots+1, B, n0+1] (donated; last row is trash).
+    Lane groups are the padded index tuples from _pack_level.  Group
+    presence is a static shape property, so empty groups trace away and
+    the compile is keyed on the padded-width signature only.
+    """
+    n0 = arena.shape[-1] - 1
+    B = arena.shape[1]
+
+    def flat(g):                              # [k, B, n0+1] -> [k*B, n0+1]
+        return g.reshape(-1, n0 + 1)
+
+    ids, s0, s1, sout = two
+    if ids.shape[0]:
+        out = G.apply_gates(jnp.repeat(ids, B), flat(arena[s0]),
+                            flat(arena[s1]), ck)
+        arena = arena.at[sout].set(out.reshape(-1, B, n0 + 1))
+    sel, tv, fv, sout = mux
+    if sel.shape[0]:
+        out = G.mux(flat(arena[sel]), flat(arena[tv]), flat(arena[fv]), ck)
+        arena = arena.at[sout].set(out.reshape(-1, B, n0 + 1))
+    src, sout = nots
+    if src.shape[0]:
+        arena = arena.at[sout].set(-arena[src])
+    src, sout = copies
+    if src.shape[0]:
+        arena = arena.at[sout].set(arena[src])
+    for val, (sout,) in ((False, c0), (True, c1)):
+        if sout.shape[0]:
+            cts = G.constant(val, ck.params, batch=(sout.shape[0], B))
+            arena = arena.at[sout].set(cts)
+    return arena
+
+
 def evaluate(plan: Plan, input_cts, ck: CloudKey):
     """Evaluate a scheduled circuit over encrypted inputs.
 
@@ -226,9 +311,13 @@ def evaluate(plan: Plan, input_cts, ck: CloudKey):
     throughput curve instead of the circuit's own width).
     Returns int32 [n_outputs, n0+1] (or [n_outputs, B, n0+1]).
 
-    Each level's two-input gates run as one apply_gates batch (padded to a
-    power of two so compiles are shared across levels); NOT/COPY/CONST are
-    free vector ops; MUX lanes run as a batched optimized MUX.
+    Each level runs as ONE jitted dispatch (_run_level): its two-input
+    gates as one apply_gates batch, MUX lanes as one batched 2-rotation
+    MUX, NOT/COPY/CONST as vector ops — all padded to powers of two so
+    compiles are shared across levels with equal signatures.  One
+    dispatch per level matters in remote-device setups where per-dispatch
+    latency dominates eager execution (the round-4 fix that took the
+    Bristol 64x64 multiplier from ~10 s/level eager to ms-scale).
     """
     n0 = ck.params.n0
     input_cts = jnp.asarray(input_cts)
@@ -241,58 +330,16 @@ def evaluate(plan: Plan, input_cts, ck: CloudKey):
     trash = plan.n_slots
     arena = arena.at[jnp.asarray(plan.input_slots)].set(input_cts)
 
-    def flat(gathered):                       # [k, B, n0+1] -> [k*B, n0+1]
-        return gathered.reshape(-1, n0 + 1)
-
     for lvl in plan.levels:
-        two = lvl[lvl[:, 0] < 100]
-        if len(two):
-            k = _pad_pow2(len(two))
-            ids = np.zeros(k, np.int32)
-            s0 = np.zeros(k, np.int32)
-            s1 = np.zeros(k, np.int32)
-            sout = np.full(k, trash, np.int32)
-            ids[: len(two)] = two[:, 0]
-            s0[: len(two)] = two[:, 1]
-            s1[: len(two)] = two[:, 2]
-            sout[: len(two)] = two[:, 4]
-            out = G.apply_gates(jnp.repeat(jnp.asarray(ids), B),
-                                flat(arena[jnp.asarray(s0)]),
-                                flat(arena[jnp.asarray(s1)]), ck)
-            arena = arena.at[jnp.asarray(sout)].set(
-                out.reshape(k, B, n0 + 1))
-        mux = lvl[lvl[:, 0] == OP_MUX]
-        if len(mux):
-            # padded to a power of two like the two-input lanes, so the
-            # 2-blind-rotate MUX pipeline compiles once per padded width
-            # (trash lanes select between copies of slot 0)
-            k = _pad_pow2(len(mux))
-            sel = np.zeros(k, np.int32)
-            tv = np.zeros(k, np.int32)
-            fv = np.zeros(k, np.int32)
-            sout = np.full(k, trash, np.int32)
-            sel[: len(mux)] = mux[:, 1]
-            tv[: len(mux)] = mux[:, 2]
-            fv[: len(mux)] = mux[:, 3]
-            sout[: len(mux)] = mux[:, 4]
-            out = G.mux(flat(arena[jnp.asarray(sel)]),
-                        flat(arena[jnp.asarray(tv)]),
-                        flat(arena[jnp.asarray(fv)]), ck)
-            arena = arena.at[jnp.asarray(sout)].set(
-                out.reshape(k, B, n0 + 1))
-        nots = lvl[lvl[:, 0] == OP_NOT]
-        if len(nots):
-            arena = arena.at[jnp.asarray(nots[:, 4])].set(
-                -arena[jnp.asarray(nots[:, 1])])
-        copies = lvl[lvl[:, 0] == OP_COPY]
-        if len(copies):
-            arena = arena.at[jnp.asarray(copies[:, 4])].set(
-                arena[jnp.asarray(copies[:, 1])])
-        for cop, val in ((OP_CONST0, False), (OP_CONST1, True)):
-            consts = lvl[lvl[:, 0] == cop]
-            if len(consts):
-                cts = G.constant(val, ck.params, batch=(len(consts), B))
-                arena = arena.at[jnp.asarray(consts[:, 4])].set(cts)
+        g = _pack_level(lvl, trash)
+        arena = _run_level(
+            arena, ck,
+            tuple(jnp.asarray(a) for a in g["two"]),
+            tuple(jnp.asarray(a) for a in g["mux"]),
+            tuple(jnp.asarray(a) for a in g["not"]),
+            tuple(jnp.asarray(a) for a in g["copy"]),
+            tuple(jnp.asarray(a) for a in g["c0"]),
+            tuple(jnp.asarray(a) for a in g["c1"]))
 
     outs = arena[jnp.asarray(plan.output_slots)]
     return outs if batched else outs[:, 0]

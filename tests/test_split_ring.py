@@ -1,0 +1,167 @@
+"""Even/odd split-ring engine (TEST_TINY_SPLIT): N=2048 on the N=1024 plan.
+
+The reference pins Torus=u32/N=1024 at comptime (params.zig:21-30,
+386-416); a direct N=2048 NTT is prime-density-impossible in the matmul
+engine (docs/TORUS64.md §3).  This suite drives the unblocking design —
+Z[X]/(X^2048+1) ≅ pairs over Y=X^2 on the shipped five-prime N=1024 pool
+(ops/split_ring.py) — to decrypt-exactness at alpha=0: the split external
+product against an exact big-int oracle, the parity-select rotation
+against the coefficient-domain gather, and full gate truth tables at
+TEST_TINY_SPLIT.  Requires jax_enable_x64 (set in conftest).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zig_tfhe_tpu import key as K
+from zig_tfhe_tpu import params as P
+from zig_tfhe_tpu import tlwe
+from zig_tfhe_tpu.models import gates as G
+from zig_tfhe_tpu.ops import ntt as NTT
+from zig_tfhe_tpu.ops import split_ring as SR
+from zig_tfhe_tpu.ops.poly import negacyclic_rotate
+
+pytestmark = pytest.mark.skipif(
+    jnp.zeros((), jnp.int64).dtype != jnp.int64,
+    reason="jax_enable_x64 is off (conftest normally enables it)")
+
+PS = P.TEST_TINY_SPLIT
+
+
+@pytest.fixture(scope="module")
+def plan():
+    return NTT.plan_for_params(PS, 12, 1, (2, 2), bgbit=8,
+                               pseudorandom_key=True)
+
+
+@pytest.fixture(scope="module")
+def sk():
+    return K.SecretKey.generate(jax.random.key(7), PS)
+
+
+@pytest.fixture(scope="module")
+def ck(sk):
+    return K.CloudKey.generate(jax.random.key(8), sk, PS)
+
+
+def test_params_split_flags():
+    assert PS.split_ring and PS.N == 2048 and PS.torus_bits == 64
+    assert not P.TEST_TINY.split_ring
+    assert not P.TEST_TINY64.split_ring
+    assert P.DRAFT_SECURITY_128_BIT_T64.split_ring
+    # the split plan transforms at N/2 on the full five-prime pool
+    plan = NTT.plan_for_params(PS, 12, 1, (2, 2), bgbit=8,
+                               pseudorandom_key=True)
+    assert plan.N == PS.N // 2
+    assert len(plan.primes) == 5
+
+
+def test_split_unsplit_roundtrip():
+    x = jnp.arange(3 * 2048, dtype=jnp.int64).reshape(3, 2048)
+    assert (SR.unsplit(SR.split(x)) == x).all()
+    s = SR.split(x)
+    # even/odd semantics: a(X) = a_e(X^2) + X a_o(X^2)
+    assert (s[..., 0, :] == x[..., 0::2]).all()
+    assert (s[..., 1, :] == x[..., 1::2]).all()
+
+
+def _negacyclic_conv_obj(d, k):
+    """Exact negacyclic conv of int rows (numpy object bigints), length N."""
+    N = d.shape[-1]
+    out = np.zeros(N, dtype=object)
+    for i in range(N):
+        di = int(d[i])
+        if di == 0:
+            continue
+        for j in range(N):
+            idx = i + j
+            sgn = 1 if idx < N else -1
+            out[idx % N] += sgn * di * int(k[j])
+    return out
+
+
+def test_split_external_product_exact_vs_bigint_oracle(plan):
+    """fold_key_split + pointwise_extprod + inverse == the true mod-2^64
+    negacyclic product of digit rows against the (drop-rounded) key."""
+    drop = 12
+    N = PS.N
+    Nh = N // 2
+    rng = np.random.default_rng(0)
+    R = 4
+    d = rng.integers(-128, 128, size=(R, N)).astype(np.int64)
+    k = rng.integers(-2**63, 2**63, size=(R, 2, N)).astype(np.int64)
+
+    kh = SR.split(jnp.asarray(k))                            # [R, 2, 2, Nh]
+    res_e = NTT.to_ntt_form(kh[..., 0, :], plan, drop, width=64)
+    res_o = NTT.to_ntt_form(kh[..., 1, :], plan, drop, width=64)
+    folded = SR.fold_key_split(res_e, res_o, plan)           # [P, 2R, 4, Nh]
+    assert folded.shape == (len(plan.primes), 2 * R, 4, Nh)
+
+    rows = SR.split(jnp.asarray(d)).reshape(1, 2 * R, Nh)
+    d_hat = NTT.ntt_forward(rows, plan, 1, 128)
+    u = NTT.pointwise_extprod(d_hat, folded, plan)
+    v = [x.reshape(1, 2, 2, Nh) for x in u]
+    out = NTT.ntt_inverse_to_crt(v, plan, 64)
+    eng = np.asarray(SR.unsplit(out[0])).astype(object) << drop
+
+    kr = (k.astype(object) + (1 << (drop - 1))) >> drop
+    for c in range(2):
+        acc = np.zeros(N, dtype=object)
+        for r in range(R):
+            acc += _negacyclic_conv_obj(d[r], kr[r, c])
+        want = (acc << drop) % (1 << 64)
+        got = eng[c] % (1 << 64)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_split_rotation_vs_coefficient_gather(plan):
+    """(X^t - 1) u via rotate_minus1_split == coefficient-domain gather,
+    for every parity of t and wrap-around cases."""
+    N = PS.N
+    Nh = N // 2
+    rng = np.random.default_rng(1)
+    B = 8
+    u = rng.integers(-2**40, 2**40, size=(B, N)).astype(np.int64)
+    ts = np.array([0, 1, 2, 2047, 2048, 2049, 4095, 1234], np.int32)
+
+    h = NTT.ntt_forward(SR.split(jnp.asarray(u)), plan, 8, 128)
+    us4 = [jnp.stack([x[:, 0, :], x[:, 1, :], x[:, 0, :], x[:, 1, :]],
+                     axis=1) for x in h]
+    v = SR.rotate_minus1_split(us4, jnp.asarray(ts), plan)
+    out = NTT.ntt_inverse_to_crt(v, plan, 64)
+    got = np.asarray(SR.unsplit(out[:, 0]))
+    want = np.asarray(negacyclic_rotate(jnp.asarray(u), jnp.asarray(ts))) - u
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cloud_key_split_shapes(ck):
+    assert ck.bsk_group == 1
+    assert ck.bsk_ntt_drop == 12
+    n0, Nh = PS.n0, PS.N // 2
+    assert ck.bsk_ntt.shape == (n0, 5, 8, 4, Nh)
+    assert ck.bsk_ntt.dtype == jnp.int16
+
+
+def test_cloud_key_split_rejects_multibit(sk):
+    with pytest.raises(ValueError, match="group=1 only"):
+        K.CloudKey.generate(jax.random.key(9), sk, PS, group=2)
+
+
+def test_gate_truth_tables_split(sk, ck):
+    """NAND/XOR/AND/OR exact at alpha=0 through the full split pipeline
+    (blind rotate -> sample extract -> 64-bit key switch)."""
+    a = jnp.array([0, 0, 1, 1], bool)
+    b = jnp.array([0, 1, 0, 1], bool)
+    ca = tlwe.encrypt_bool(jax.random.key(1), a, 0.0, sk.key_lv0, width=64)
+    cb = tlwe.encrypt_bool(jax.random.key(2), b, 0.0, sk.key_lv0, width=64)
+    for gate, want in [
+        (G.nand, [True, True, True, False]),
+        (G.xor, [False, True, True, False]),
+        (G.and_, [False, False, False, True]),
+        (G.or_, [False, True, True, True]),
+    ]:
+        out = gate(ca, cb, ck)
+        dec = np.asarray(tlwe.decrypt_bool(out, sk.key_lv0))
+        np.testing.assert_array_equal(dec, want), gate

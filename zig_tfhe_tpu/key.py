@@ -378,6 +378,15 @@ def gen_bootstrapping_key_ntt(key, secret_key: SecretKey,
     """
     from zig_tfhe_tpu.ops import ntt as _nttmod
 
+    if params.split_ring:
+        # N > 1024: the even/odd split engine's key form (folded split-NTT
+        # planes, ops/split_ring.py) — group=1 per-bit BSK only.
+        from zig_tfhe_tpu.ops.split_ring import gen_bootstrapping_key_ntt_split
+        if group != 1:
+            raise ValueError(
+                f"split-ring sets support group=1 only, got group={group}")
+        return gen_bootstrapping_key_ntt_split(key, secret_key, params,
+                                               drop, levels, bgbit)
     e = params.bgbit if bgbit is None else bgbit
     la, lb = _nttmod.norm_levels(params, levels, bgbit=e)
     plan = _nttmod.plan_for_params(params, drop, group, (la, lb), bgbit=e,

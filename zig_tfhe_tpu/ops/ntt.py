@@ -340,7 +340,11 @@ def plan_for_params(params: SecurityParams, drop_bits: int = 0,
                          * mult * (la + lb) * params.N)
                * digit_bound * key_bound)
         bits = min(bits, math.ceil(math.log2(tau)))
-    return make_plan(params.N, bits)
+    # Split-ring sets (N > 1024) transform on the N/2 plan: each output
+    # coefficient of a half-product pair still sums params.N true products
+    # (two N/2 negacyclic convolutions — ops/split_ring.py), so the bound
+    # above is unchanged; only the transform size halves.
+    return make_plan(params.N // 2 if params.split_ring else params.N, bits)
 
 
 def norm_levels(params: SecurityParams, levels,
@@ -381,6 +385,11 @@ def default_group(params: SecurityParams) -> int:
     already sit on wide multi-prime plans where the (3^g - 1) pointwise
     multiplier grows faster than the step count shrinks.
     """
+    if params.split_ring:
+        # Split engine (ops/split_ring.py): group=1 only — the classic
+        # per-bit BSK.  Multi-bit subset-product combining across the
+        # split rotation's parity swap is future work.
+        return 1
     if params.bgbit == 6 and params.L == 3 and params.N >= 1024:
         return 3
     return 2
@@ -455,6 +464,14 @@ def default_drop_bits(params: SecurityParams, group: int = 1,
     """
     if params.N < 1024:
         return 0
+    if params.split_ring:
+        # 64-bit torus on the 74.8-bit five-prime pool: the worst-case
+        # group-1 bound 2*(la+lb)*N*(Bg/2)*2^(63-drop) = 2^(84-drop) at
+        # bg8/(2,2) needs drop >= 12 to fit (2^72 + 2 CRT margin bits);
+        # rounding amplitude 2^(bgbit-1)*2^12 = 2^19 is 2^-45 of the
+        # 64-bit torus — noise-wise negligible against the 2^60 decrypt
+        # margin (docs/TORUS64.md §4 bound check).
+        return 12
     # The rounding error per external product scales with the digit
     # magnitude Bg/2 = 2^(bgbit-1): keep (Bg/2 * 2^drop) at the validated
     # boolean-set level (bgbit=6 -> drop 6/7).  Uint sets with large Bg

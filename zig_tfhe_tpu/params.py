@@ -155,6 +155,19 @@ class SecurityParams:
         return off
 
     @property
+    def split_ring(self) -> bool:
+        """True when ring products run on the even/odd split engine.
+
+        The matmul-NTT engine's int8 residue-limb cap leaves only 44.8
+        bits of CRT primes p ≡ 1 (mod 2N) at N=2048 — a direct transform
+        is impossible (docs/TORUS64.md §3), so N > 1024 sets factor the
+        ring as Z[X]/(X^N+1) ≅ pairs over Y=X^2 on the N/2 plan
+        (ops/split_ring.py).  Purely size-derived: no flag to keep in
+        sync with N.
+        """
+        return self.N > 1024
+
+    @property
     def digit_limbs(self) -> int:
         """Number of signed int8 limbs needed for a gadget digit.
 
@@ -245,6 +258,33 @@ TEST_TINY = _sp("tiny", 0, "INSECURE tiny test-only parameters",
 TEST_TINY64 = _sp("tiny64", 0, "INSECURE tiny 64-bit-torus test-only parameters",
                   8, 0.0, 0.0, 6, 6, 2, 2, 8, N=64, torus_bits=64)
 
+# Tiny split-ring test set: N=2048 on the 64-bit torus, alpha=0 — the
+# even/odd split engine's exact-pipeline proof (ops/split_ring.py,
+# docs/TORUS64.md §4).  NOT SECURE (n0=8).  Margins: modswitch phase error
+# <= (n0+1)/(4N) = 9/8192, gadget truncation 2^(64-L*bgbit) = 2^48
+# statistical amplitude ~sqrt(N/2)*2^47 ~ 2^52 (2^-12 of the torus), BSK
+# rounding at the engine's default drop=12 a deterministic |conv| <=
+# R*N*(Bg/2)*2^11 = 2^32 (2^-32 relative), KS truncation
+# 2^(64-1-basebit*iks_t) with n1=2048 -> ~2^-14 relative — all far inside
+# the 1/16 gate margin.  Requires jax_enable_x64.
+TEST_TINY_SPLIT = _sp("tiny_split", 0,
+                      "INSECURE N=2048 split-ring 64-bit-torus test-only "
+                      "parameters",
+                      8, 0.0, 0.0, 11, 8, 2, 4, 6, N=2048, torus_bits=64)
+
+# DRAFT 128-bit N=2048/64-bit-torus candidate (docs/TORUS64.md §6): the
+# alphas track public Q=2^64 corpora (tfhe-rs shortint-family glwe_std ~
+# 2^-51.5 at k=1/N=2048, lwe_std ~ 2^-14.5 at n~900) but NO lattice-
+# estimator pass has pinned them (zero network egress here), so the
+# security claim is explicitly DEFERRED: security_bits=0 and the DRAFT_
+# name keep it out of anyone's production path while making the split
+# engine runnable at real scale.  Not in ALL_PARAMS.
+DRAFT_SECURITY_128_BIT_T64 = _sp(
+    "draft128_t64", 0,
+    "DRAFT 128-bit-target N=2048 64-bit-torus parameters (estimator pass "
+    "pending — security claim deferred, docs/TORUS64.md §6)",
+    900, 2 ** -14.5, 2 ** -51.5, 11, 8, 2, 4, 6, N=2048, torus_bits=64)
+
 # Tiny multi-bit (Uint-style) test set: N=256 supports message modulus up to
 # 16 with modswitch error (n0+1)/(4N) = 9/1024 < 1/(2*16); bgbit=11 forces
 # the 2-limb digit path the real Uint sets use.  NOT SECURE.
@@ -260,7 +300,8 @@ ALL_PARAMS = (
 )
 
 PARAMS_BY_NAME = {p.name: p for p in ALL_PARAMS
-                  + (TEST_TINY, TEST_TINY_UINT, TEST_TINY64)}
+                  + (TEST_TINY, TEST_TINY_UINT, TEST_TINY64,
+                     TEST_TINY_SPLIT, DRAFT_SECURITY_128_BIT_T64)}
 
 
 def security_info(params: SecurityParams) -> str:

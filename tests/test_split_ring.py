@@ -137,21 +137,48 @@ def test_split_rotation_vs_coefficient_gather(plan):
 
 
 def test_cloud_key_split_shapes(ck):
-    assert ck.bsk_group == 1
+    # split default: group 2 (the pair-representation subset combiner,
+    # ops/ntt.py:default_group) — [G, 2^g-1, P, 2R, 4, Nh]
+    assert ck.bsk_group == 2
     assert ck.bsk_ntt_drop == 12
     n0, Nh = PS.n0, PS.N // 2
-    assert ck.bsk_ntt.shape == (n0, 5, 8, 4, Nh)
+    assert ck.bsk_ntt.shape == (n0 // 2, 3, 5, 8, 4, Nh)
     assert ck.bsk_ntt.dtype == jnp.int16
 
 
-def test_cloud_key_split_rejects_multibit(sk):
-    with pytest.raises(ValueError, match="group=1 only"):
-        K.CloudKey.generate(jax.random.key(9), sk, PS, group=2)
+def test_multibit_combiner_vs_coefficient_oracle(plan):
+    """rotate_combine_multi_split == sum over nonempty subsets of
+    prod (X^ti - 1) u_S computed in the coefficient domain."""
+    N = PS.N
+    rng = np.random.default_rng(3)
+    B = 6
+    u = {m: rng.integers(-2**40, 2**40, size=(B, N)).astype(np.int64)
+         for m in (1, 2, 3)}
+    t1 = np.array([0, 1, 4094, 2048, 17, 100], np.int32)
+    t2 = np.array([1, 3, 1, 4095, 2, 2049], np.int32)
+
+    def to4(x):
+        h = NTT.ntt_forward(SR.split(jnp.asarray(x)), plan, 8, 128)
+        return [jnp.stack([r[:, 0, :], r[:, 1, :], r[:, 0, :], r[:, 1, :]],
+                          axis=1) for r in h]
+
+    us = [to4(u[1]), to4(u[2]), to4(u[3])]
+    v = SR.rotate_combine_multi_split(
+        us, [jnp.asarray(t1), jnp.asarray(t2)], plan)
+    out = NTT.ntt_inverse_to_crt(v, plan, 64)
+    got = np.asarray(SR.unsplit(out[:, 0]))
+
+    def rotm1(x, t):
+        return (np.asarray(negacyclic_rotate(jnp.asarray(x),
+                                             jnp.asarray(t))) - x)
+
+    want = rotm1(u[1], t1) + rotm1(u[2], t2) + rotm1(rotm1(u[3], t1), t2)
+    np.testing.assert_array_equal(got, want)
 
 
 def test_gate_truth_tables_split(sk, ck):
     """NAND/XOR/AND/OR exact at alpha=0 through the full split pipeline
-    (blind rotate -> sample extract -> 64-bit key switch)."""
+    (group-2 blind rotate -> sample extract -> 64-bit key switch)."""
     a = jnp.array([0, 0, 1, 1], bool)
     b = jnp.array([0, 1, 0, 1], bool)
     ca = tlwe.encrypt_bool(jax.random.key(1), a, 0.0, sk.key_lv0, width=64)
@@ -165,3 +192,16 @@ def test_gate_truth_tables_split(sk, ck):
         out = gate(ca, cb, ck)
         dec = np.asarray(tlwe.decrypt_bool(out, sk.key_lv0))
         np.testing.assert_array_equal(dec, want), gate
+
+
+def test_gate_truth_tables_split_group1(sk):
+    """group=1 (classic per-bit BSK) stays exact through the same path."""
+    ck1 = K.CloudKey.generate(jax.random.key(11), sk, PS, group=1)
+    assert ck1.bsk_group == 1
+    assert ck1.bsk_ntt.shape == (PS.n0, 5, 8, 4, PS.N // 2)
+    a = jnp.array([0, 1], bool)
+    b = jnp.array([1, 1], bool)
+    ca = tlwe.encrypt_bool(jax.random.key(1), a, 0.0, sk.key_lv0, width=64)
+    cb = tlwe.encrypt_bool(jax.random.key(2), b, 0.0, sk.key_lv0, width=64)
+    dec = np.asarray(tlwe.decrypt_bool(G.nand(ca, cb, ck1), sk.key_lv0))
+    np.testing.assert_array_equal(dec, [True, False])

@@ -378,19 +378,6 @@ def gen_bootstrapping_key_ntt(key, secret_key: SecretKey,
     """
     from zig_tfhe_tpu.ops import ntt as _nttmod
 
-    if params.split_ring:
-        # N > 1024: the even/odd split engine's key form (folded split-NTT
-        # planes, ops/split_ring.py) — group=1 per-bit BSK only.
-        from zig_tfhe_tpu.ops.split_ring import gen_bootstrapping_key_ntt_split
-        if group != 1:
-            raise ValueError(
-                f"split-ring sets support group=1 only, got group={group}")
-        return gen_bootstrapping_key_ntt_split(key, secret_key, params,
-                                               drop, levels, bgbit)
-    e = params.bgbit if bgbit is None else bgbit
-    la, lb = _nttmod.norm_levels(params, levels, bgbit=e)
-    plan = _nttmod.plan_for_params(params, drop, group, (la, lb), bgbit=e,
-                                   pseudorandom_key=True)
     s = secret_key.key_lv0
     if group == 1:
         values = s
@@ -415,6 +402,17 @@ def gen_bootstrapping_key_ntt(key, secret_key: SecretKey,
             subset_vals.append(v)
         n_masks = (1 << group) - 1
         values = jnp.stack(subset_vals, axis=1).reshape(n_masks * G)
+    if params.split_ring:
+        # N > 1024: the even/odd split engine's key form (folded split-NTT
+        # planes per subset value — ops/split_ring.py)
+        from zig_tfhe_tpu.ops.split_ring import gen_bootstrapping_key_ntt_split
+        return gen_bootstrapping_key_ntt_split(
+            key, values, secret_key.key_lv1, params, drop, group, levels,
+            bgbit)
+    e = params.bgbit if bgbit is None else bgbit
+    la, lb = _nttmod.norm_levels(params, levels, bgbit=e)
+    plan = _nttmod.plan_for_params(params, drop, group, (la, lb), bgbit=e,
+                                   pseudorandom_key=True)
     trgsw_ct = _trgsw.encrypt_gadget_rows(
         key, values, params.bsk_alpha, secret_key.key_lv1, params, e, la, lb)
     res = jnp.moveaxis(_nttmod.to_ntt_form(trgsw_ct, plan, drop,

@@ -106,13 +106,9 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
         # N > 1024: the even/odd split engine (ops/split_ring.py) — the
         # direct N-point plan is prime-density-impossible (TORUS64.md §3).
         from zig_tfhe_tpu.ops.split_ring import blind_rotate_split
-        if group != 1:
-            raise ValueError(
-                f"split-ring sets support group=1 only, got group={group} "
-                "(ops/split_ring.py docstring)")
         return blind_rotate_split(tlwe_batch, testvec, bsk_ntt, params,
-                                  drop_bits, unroll=unroll, levels=levels,
-                                  bgbit=bgbit)
+                                  drop_bits, unroll=unroll, group=group,
+                                  levels=levels, bgbit=bgbit)
     e = params.bgbit if bgbit is None else bgbit
     if levels is None:
         levels = (bsk_ntt.shape[2] if group == 1 else bsk_ntt.shape[3]) // 2

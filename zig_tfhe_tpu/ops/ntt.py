@@ -386,10 +386,11 @@ def default_group(params: SecurityParams) -> int:
     multiplier grows faster than the step count shrinks.
     """
     if params.split_ring:
-        # Split engine (ops/split_ring.py): group=1 only — the classic
-        # per-bit BSK.  Multi-bit subset-product combining across the
-        # split rotation's parity swap is future work.
-        return 1
+        # Split engine (ops/split_ring.py): group 2 halves the n0-step
+        # scan via the pair-representation subset combiner
+        # (rotate_combine_multi_split).  Same BMMP16 subset-product key
+        # assumption note as below; group=1 restores the per-bit BSK.
+        return 2
     if params.bgbit == 6 and params.L == 3 and params.N >= 1024:
         return 3
     return 2

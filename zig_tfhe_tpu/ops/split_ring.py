@@ -25,9 +25,12 @@ swaps them with one extra Y ((Y^(u+1) o, Y^u e)).  Branchless: ONE psi-
 row gather (for Y^u) + a static psi^1 diagonal + a parity select.
 
 Supported ring/torus: N > 1024 parameter sets (SecurityParams.split_ring)
-with 64-bit carriers, group=1 blind rotation (the classic per-bit BSK —
-multi-bit subset-product combining across the parity swap is future
-work).  Reference anchor: the reference pins Torus=u32/N=1024 at
+with 64-bit carriers.  Multi-bit (group-g) blind rotation works through
+the same pair representation: every rotation operator is the split-NTT
+image (f_e_hat, f_o_hat) of its polynomial, products follow the
+Y-twisted rule (x1x2 + psi1 y1y2, x1y2 + y1x2), and the BMMP16 subset
+DP carries over verbatim (rotate_combine_multi_split).  Reference
+anchor: the reference pins Torus=u32/N=1024 at
 comptime (params.zig:21-30, 386-416); this engine is the capability door
 beyond that ceiling (TORUS64.md §5: capability GO, throughput NO-GO —
 ~3.8x per-gate cost vs the 32-bit path, shipped for message-modulus and
@@ -135,61 +138,145 @@ def rotate_minus1_split(us, t, plan: _ntt.NTTPlan):
     return outs
 
 
-def gen_bootstrapping_key_ntt_split(key, secret_key, params: SecurityParams,
-                                    drop: int, levels=None,
+def rotate_combine_multi_split(us, ts, plan: _ntt.NTTPlan):
+    """Multi-bit combiner in the split domain: sum over nonempty subsets
+    S of prod_{i in S} (X^{t_i} - 1) * u_S.
+
+    us: list of 2^g - 1 per-prime residue lists (subset mask m - 1),
+    each int32 [B, 4, Nh] in the (component, parity) plane layout, |.| <=
+    0.55p; ts: list of g int32 [B] in [0, 4*Nh).  Returns per-prime
+    int32 [B, 2, 2, Nh], |.| <= 0.52p.
+
+    Every operator here is multiplication by a polynomial f(X) =
+    f_e(Y) + X f_o(Y), represented in the split NTT domain by the
+    diagonal pair (x, y) = (f_e_hat, f_o_hat): products follow the
+    Y-twisted rule (x1, y1)(x2, y2) = (x1 x2 + psi1 y1 y2,
+    x1 y2 + y1 x2), and application to u = (u_e, u_o) is
+    (x u_e + psi1 (y u_o), x u_o + y u_e).  X^t at t = 2u + r is
+    (Y^u, 0) for r=0 and (0, Y^u) for r=1, so (X^t - 1) is
+    (row_u - 1, 0) / (-1, row_u) — branchless in the parity bit.
+    Subset pairs build by the same binary DP as the direct engine's
+    rotate_combine_multi.
+
+    Overflow accounting (worst prime cap 63000; barrett envelope
+    p/2 + 384 = 31884, psi rows <= p/2 + 1): the DP x-product
+    x1 x2 + psi1 * barrett(y1 y2) <= 31884^2 + 31501 * 31884 = 2.02e9 <
+    2^31; the y-product x1 y2 + y1 x2 <= 2 * 31884^2 = 2.03e9; the apply
+    x u_e + psi1 * barrett(y u_o) <= 31884 * 34650 + 31501 * 31884 =
+    2.11e9 — all int32-safe with one inner barrett on the y-side
+    products.  The <= 2^g - 1 reduced subset terms sum to < 2^18 before
+    one final barrett per output plane.
+    """
+    g = len(ts)
+    Nh = plan.N
+    t_all = [jnp.asarray(t) & jnp.int32(4 * Nh - 1) for t in ts]
+    rs = [(t & 1) for t in t_all]
+    rows_all = _rot_merged_rows(
+        jnp.concatenate([t >> 1 for t in t_all]), plan)     # [gB, P*Nh]
+    B = t_all[0].shape[0]
+    outs = []
+    for i, p in enumerate(plan.primes):
+        psi1 = jnp.asarray(plan.rot[i][1].astype(np.int32))
+        d = {}
+        for j in range(g):
+            row = rows_all[j * B:(j + 1) * B, i * Nh:(i + 1) * Nh]
+            rj = rs[j][:, None]
+            x = jnp.where(rj != 0, jnp.int32(-1), row - 1)
+            y = jnp.where(rj != 0, row, jnp.int32(0))
+            d[1 << j] = (x, y)                       # each [B, Nh]
+        for m in range(1, 1 << g):
+            if m & (m - 1):
+                low = m & -m
+                x1, y1 = d[m ^ low]
+                x2, y2 = d[low]
+                w = _ntt.barrett_reduce(y1 * y2, p)
+                d[m] = (_ntt.barrett_reduce(x1 * x2 + psi1 * w, p),
+                        _ntt.barrett_reduce(x1 * y2 + y1 * x2, p))
+        ves, vos = [], []
+        for m in range(1, 1 << g):
+            v = us[m - 1][i].astype(jnp.int32)       # [B, 4, Nh]
+            ue = v[..., 0::2, :]                     # [B, 2, Nh]
+            uo = v[..., 1::2, :]
+            x, y = d[m]
+            xb, yb = x[:, None, :], y[:, None, :]
+            we = _ntt.barrett_reduce(yb * uo, p)
+            ves.append(_ntt.barrett_reduce(xb * ue + psi1 * we, p))
+            vos.append(_ntt.barrett_reduce(xb * uo + yb * ue, p))
+        acc_e = _ntt.barrett_reduce(sum(ves), p)
+        acc_o = _ntt.barrett_reduce(sum(vos), p)
+        outs.append(jnp.stack([acc_e, acc_o], axis=-2))      # [B, 2, 2, Nh]
+    return outs
+
+
+def gen_bootstrapping_key_ntt_split(key, values, sk_poly,
+                                    params: SecurityParams,
+                                    drop: int, group: int = 1, levels=None,
                                     bgbit: int | None = None):
-    """Split-engine BSK: per-bit TRGSW(s0[i]) keys in folded split-NTT
-    form, int16 [n0, P, 2R, 4, Nh] (fold_key_split layout).
+    """Split-engine BSK in folded split-NTT form.
+
+    values: the TRGSW plaintexts — s0 itself for group=1 ([n0]), or the
+    subset products of g-bit key groups for group=g ([(2^g-1) * G],
+    mask-major per group — key.py:gen_bootstrapping_key_ntt computes
+    them).  Returns int16 [n0, P, 2R, 4, Nh] (group=1) or
+    [G, 2^g-1, P, 2R, 4, Nh] (fold_key_split layout per key).
 
     Encryption itself runs in the full X-ring (the exact int64 Toeplitz
     product — keygen is off the hot path); only the NTT residues are
-    computed half-wise on the Nh plan.  group=1 only (module docstring).
+    computed half-wise on the Nh plan.
     """
     from zig_tfhe_tpu import trgsw as _trgsw
 
     e = params.bgbit if bgbit is None else bgbit
     la, lb = _ntt.norm_levels(params, levels, bgbit=e)
-    plan = _ntt.plan_for_params(params, drop, 1, (la, lb), bgbit=e,
+    plan = _ntt.plan_for_params(params, drop, group, (la, lb), bgbit=e,
                                 pseudorandom_key=True)
     trgsw_ct = _trgsw.encrypt_gadget_rows(
-        key, secret_key.key_lv0, params.bsk_alpha, secret_key.key_lv1,
-        params, e, la, lb)                           # [n0, R, 2, N] int64
-    halves = split(trgsw_ct)                         # [n0, R, 2, 2, Nh]
+        key, values, params.bsk_alpha, sk_poly,
+        params, e, la, lb)                           # [V, R, 2, N] int64
+    halves = split(trgsw_ct)                         # [V, R, 2, 2, Nh]
     w = params.torus_bits
     res_e = _ntt.to_ntt_form(halves[..., 0, :], plan, drop, width=w)
     res_o = _ntt.to_ntt_form(halves[..., 1, :], plan, drop, width=w)
-    folded = fold_key_split(res_e, res_o, plan)      # [n0, P, 2R, 4, Nh]
+    folded = fold_key_split(res_e, res_o, plan)      # [V, P, 2R, 4, Nh]
+    if group > 1:
+        G = -(-params.n0 // group)
+        return folded.reshape(G, (1 << group) - 1, plan.n_primes,
+                              2 * (la + lb), 4, params.N // 2)
     return folded
 
 
 def blind_rotate_split(tlwe_batch, testvec, bsk_split,
                        params: SecurityParams, drop_bits: int,
-                       unroll: int = 1, levels=None,
+                       unroll: int = 1, group: int = 1, levels=None,
                        bgbit: int | None = None):
     """Blind rotation over the split ring (N > 1024, 64-bit torus).
 
     tlwe_batch: int64 [B, n0+1]; testvec: int64 [2, N] or [B, 2, N];
-    bsk_split: int16 [n0, P, 2R, 4, Nh].  Returns int64 [B, 2, N].
+    bsk_split: int16 [n0, P, 2R, 4, Nh] (group=1) or
+    [G, 2^g-1, P, 2R, 4, Nh] (multi-bit).  Returns int64 [B, 2, N].
 
     Per step: decompose (coefficient-wise — parity layout free), forward
-    NTT of 2R half-rows, the folded pointwise contraction, the parity-
-    select rotation, inverse + 64-bit CRT.  The initial X^(-b) testvec
-    rotation runs in the coefficient domain (a per-batch gather): a
-    full-torus NTT rotation needs |conv| <= 2^75 which misses the
-    74.8-bit pool by 0.2 bits (TORUS64.md §4) — once per gate it is ~1%
-    of the n0-step scan.
+    NTT of 2R half-rows, the folded pointwise contraction per subset,
+    the parity-pair rotation combine, inverse + 64-bit CRT.  The initial
+    X^(-b) testvec rotation runs in the coefficient domain (a per-batch
+    gather): a full-torus NTT rotation needs |conv| <= 2^75 which misses
+    the 74.8-bit pool by 0.2 bits (TORUS64.md §4) — once per gate it is
+    ~1% of the n0-step scan.
     """
     e = params.bgbit if bgbit is None else bgbit
     if levels is None:
-        levels = bsk_split.shape[2] // 4
+        levels = (bsk_split.shape[2] if group == 1
+                  else bsk_split.shape[3]) // 4
     levels = _ntt.norm_levels(params, levels, bgbit=e)
     n_rows = levels[0] + levels[1]
-    assert 2 * n_rows == bsk_split.shape[2], (levels, bsk_split.shape)
-    plan = _ntt.plan_for_params(params, drop_bits, 1, levels, bgbit=e,
+    rows_ax = bsk_split.shape[2] if group == 1 else bsk_split.shape[3]
+    assert 2 * n_rows == rows_ax, (levels, bsk_split.shape)
+    plan = _ntt.plan_for_params(params, drop_bits, group, levels, bgbit=e,
                                 pseudorandom_key=True)
-    if bsk_split.shape[1] != plan.n_primes:
+    key_primes = bsk_split.shape[1] if group == 1 else bsk_split.shape[2]
+    if key_primes != plan.n_primes:
         raise ValueError(
-            f"split BSK holds {bsk_split.shape[1]} CRT prime planes but "
+            f"split BSK holds {key_primes} CRT prime planes but "
             f"the current plan selects {plan.n_primes} — key and plan "
             "were built under different plan bounds")
     n0, N = params.n0, params.N
@@ -210,20 +297,45 @@ def blind_rotate_split(tlwe_batch, testvec, bsk_split,
 
     a_cols = jnp.swapaxes(tlwe_batch[..., :n0], 0, 1)    # [n0, B]
 
-    def step(acc, xs):
-        bsk_i, a_col = xs                  # [P, 2R, 4, Nh], [B]
-        t = modswitch(a_col, params)       # [B] in [0, 2N]
+    def fwd(acc):
         rows = _decompose_to_rows(acc.reshape(B, 2, N), params, levels,
                                   bgbit=e)               # [B, R, N]
         rows = rows.reshape(B, n_rows * 2, Nh)           # (r, q_in) rows
-        d_hat = _ntt.ntt_forward(rows, plan, e_limbs, dbound)
-        u = _ntt.pointwise_extprod(d_hat, bsk_i, plan)   # [B, 4, Nh]/prime
-        v = rotate_minus1_split(u, t, plan)              # [B, 2, 2, Nh]
+        return _ntt.ntt_forward(rows, plan, e_limbs, dbound)
+
+    def finish(acc, v):
         delta = _ntt.ntt_inverse_to_crt(v, plan, w)      # int64
         if drop_bits:
             delta = jax.lax.shift_left(delta, jnp.asarray(drop_bits,
                                                           delta.dtype))
-        return acc + delta, None
+        return acc + delta
 
-    acc, _ = jax.lax.scan(step, acc, (bsk_split, a_cols), unroll=unroll)
-    return unsplit(acc)                                  # [B, 2, N]
+    if group == 1:
+        def step(acc, xs):
+            bsk_i, a_col = xs              # [P, 2R, 4, Nh], [B]
+            t = modswitch(a_col, params)   # [B] in [0, 2N]
+            u = _ntt.pointwise_extprod(fwd(acc), bsk_i, plan)
+            v = rotate_minus1_split(u, t, plan)          # [B, 2, 2, Nh]
+            return finish(acc, v), None
+
+        acc, _ = jax.lax.scan(step, acc, (bsk_split, a_cols), unroll=unroll)
+        return unsplit(acc)                              # [B, 2, N]
+
+    G = bsk_split.shape[0]
+    if a_cols.shape[0] < group * G:                      # ragged n0: pad a=0
+        a_cols = jnp.concatenate(
+            [a_cols, jnp.zeros((group * G - n0, B), a_cols.dtype)])
+    a_grps = a_cols.reshape(G, group, B)
+
+    def step_multi(acc, xs):
+        bsk_g, a_grp = xs          # [2^g-1, P, 2R, 4, Nh], [g, B]
+        ts = [modswitch(a_grp[j], params) for j in range(group)]
+        d_hat = fwd(acc)
+        us = [_ntt.pointwise_extprod(d_hat, bsk_g[m], plan)
+              for m in range((1 << group) - 1)]
+        v = rotate_combine_multi_split(us, ts, plan)
+        return finish(acc, v), None
+
+    acc, _ = jax.lax.scan(step_multi, acc, (bsk_split, a_grps),
+                          unroll=unroll)
+    return unsplit(acc)

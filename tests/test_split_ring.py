@@ -208,6 +208,28 @@ def test_gate_truth_tables_split_group3(sk):
     np.testing.assert_array_equal(dec, [True, False])
 
 
+def test_split_cloud_key_serialization_roundtrip(tmp_path, sk, ck):
+    """The 6-axis multi-bit split BSK and 64-bit KSK survive save/load
+    and the loaded key still evaluates gates exactly."""
+    from zig_tfhe_tpu.utils import serialization as S
+
+    p = tmp_path / "ck_split.npz"
+    S.save_cloud_key(p, ck)
+    ck2 = S.load_cloud_key(p)
+    assert ck2.params is PS
+    assert ck2.bsk_group == ck.bsk_group
+    assert ck2.bsk_ntt.shape == ck.bsk_ntt.shape
+    np.testing.assert_array_equal(np.asarray(ck2.bsk_ntt),
+                                  np.asarray(ck.bsk_ntt))
+    a = tlwe.encrypt_bool(jax.random.key(90), jnp.asarray([True, False]),
+                          0.0, sk.key_lv0, width=64)
+    b = tlwe.encrypt_bool(jax.random.key(91), jnp.asarray([True, True]),
+                          0.0, sk.key_lv0, width=64)
+    out = G.and_(a, b, ck2)
+    np.testing.assert_array_equal(
+        np.asarray(tlwe.decrypt_bool(out, sk.key_lv0)), [True, False])
+
+
 def test_gate_truth_tables_split_group1(sk):
     """group=1 (classic per-bit BSK) stays exact through the same path."""
     ck1 = K.CloudKey.generate(jax.random.key(11), sk, PS, group=1)

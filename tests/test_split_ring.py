@@ -208,6 +208,30 @@ def test_gate_truth_tables_split_group3(sk):
     np.testing.assert_array_equal(dec, [True, False])
 
 
+def test_single_shot_lut_m64_split(sk, ck):
+    """Single-shot m=64 programmable bootstrap on the 64-bit N=2048 set —
+    the capability the radix route exists to work around at N=1024
+    (uint6's m=64 needs 3 rotation lanes there; here it is ONE).
+
+    Also the regression guard for the decomposition-remainder centering
+    (ops/decomposition.py center=True): with the biased floor-form
+    remainder the a-key convolution shifts phases by ~2^-7 of the torus
+    and 48/64 of these bins decode wrong."""
+    from zig_tfhe_tpu.models import lut as L
+
+    m = 64
+    gen = L.Generator.new(m, PS)
+    assert gen.encoder.width == 64
+    table = gen.generate_lookup_table(lambda x: (x * x + 3) % m)
+    assert table.poly.dtype == np.int64
+    msgs = np.arange(m)
+    ct = tlwe.encrypt_message(jax.random.key(3), jnp.asarray(msgs), m, 0.0,
+                              sk.key_lv0, width=64)
+    out = L.bootstrap_lut(ct, table, ck)
+    dec = np.asarray(tlwe.decrypt_message(out, m, sk.key_lv0, width=64))
+    np.testing.assert_array_equal(dec, (msgs * msgs + 3) % m)
+
+
 def test_split_cloud_key_serialization_roundtrip(tmp_path, sk, ck):
     """The 6-axis multi-bit split BSK and 64-bit KSK survive save/load
     and the loaded key still evaluates gates exactly."""

@@ -24,7 +24,7 @@ from zig_tfhe_tpu import bootstrap as _bootstrap
 from zig_tfhe_tpu import tlwe as _tlwe
 from zig_tfhe_tpu.key import CloudKey
 from zig_tfhe_tpu.params import SecurityParams
-from zig_tfhe_tpu.utils.torus import f64_to_torus
+from zig_tfhe_tpu.utils.torus import torus_constant_w
 
 
 def div_round(a: int, b: int) -> int:
@@ -34,31 +34,43 @@ def div_round(a: int, b: int) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class Encoder:
-    """Message <-> torus codec with scale 1/(2m) (encoder.zig:29-116)."""
+    """Message <-> torus codec with scale 1/(2m) (encoder.zig:29-116).
+
+    ``width`` generalizes the codec to the 64-bit torus (the reference
+    pins u32, params.zig:21-30): encodings are unsigned Python ints mod
+    2^width.  Dyadic scales (every power-of-two modulus) encode exactly
+    at either width.
+    """
 
     message_modulus: int
     scale: float
+    width: int = 32
 
     @classmethod
-    def new(cls, message_modulus: int) -> "Encoder":
-        return cls(message_modulus, 1.0 / (2.0 * message_modulus))
+    def new(cls, message_modulus: int, width: int = 32) -> "Encoder":
+        return cls(message_modulus, 1.0 / (2.0 * message_modulus), width)
 
     @classmethod
-    def with_scale(cls, message_modulus: int, scale: float) -> "Encoder":
-        return cls(message_modulus, scale)
+    def with_scale(cls, message_modulus: int, scale: float,
+                   width: int = 32) -> "Encoder":
+        return cls(message_modulus, scale, width)
+
+    @property
+    def _mask(self) -> int:
+        return (1 << self.width) - 1
 
     def encode(self, message: int) -> int:
-        """Torus encoding (uint32 as Python int) of a message."""
+        """Torus encoding (unsigned Python int mod 2^width)."""
         m = message % self.message_modulus
-        return int(np.uint32(f64_to_torus(m * self.scale)))
+        return torus_constant_w(m * self.scale, self.width) & self._mask
 
     def encode_with_scale(self, message: int, scale: float) -> int:
         """Encode with a per-call scale override (encoder.zig:83-93)."""
         m = message % self.message_modulus
-        return int(np.uint32(f64_to_torus(m * scale)))
+        return torus_constant_w(m * scale, self.width) & self._mask
 
     def decode(self, torus_value: int) -> int:
-        f = (int(torus_value) & 0xFFFFFFFF) / float(1 << 32)
+        f = (int(torus_value) & self._mask) / float(1 << self.width)
         return int(f / self.scale + 0.5) % self.message_modulus
 
     def decode_bool(self, torus_value: int) -> bool:
@@ -68,13 +80,14 @@ class Encoder:
 @dataclasses.dataclass
 class LookupTable:
     """A trivial TRLWE (a=0) whose body encodes the function
-    (lookup_table.zig:16-77).  ``poly``: int32 [2, N]."""
+    (lookup_table.zig:16-77).  ``poly``: int32 [2, N] (int64 on the
+    64-bit torus)."""
 
     poly: np.ndarray
 
     @classmethod
-    def new(cls, N: int) -> "LookupTable":
-        return cls(np.zeros((2, N), np.int32))
+    def new(cls, N: int, width: int = 32) -> "LookupTable":
+        return cls(np.zeros((2, N), np.int32 if width == 32 else np.int64))
 
     @classmethod
     def from_poly(cls, poly) -> "LookupTable":
@@ -82,8 +95,11 @@ class LookupTable:
 
         Unlike ``new``, the testvec may be a real (non-trivial, a != 0)
         TRLWE — e.g. a previous bootstrap's output re-used as a table.
+        The carrier width follows the input dtype (int64 in, int64 kept).
         """
-        arr = np.array(poly, np.int32, copy=True)
+        arr = np.asarray(poly)
+        arr = np.array(arr, arr.dtype if arr.dtype == np.int64 else np.int32,
+                       copy=True)
         if arr.ndim != 2 or arr.shape[0] != 2:
             raise ValueError(f"LUT poly must be [2, N], got {arr.shape}")
         return cls(arr)
@@ -107,7 +123,11 @@ class LookupTable:
 
 @dataclasses.dataclass
 class Generator:
-    """Builds LUT testvecs from functions (generator.zig:15-227)."""
+    """Builds LUT testvecs from functions (generator.zig:15-227).
+
+    The codec width follows the parameter set (``params.torus_bits``):
+    64-bit sets (the N=2048 split-ring door) get int64 tables, so a
+    single-shot PBS covers message moduli the u32 reference cannot."""
 
     encoder: Encoder
     poly_degree: int
@@ -115,12 +135,15 @@ class Generator:
 
     @classmethod
     def new(cls, message_modulus: int, params: SecurityParams) -> "Generator":
-        return cls(Encoder.new(message_modulus), params.N, params.N)
+        return cls(Encoder.new(message_modulus, params.torus_bits),
+                   params.N, params.N)
 
     @classmethod
     def with_scale(cls, message_modulus: int, scale: float,
                    params: SecurityParams) -> "Generator":
-        return cls(Encoder.with_scale(message_modulus, scale), params.N, params.N)
+        return cls(Encoder.with_scale(message_modulus, scale,
+                                      params.torus_bits),
+                   params.N, params.N)
 
     def _build(self, encoded: Sequence[int]) -> LookupTable:
         """Shared tail of generateLookupTable*Assign (generator.zig:85-191):
@@ -128,16 +151,19 @@ class Generator:
         negate the wrapped tail, store as trivial TRLWE body."""
         n = self.lookup_table_size
         m = self.encoder.message_modulus
-        raw = np.zeros(n, np.uint32)
+        w = self.encoder.width
+        udt = np.uint32 if w == 32 else np.uint64
+        sdt = np.int32 if w == 32 else np.int64
+        raw = np.zeros(n, udt)
         for x in range(m):
             start = div_round(x * n, m)
             end = div_round((x + 1) * n, m)
-            raw[start:end] = np.uint32(encoded[x])
+            raw[start:end] = udt(encoded[x])
         offset = div_round(n, 2 * m)
         rotated = np.roll(raw, -offset)  # rotated[i] = raw[(i+offset) % n]
-        rotated[n - offset:] = (~rotated[n - offset:] + np.uint32(1))
-        lut = LookupTable.new(self.poly_degree)
-        lut.poly[1, :] = rotated.astype(np.int32)
+        rotated[n - offset:] = (~rotated[n - offset:] + udt(1))
+        lut = LookupTable.new(self.poly_degree, w)
+        lut.poly[1, :] = rotated.astype(sdt)
         return lut
 
     def generate_lookup_table(self, f: Callable[[int], int]) -> LookupTable:
@@ -148,7 +174,8 @@ class Generator:
     def generate_lookup_table_full(self, f: Callable[[int], int]) -> LookupTable:
         """LUT of f: message -> raw Torus value (generator.zig:155-191)."""
         m = self.encoder.message_modulus
-        return self._build([int(f(x)) & 0xFFFFFFFF for x in range(m)])
+        mask = (1 << self.encoder.width) - 1
+        return self._build([int(f(x)) & mask for x in range(m)])
 
     def generate_lookup_table_custom(self, f: Callable[[int], int],
                                      message_modulus: int, scale: float) -> LookupTable:
@@ -159,7 +186,9 @@ class Generator:
 
     def mod_switch(self, x: int) -> int:
         """Torus -> [0, lookup_table_size) (generator.zig:223-227)."""
-        scaled = ((int(x) & 0xFFFFFFFF) / float((1 << 32) - 1)) * self.lookup_table_size
+        w = self.encoder.width
+        mask = (1 << w) - 1
+        scaled = ((int(x) & mask) / float(mask)) * self.lookup_table_size
         return int(scaled + 0.5) % self.lookup_table_size
 
     @property

@@ -59,13 +59,13 @@ def _decompose_to_rows(ct, params: SecurityParams, levels=None,
     la, lb = norm_levels(params, levels, bgbit=bgbit)
     if la == lb:
         digs = gadget_decompose(ct, params, level_axis=-2, levels=la,
-                                bgbit=bgbit)
+                                bgbit=bgbit, center=True)
         sh = digs.shape
         return digs.reshape(sh[:-3] + (2 * la, params.N))
     da = gadget_decompose(ct[..., 0, :], params, level_axis=-2, levels=la,
-                          bgbit=bgbit)
+                          bgbit=bgbit, center=True)
     db = gadget_decompose(ct[..., 1, :], params, level_axis=-2, levels=lb,
-                          bgbit=bgbit)
+                          bgbit=bgbit, center=True)
     return jnp.concatenate([da, db], axis=-2)      # [..., la+lb, N]
 
 

@@ -40,7 +40,8 @@ def gadget_offset(bgbit: int, n_terms: int, width: int = 32) -> int:
 
 
 def gadget_decompose(x, params: SecurityParams, level_axis: int = -1,
-                     levels: int | None = None, bgbit: int | None = None):
+                     levels: int | None = None, bgbit: int | None = None,
+                     center: bool = False):
     """Signed gadget digits of torus values.
 
     x: int32 [...]; returns int32 [..., L] (level_axis=-1, default) or the
@@ -64,11 +65,28 @@ def gadget_decompose(x, params: SecurityParams, level_axis: int = -1,
     ops/ntt.py:default_engine_gadget).  The offset then uses all
     floor(32/bgbit) terms so the remainder is centered at every level
     count; levels may range up to floor(32/bgbit).
+
+    center=True CENTERS the truncation remainder in the one case the
+    offsets above leave it biased: the parameter-base gadget at the full
+    L levels with L*bgbit < torus_bits.  There the reference-parity
+    offset (L terms, every one a multiple of the kept grid
+    2^(w - L*bgbit)) makes the reconstruction a plain floor — remainder
+    uniform in [0, grid), mean grid/2.  That bias, amplified by the
+    a-component's key convolution (~(N/2) ones), is ~2^-10 of the torus
+    at the 32-bit uint sets (invisible under their margins) but 2^-7 at
+    the 64-bit N=2048 sets — it visibly ate the single-shot LUT margin
+    (caught by the m=64 split-set LUT test).  The extra half-grid term
+    turns the floor into round-to-nearest, matching the centering the
+    engine-override and levels<L branches already have.  Default False:
+    digit-for-digit reference parity (trgsw.zig:193-219).  The engine
+    paths (ops/blind_rotate.py:_decompose_to_rows) pass True.
     """
     w = params.torus_bits
     if bgbit is None or bgbit == params.bgbit:
         bgbit, L = params.bgbit, params.L
         offset = params.decomposition_offset
+        if center and levels in (None, L) and L * bgbit < w:
+            offset = (offset + (1 << (w - L * bgbit - 1))) % (1 << w)
     else:
         L = w // bgbit
         offset = gadget_offset(bgbit, L, w)

@@ -34,7 +34,7 @@ def encrypt_bits(key, value: int, width: int, sk: SecretKey, params):
     (bit_utils.zig:32-52)."""
     bits = to_bits(value, width)
     return _tlwe.encrypt_bool(key, jnp.asarray(bits), params.tlwe_lv0.alpha,
-                              sk.key_lv0)
+                              sk.key_lv0, width=params.torus_bits)
 
 
 def decrypt_bits(cts, sk: SecretKey) -> int:

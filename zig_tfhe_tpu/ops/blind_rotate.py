@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 import os
 
@@ -163,6 +164,17 @@ def blind_rotate(tlwe_batch, testvec, ck, params: SecurityParams,
     (trgsw.zig:290-400): rotate the testvec by -b (mod X^N+1), then fold in
     each LWE coefficient with a CMux against BSK[i].
     """
+    from zig_tfhe_tpu.utils.torus import carrier_dtype
+
+    want_dt = carrier_dtype(params.torus_bits)
+    if tlwe_batch.dtype != want_dt:
+        # a width-mismatched ciphertext would silently modswitch garbage
+        # (caught live: int32 bits fed to a 64-bit set decrypted "1" with
+        # no error); fail loudly at the pipeline chokepoint instead
+        raise TypeError(
+            f"ciphertext dtype {tlwe_batch.dtype} does not match the "
+            f"{params.torus_bits}-bit torus carrier {np.dtype(want_dt)} — "
+            f"encrypt with width={params.torus_bits}")
     lead = tlwe_batch.shape[:-1]
     if len(lead) != 1:
         # arbitrary leading batch dims (e.g. [W, B, n0+1] serving batches):

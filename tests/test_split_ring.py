@@ -208,6 +208,28 @@ def test_gate_truth_tables_split_group3(sk):
     np.testing.assert_array_equal(dec, [True, False])
 
 
+def test_kogge_stone_adder_split(sk, ck):
+    """Encrypted 16-bit addition end-to-end on the 64-bit N=2048 set
+    (regression: encrypt_bits once ignored params.torus_bits and the
+    adder silently decrypted garbage)."""
+    from zig_tfhe_tpu.models import circuits
+
+    a = circuits.encrypt_bits(jax.random.key(2), 402, 16, sk, PS)
+    assert a.dtype == jnp.int64
+    b = circuits.encrypt_bits(jax.random.key(3), 304, 16, sk, PS)
+    s, _ = circuits.kogge_stone_add(a, b, ck)
+    assert circuits.decrypt_bits(s, sk) == 706
+
+
+def test_width_mismatch_raises(ck):
+    """int32 ciphertexts into a 64-bit pipeline fail loudly."""
+    from zig_tfhe_tpu.ops.blind_rotate import blind_rotate
+
+    bad = jnp.zeros((2, PS.n0 + 1), jnp.int32)
+    with pytest.raises(TypeError, match="torus carrier"):
+        blind_rotate(bad, ck.testvec, ck, PS)
+
+
 def test_single_shot_lut_m64_split(sk, ck):
     """Single-shot m=64 programmable bootstrap on the 64-bit N=2048 set —
     the capability the radix route exists to work around at N=1024

@@ -254,6 +254,20 @@ def test_single_shot_lut_m64_split(sk, ck):
     np.testing.assert_array_equal(dec, (msgs * msgs + 3) % m)
 
 
+def test_integer_layer_split(sk, ck):
+    """The radix integer layer (multi-value bootstraps included) runs on
+    the 64-bit split set: FheUint add/mul/compare exact at alpha=0."""
+    from zig_tfhe_tpu.models.integer import FheUint, decrypt_radix
+
+    x = FheUint.encrypt(jax.random.key(1), 45, 2, sk, ck)
+    assert x.digits.dtype == jnp.int64
+    y = FheUint.encrypt(jax.random.key(2), 23, 2, sk, ck)
+    assert decrypt_radix((x + y).digits, sk.key_lv0) == 68
+    assert decrypt_radix((x * y).digits, sk.key_lv0) == 45 * 23
+    assert decrypt_radix((x < y).digits, sk.key_lv0) == 0
+    assert decrypt_radix((x ^ y).digits, sk.key_lv0) == 45 ^ 23
+
+
 def test_split_cloud_key_serialization_roundtrip(tmp_path, sk, ck):
     """The 6-axis multi-bit split BSK and 64-bit KSK survive save/load
     and the loaded key still evaluates gates exactly."""

@@ -257,7 +257,8 @@ def _pbs_mv_groups(rows, name_groups, ck: CloudKey):
         grid = jnp.moveaxis(
             _pad_to_bucket(jnp.moveaxis(grid, 1, 0), B), 0, 1)
     flat = grid.reshape(G * B, rows.shape[-1])
-    base = jnp.asarray(L.multi_lut_base(M, params.N))
+    base = jnp.asarray(L.multi_lut_base(M, params.N,
+                                         params.torus_bits))
     acc = blind_rotate(flat, base, ck, params).reshape(G, B, 2, params.N)
     outs = jnp.stack([
         jnp.stack([L.apply_factored(acc[g], *_factored(params, n)[:2])
@@ -275,11 +276,13 @@ def _pbs_mv_groups(rows, name_groups, ck: CloudKey):
 # ---------------------------------------------------------------------------
 
 
-def encrypt_radix(key, value, n_digits: int, alpha: float, sk):
+def encrypt_radix(key, value, n_digits: int, alpha: float, sk,
+                  width: int = 32):
     """Encrypt value(s) as n_digits little-endian base-8 digits.
 
     value: python int or int array [...].  Returns int32 [..., n_digits,
-    n0+1] (batch-first: a batch of integers is just a leading axis).
+    n0+1] (batch-first: a batch of integers is just a leading axis);
+    width=64 encrypts int64 carriers for the 64-bit-torus sets.
     Digit extraction runs in host int64 so values beyond 2^31 encode
     correctly (int32 shifts would silently truncate them).
     """
@@ -287,12 +290,13 @@ def encrypt_radix(key, value, n_digits: int, alpha: float, sk):
     shifts = 3 * np.arange(n_digits, dtype=np.int64)
     digits = jnp.asarray(((v[..., None] >> shifts) & (BASE - 1))
                          .astype(np.int32))
-    return _tlwe.encrypt_message(key, digits, M, alpha, sk)
+    return _tlwe.encrypt_message(key, digits, M, alpha, sk, width)
 
 
 def decrypt_radix(ct_digits, sk):
-    """[..., D, n0+1] -> int or int64 array [...]."""
-    msgs = np.asarray(_tlwe.decrypt_message(ct_digits, M, sk)) % BASE
+    """[..., D, n0+1] -> int or int64 array [...] (width follows dtype)."""
+    w = 64 if ct_digits.dtype == jnp.int64 else 32
+    msgs = np.asarray(_tlwe.decrypt_message(ct_digits, M, sk, w)) % BASE
     D = msgs.shape[-1]
     weights = (1 << (3 * np.arange(D, dtype=np.int64)))
     out = (msgs.astype(np.int64) * weights).sum(axis=-1)
@@ -309,7 +313,9 @@ def _trivial_digit(value: int, like):
     for the additive constants of sub/compare (exact, adds no noise)."""
     assert 0 <= value < M, value
     z = jnp.zeros_like(like)
-    return z.at[..., -1].set(jnp.int32(((1 << 32) // (2 * M)) * value))
+    w = 64 if like.dtype == jnp.int64 else 32
+    return z.at[..., -1].set(
+        jnp.asarray(((1 << w) // (2 * M)) * value, like.dtype))
 
 
 def _trivial_radix(value: int, D: int, like_digits):
@@ -317,11 +323,12 @@ def _trivial_radix(value: int, D: int, like_digits):
     batch-shaped like ``like_digits`` [..., Dl, n0+1].  Digits are
     extracted with Python ints so arbitrary-width constants work (int32
     shifts would fail beyond 2^31)."""
+    dt = like_digits.dtype
+    w = 64 if dt == jnp.int64 else 32
     digits = jnp.asarray([(value >> (3 * i)) & (BASE - 1) for i in range(D)],
-                         jnp.int32)
-    ct = jnp.zeros(like_digits.shape[:-2] + (D, like_digits.shape[-1]),
-                   jnp.int32)
-    enc = jnp.int32((1 << 32) // (2 * M)) * digits   # PBS codec: x/(2M)
+                         dt)
+    ct = jnp.zeros(like_digits.shape[:-2] + (D, like_digits.shape[-1]), dt)
+    enc = jnp.asarray((1 << w) // (2 * M), dt) * digits  # PBS codec: x/(2M)
     return ct.at[..., :, -1].set(jnp.broadcast_to(enc, ct.shape[:-1]))
 
 
@@ -411,7 +418,11 @@ def _and_reduce_bits(bits, ck: CloudKey):
         rows = []
         for i in range(0, K, 15):
             c = bits[i:i + 15]
-            rows.append(_trivial_digit(c.shape[0], c[0]) - c.sum(axis=0))
+            # dtype= keeps the carrier width: under jax_enable_x64 an
+            # int32 sum otherwise promotes to int64 (numpy
+            # accumulator rule) and poisons the pipeline dtype
+            rows.append(_trivial_digit(c.shape[0], c[0])
+                        - c.sum(axis=0, dtype=c.dtype))
         bits = _pbs_rows(jnp.stack(rows), ("iszero",) * len(rows), ck)
     return bits[0]
 
@@ -519,7 +530,8 @@ def radix_bitwise(a_digits, b_digits, op: str, ck: CloudKey):
     w = jnp.moveaxis(a_digits, -2, 0)[None] + bits8
     names = tuple(f"{op}{k}" for k in range(3) for _ in range(D))
     parts = _pbs_rows(w.reshape((3 * D,) + w.shape[2:]), names, ck)
-    out = parts.reshape((3, D) + parts.shape[1:]).sum(axis=0)
+    out = parts.reshape((3, D) + parts.shape[1:]).sum(
+        axis=0, dtype=parts.dtype)
     return jnp.moveaxis(out, 0, -2)
 
 
@@ -799,9 +811,11 @@ def from_bools(bits, ck: CloudKey):
     B = int(np.prod(batch)) if batch else 1
     flat = rows.reshape(nb * B, rows.shape[-1])
     N = ck.params.N
-    offs = np.array([((1 << 32) // (4 * M)) << (i % 3) for i in range(nb)],
-                    np.int32)
-    tv = np.zeros((nb, 2, N), np.int32)
+    w = ck.params.torus_bits
+    dt = np.int32 if w == 32 else np.int64
+    offs = np.array([((1 << w) // (4 * M)) << (i % 3) for i in range(nb)],
+                    dt)
+    tv = np.zeros((nb, 2, N), dt)
     tv[:, 1, :] = offs[:, None]
     tv = jnp.repeat(jnp.asarray(tv), B, axis=0)            # lane i*B+b
     out = _bootstrap_lut_bucketed(flat, tv, ck)
@@ -1050,7 +1064,8 @@ class FheUint(_FheOpsMixin):
     def encrypt(cls, key, value, n_digits: int, sk, ck: CloudKey,
                 alpha: float | None = None) -> "FheUint":
         a = ck.params.tlwe_lv0.alpha if alpha is None else alpha
-        return cls(encrypt_radix(key, value, n_digits, a, sk.key_lv0), ck)
+        return cls(encrypt_radix(key, value, n_digits, a, sk.key_lv0,
+                                 ck.params.torus_bits), ck)
 
     def _coerce(self, other) -> "FheUint":
         if isinstance(other, FheUint):
@@ -1200,7 +1215,8 @@ class FheInt(_FheOpsMixin):
             raise ValueError(f"{value} out of range for {n_digits} digits "
                              f"[{-half}, {half})")
         enc_v = np.mod(v, 1 << (3 * n_digits))
-        return cls(encrypt_radix(key, enc_v, n_digits, a, sk.key_lv0), ck)
+        return cls(encrypt_radix(key, enc_v, n_digits, a, sk.key_lv0,
+                                 ck.params.torus_bits), ck)
 
     @property
     def n_digits(self) -> int:
@@ -1356,7 +1372,7 @@ def _pad_to_match(a, b):
         return a, b
 
     def pad(x, extra):
-        z = jnp.zeros(x.shape[:-2] + (extra, x.shape[-1]), jnp.int32)
+        z = jnp.zeros(x.shape[:-2] + (extra, x.shape[-1]), x.dtype)
         return jnp.concatenate([x, z], axis=-2)
 
     return (a, pad(b, Da - Db)) if Da > Db else (pad(a, Db - Da), b)

@@ -180,7 +180,8 @@ class Generator:
     def generate_lookup_table_custom(self, f: Callable[[int], int],
                                      message_modulus: int, scale: float) -> LookupTable:
         """Custom modulus/scale variant (generator.zig:202-212)."""
-        tmp = Generator(Encoder.with_scale(message_modulus, scale),
+        tmp = Generator(Encoder.with_scale(message_modulus, scale,
+                                           self.encoder.width),
                         self.poly_degree, self.lookup_table_size)
         return tmp.generate_lookup_table(f)
 
@@ -250,14 +251,16 @@ def bootstrap_lut(ct_batch, lut, ck: CloudKey):
 # bootstrap_lut the safer choice at m >= 8.
 
 
-def multi_lut_base(message_modulus: int, N: int) -> np.ndarray:
-    """The shared testvec T0 (trivial TRLWE int32 [2, N]) for modulus m."""
+def multi_lut_base(message_modulus: int, N: int, width: int = 32) -> np.ndarray:
+    """The shared testvec T0 (trivial TRLWE [2, N]) for modulus m at the
+    given torus width (int32 carrier at 32, int64 at 64)."""
     m = message_modulus
     if m & (m - 1) or not 1 <= m <= (1 << 30):
         raise ValueError(f"multi-value LUT needs power-of-two modulus, got {m}")
-    s = (1 << 32) // (4 * m)
-    tv = np.zeros((2, N), np.int32)
-    tv[1, :] = np.int64(s).astype(np.int32)
+    s = (1 << width) // (4 * m)          # < 2^(width-2): fits the carrier
+    dt = np.int32 if width == 32 else np.int64
+    tv = np.zeros((2, N), dt)
+    tv[1, :] = np.int64(s).astype(dt)
     return tv
 
 
@@ -278,12 +281,13 @@ def factor_lut(lut, message_modulus: int):
         raise ValueError("multi-value factoring needs a trivial (a=0) LUT")
     if m & (m - 1) or not 1 <= m <= (1 << 30):
         raise ValueError(f"multi-value LUT needs power-of-two modulus, got {m}")
-    tv = np.ascontiguousarray(tv, np.int32)
-    return _factor_lut_cached(tv[1].tobytes(), tv.shape[1], m)
+    width = 64 if np.asarray(tv).dtype == np.int64 else 32
+    tv = np.ascontiguousarray(tv, np.int32 if width == 32 else np.int64)
+    return _factor_lut_cached(tv[1].tobytes(), tv.shape[1], m, width)
 
 
 @functools.lru_cache(maxsize=1024)
-def _factor_lut_cached(b_bytes: bytes, N: int, m: int):
+def _factor_lut_cached(b_bytes: bytes, N: int, m: int, width: int = 32):
     """factor_lut's host-side factorization + O(nnz*N) exactness check,
     cached on the table bytes so repeated traces (e.g. every radix_add /
     digit_mul specialization calling bootstrap_multi_lut) pay it once.
@@ -300,22 +304,44 @@ def _factor_lut_cached(b_bytes: bytes, N: int, m: int):
          c_0 = g_0 + g_{N-1} (mod 4m).  Larger ||q||_1 (<= ~2m per
          boundary), used only when (1)'s verification fails.
     """
-    b = np.frombuffer(b_bytes, np.int32).astype(np.int64) & 0xFFFFFFFF
-    # d = (1 - X) * tv  (negacyclic): d_0 = tv_0 + tv_{N-1}, d_j = tv_j - tv_{j-1}
-    d = np.empty(N, np.int64)
-    d[0] = b[0] + b[N - 1]
-    d[1:] = b[1:] - b[:-1]
-    d &= 0xFFFFFFFF
-    delta = (1 << 32) // (2 * m)                     # = 2s
-    if np.any(d % delta):
-        raise ValueError(
-            "LUT values are not on the 1/(2m) encode grid; only "
-            "generate_lookup_table outputs (power-of-two m) factor")
-    s = delta // 2
-    ones = np.full(N, s, np.int64)
+    if width == 64:
+        # same algebra mod 2^64 on uint64 wrap (numpy uint64 add/sub/mul
+        # wrap exactly; quotients and coefficients stay small)
+        b = np.frombuffer(b_bytes, np.int64).view(np.uint64)
+        d = np.empty(N, np.uint64)
+        d[0] = b[0] + b[N - 1]
+        d[1:] = b[1:] - b[:-1]
+        delta = np.uint64((1 << 64) // (2 * m))
+        if np.any(d % delta):
+            raise ValueError(
+                "LUT values are not on the 1/(2m) encode grid; only "
+                "generate_lookup_table outputs (power-of-two m) factor")
+        s = np.uint64(int(delta) // 2)
+        ones = np.full(N, s, np.uint64)
+    else:
+        b = np.frombuffer(b_bytes, np.int32).astype(np.int64) & 0xFFFFFFFF
+        # d = (1-X)*tv (negacyclic): d_0 = tv_0 + tv_{N-1}, d_j = tv_j - tv_{j-1}
+        d = np.empty(N, np.int64)
+        d[0] = b[0] + b[N - 1]
+        d[1:] = b[1:] - b[:-1]
+        d &= 0xFFFFFFFF
+        delta = (1 << 32) // (2 * m)                 # = 2s
+        if np.any(d % delta):
+            raise ValueError(
+                "LUT values are not on the 1/(2m) encode grid; only "
+                "generate_lookup_table outputs (power-of-two m) factor")
+        s = delta // 2
+        ones = np.full(N, s, np.int64)
 
     def _verify(offsets, coeffs):
-        # exact check: T0 * q == tv (schoolbook negacyclic, mod 2^32)
+        # exact check: T0 * q == tv (schoolbook negacyclic, mod 2^width)
+        if width == 64:
+            recon = np.zeros(N, np.uint64)
+            for j, cj in zip(offsets, coeffs):
+                rot = (np.concatenate([np.uint64(0) - ones[N - j:],
+                                       ones[:N - j]]) if j else ones)
+                recon += np.uint64(cj % (1 << 64)) * rot
+            return not np.any(recon - b)
         recon = np.zeros(N, np.int64)
         for j, cj in zip(offsets, coeffs):
             rot = np.concatenate([-ones[N - j:], ones[:N - j]]) if j else ones
@@ -330,7 +356,7 @@ def _factor_lut_cached(b_bytes: bytes, N: int, m: int):
     c = np.where(c >= m, c - 2 * m, c)               # centered lift
     offsets, coeffs = _pack(c)
     if not _verify(offsets, coeffs):
-        g = b // delta                               # canonical lifts [0, 2m)
+        g = (b // delta).astype(np.int64)            # canonical lifts [0, 2m)
         c2 = np.empty(N, np.int64)
         c2[1:] = g[1:] - g[:-1]
         c2[0] = g[0] + g[N - 1]
@@ -350,7 +376,7 @@ def apply_factored(acc, offsets, coeffs):
     out = None
     for j, c in zip(offsets, coeffs):
         term = negacyclic_rotate(acc, j) if j else acc
-        term = term * jnp.int32(c)
+        term = term * jnp.asarray(c, acc.dtype)
         out = term if out is None else out + term
     if out is None:                                   # q == 0: the zero LUT
         out = jnp.zeros_like(acc)
@@ -614,7 +640,8 @@ def bootstrap_multi_lut(ct_batch, luts, message_modulus: int, ck: CloudKey):
 
     params = ck.params
     factored = [factor_lut(t, message_modulus) for t in luts]
-    base = jnp.asarray(multi_lut_base(message_modulus, params.N))
+    base = jnp.asarray(multi_lut_base(message_modulus, params.N,
+                                      params.torus_bits))
     acc = blind_rotate(ct_batch, base, ck, params)          # [B, 2, N]
     outs = jnp.stack([apply_factored(acc, o, c) for o, c, _ in factored])
     K, B = outs.shape[0], outs.shape[1]

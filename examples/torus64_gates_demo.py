@@ -77,6 +77,16 @@ def main():
          (xor == [False, True, True, False]).all()
     print(f"both truth tables {'EXACT' if ok else 'WRONG'} in {dt:.1f}s")
 
+    # the integer layer rides the same engine (multi-value bootstraps
+    # included): encrypted arithmetic on the 64-bit variant
+    from zig_tfhe_tpu.models.integer import FheUint, decrypt_radix
+    xi = FheUint.encrypt(jax.random.key(5), 45, 2, sk, ck)
+    yi = FheUint.encrypt(jax.random.key(6), 23, 2, sk, ck)
+    prod = decrypt_radix((xi * yi).digits, sk.key_lv0)
+    print(f"\nFheUint on the 64-bit set: 45 * 23 = {prod} "
+          f"({'EXACT' if prod == 1035 else 'WRONG'})")
+    ok = ok and prod == 1035
+
     # what the 64-bit torus buys (docs/TORUS64.md §2)
     print("\nnoise headroom vs the 32-bit ceiling:")
     print("  decrypt margin (1/16 torus):  2^28 (u32)  ->  2^60 (u64)")

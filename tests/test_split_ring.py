@@ -194,17 +194,23 @@ def test_gate_truth_tables_split(sk, ck):
         np.testing.assert_array_equal(dec, want), gate
 
 
-def test_gate_truth_tables_split_group3(sk):
-    """group=3 (7-subset DP, ragged n0=8 -> G=3 with one zero pad bit)
-    stays exact — the pair-representation combiner is generic in g."""
-    ck3 = K.CloudKey.generate(jax.random.key(12), sk, PS, group=3)
-    assert ck3.bsk_group == 3
-    assert ck3.bsk_ntt.shape == (3, 7, 5, 8, 4, PS.N // 2)
+@pytest.mark.parametrize("group,shape", [
+    (3, (3, 7)),       # ragged n0=8 -> G=3 with one zero pad bit
+    (4, (2, 15)),      # 15-subset DP
+])
+def test_gate_truth_tables_split_multibit(sk, group, shape):
+    """Higher multi-bit groups stay exact — the pair-representation
+    combiner is generic in g (the subset DP and the Hoeffding plan bound
+    both scale; groups 3/4 still ride the five-prime plan at drop 12)."""
+    ckg = K.CloudKey.generate(jax.random.key(12 + group), sk, PS,
+                              group=group)
+    assert ckg.bsk_group == group
+    assert ckg.bsk_ntt.shape == shape + (5, 8, 4, PS.N // 2)
     a = jnp.array([0, 1], bool)
     b = jnp.array([1, 1], bool)
     ca = tlwe.encrypt_bool(jax.random.key(1), a, 0.0, sk.key_lv0, width=64)
     cb = tlwe.encrypt_bool(jax.random.key(2), b, 0.0, sk.key_lv0, width=64)
-    dec = np.asarray(tlwe.decrypt_bool(G.nand(ca, cb, ck3), sk.key_lv0))
+    dec = np.asarray(tlwe.decrypt_bool(G.nand(ca, cb, ckg), sk.key_lv0))
     np.testing.assert_array_equal(dec, [True, False])
 
 

@@ -55,26 +55,17 @@ def key_switch_matmul(ct, ksk1, basebit: int, t: int, width: int = 32):
           key_from[i] * 2^(width-(j+1)*basebit) under key_to.
     Returns carrier [..., n_to+1].
 
-    width=32 runs the int8-limb MXU form (small_matmul_torus); width=64
-    contracts digits against the int64 KSK directly (two's-complement
-    wrap is exact mod 2^64) — spike-grade: an int8-limb form over 8 key
-    limbs is the TPU-optimized variant when a 64-bit production path
-    lands (docs/TORUS64.md).
+    Both widths run the int8-limb MXU form (small_matmul_torus): width=64
+    contracts the digits against 8 int8 key limbs and combines mod 2^64
+    (the axon TPU backend has no s64 dot_general; digit partials stay
+    far inside int32 — poly.py documents the overflow contract).
     """
     n_from = ct.shape[-1] - 1
     half_base = 1 << (basebit - 1)
     digits = ks_decompose(ct[..., :n_from], basebit, t,
                           width)                          # [..., n_from, t]
     d = digits.reshape(digits.shape[:-2] + (n_from * t,))
-    if width == 64:
-        import jax
-
-        sub = jax.lax.dot_general(
-            d.astype(jnp.int64), ksk1,
-            dimension_numbers=(((d.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int64)
-    else:
-        sub = small_matmul_torus(d, ksk1, half_base)      # [..., n_to+1]
+    sub = small_matmul_torus(d, ksk1, half_base, width)   # [..., n_to+1]
     n_to = ksk1.shape[-1] - 1
     out = -sub
     out = out.at[..., n_to].add(ct[..., n_from])

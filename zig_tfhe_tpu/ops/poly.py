@@ -96,26 +96,32 @@ def matmul_i8(a_i8, b_i8):
     )
 
 
-def small_matmul_torus(small, torus_mat, small_bound: int):
-    """Exact ``small @ torus_mat`` mod 2^32 via int8 limb matmuls.
+def small_matmul_torus(small, torus_mat, small_bound: int, width: int = 32):
+    """Exact ``small @ torus_mat`` mod 2^width via int8 limb matmuls.
 
-    small:     int32 [..., K] with |values| <= small_bound
-    torus_mat: int32 [K, M] full-range torus values
-    Returns int32 [..., M], exact mod 2^32.
+    small:     carrier [..., K] with |values| <= small_bound
+    torus_mat: carrier [K, M] full-range torus values at ``width``
+    Returns carrier [..., M], exact mod 2^width.
+
+    Overflow contract: each int8 x int8 partial accumulates in int32, so
+    K * min(small_bound, 127) * 127 must stay < 2^31 — true for every
+    key-switch shape in-tree (worst: K = N1*iks_t = 12288 at 127-bound
+    digit limbs -> 2e8).  width=64 uses 8 key limbs (the axon TPU backend
+    has no s64 dot_general, so this IS the 64-bit contraction path).
     """
     n_dl = _limb_count_for_bound(small_bound)
-    n_kl = 4
+    n_kl = width // 8
     d_limbs = i32_to_i8_limbs(small, n_dl)      # [..., K, n_dl]
     k_limbs = i32_to_i8_limbs(torus_mat, n_kl)  # [K, M, n_kl]
     parts, shifts = [], []
     for dl in range(n_dl):
         for kl in range(n_kl):
             sh = 8 * (dl + kl)
-            if sh >= 32:
-                continue  # vanishes mod 2^32
+            if sh >= width:
+                continue  # vanishes mod 2^width
             parts.append(matmul_i8(d_limbs[..., dl], k_limbs[..., kl]))
             shifts.append(sh)
-    return i8_limbs_combine(parts, shifts)
+    return i8_limbs_combine(parts, shifts, width)
 
 
 def negacyclic_polymul(a, b, a_bound: int):
@@ -131,14 +137,22 @@ def negacyclic_polymul(a, b, a_bound: int):
 
 
 def negacyclic_polymul_binary(a_torus, s_binary):
-    """Exact a * s for binary s in {0,1}: plain carrier-width matmul.
+    """Exact a * s for binary s in {0,1}.
 
-    Products are a*1 or 0, so multiply-accumulate at the carrier width with
-    natural two's-complement wrap is exact mod 2^width — no limb split
-    needed.  Used by encrypt/decrypt where the second operand is a secret
-    key polynomial (trlwe.zig:54-60); int64 carriers (the 64-bit-torus
-    pipeline) accumulate in int64 the same way.
+    int32 carriers: products are a*1 or 0, so multiply-accumulate at the
+    carrier width with natural two's-complement wrap is exact mod 2^32 —
+    one plain matmul.  int64 carriers (the 64-bit-torus pipeline) instead
+    split ``a`` into 8 int8 limbs and contract each against the {0,1,-1}
+    Toeplitz in int32 (|partial| <= 127*N < 2^31), combining mod 2^64 —
+    the axon TPU backend supports s64 elementwise ops but not s64
+    dot_general.  Used by encrypt/decrypt where the second operand is a
+    secret key polynomial (trlwe.zig:54-60).
     """
+    if a_torus.dtype == jnp.int64:
+        T8 = toeplitz(s_binary.astype(jnp.int8))        # {0, 1, -1}
+        a_limbs = i32_to_i8_limbs(a_torus, 8)           # [..., N, 8]
+        parts = [matmul_i8(a_limbs[..., l], T8) for l in range(8)]
+        return i8_limbs_combine(parts, [8 * l for l in range(8)], 64)
     T = toeplitz(s_binary.astype(a_torus.dtype))  # entries in {0, 1, -1}
     return jax.lax.dot_general(
         a_torus, T,

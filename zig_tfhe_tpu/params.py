@@ -272,18 +272,31 @@ TEST_TINY_SPLIT = _sp("tiny_split", 0,
                       "parameters",
                       8, 0.0, 0.0, 11, 8, 2, 4, 6, N=2048, torus_bits=64)
 
-# DRAFT 128-bit N=2048/64-bit-torus candidate (docs/TORUS64.md §6): the
-# alphas track public Q=2^64 corpora (tfhe-rs shortint-family glwe_std ~
-# 2^-51.5 at k=1/N=2048, lwe_std ~ 2^-14.5 at n~900) but NO lattice-
-# estimator pass has pinned them (zero network egress here), so the
-# security claim is explicitly DEFERRED: security_bits=0 and the DRAFT_
-# name keep it out of anyone's production path while making the split
-# engine runnable at real scale.  Not in ALL_PARAMS.
-DRAFT_SECURITY_128_BIT_T64 = _sp(
-    "draft128_t64", 0,
-    "DRAFT 128-bit-target N=2048 64-bit-torus parameters (estimator pass "
-    "pending — security claim deferred, docs/TORUS64.md §6)",
-    900, 2 ** -14.5, 2 ** -51.5, 11, 8, 2, 4, 6, N=2048, torus_bits=64)
+# 128-bit N=2048/64-bit-torus set (docs/TORUS64.md §6, docs/SECURITY.md),
+# pinned by the in-tree primal-uSVP estimator (utils/security.py) under
+# the ecosystem-standard sieve gate-count model: lv0 (n=768, sigma 2^-17)
+# -> 139.4 gate bits (109.5 core-SVP classical), lv1 (N=2048, k=1, sigma
+# 2^-49) -> 137.0 gate bits (105.7 core-SVP) — both >= 128 with ~10 bits
+# of model margin, and both strictly dominate the audited public tfhe-rs
+# Q=2^64 corpus point (n=742 @ 2^-17.1 lwe / N=2048 @ 2^-51.5 glwe: more
+# dimension AND more noise on each level).  Noise budget at bg8/(2,2),
+# basebit4/iks_t6 (all torus-relative): KS 2^-9.0, modswitch 2^-9.1,
+# BSK accumulation 2^-24, gadget truncation 2^-12.4 -> total pre-rotation
+# sigma ~2^-8.2 vs the 1/16 gate margin = ~18 sigma.  The in-tree
+# estimator models the primal attack only (no hybrid) — see
+# docs/SECURITY.md for scope.  Runs on the even/odd split-ring engine
+# (ops/split_ring.py); requires jax_enable_x64.  Not in ALL_PARAMS (the
+# reference-parity tuple).
+SECURITY_128_BIT_T64 = _sp(
+    "128bit_t64", 128,
+    "128-bit N=2048 64-bit-torus parameters (in-tree gate-model estimate "
+    "139/137 bits, docs/SECURITY.md)",
+    768, 2 ** -17.0, 2 ** -49.0, 11, 8, 2, 4, 6, N=2048, torus_bits=64)
+
+# Backwards-compatible alias: the round-4 spike shipped this set under a
+# DRAFT_ name with corpus-tracked alphas and the claim deferred; the
+# in-tree estimator (landed later the same round) retuned and pinned it.
+DRAFT_SECURITY_128_BIT_T64 = SECURITY_128_BIT_T64
 
 # Tiny multi-bit (Uint-style) test set: N=256 supports message modulus up to
 # 16 with modswitch error (n0+1)/(4N) = 9/1024 < 1/(2*16); bgbit=11 forces
@@ -301,7 +314,8 @@ ALL_PARAMS = (
 
 PARAMS_BY_NAME = {p.name: p for p in ALL_PARAMS
                   + (TEST_TINY, TEST_TINY_UINT, TEST_TINY64,
-                     TEST_TINY_SPLIT, DRAFT_SECURITY_128_BIT_T64)}
+                     TEST_TINY_SPLIT, SECURITY_128_BIT_T64)}
+PARAMS_BY_NAME["draft128_t64"] = SECURITY_128_BIT_T64  # round-4 spike name
 
 
 def security_info(params: SecurityParams) -> str:

@@ -25,7 +25,18 @@ BOOL_MU = 0.125  # tlwe.zig:53
 
 def _inner_product_binary(a, s):
     """<a, s> mod 2^width for binary s: carrier-width multiply-accumulate
-    is exact (products are a*1 or 0; two's-complement wrap)."""
+    is exact (products are a*1 or 0; two's-complement wrap).  int64
+    carriers contract via 8 int8 limbs (|partial| <= 127*n < 2^31): the
+    axon TPU backend has no s64 dot_general (ops/poly.py:small_matmul_torus
+    documents the same contract)."""
+    if a.dtype == jnp.int64:
+        from zig_tfhe_tpu.utils.torus import i32_to_i8_limbs, i8_limbs_combine
+        from zig_tfhe_tpu.ops.poly import matmul_i8
+
+        a_limbs = i32_to_i8_limbs(a, 8)                  # [..., n, 8]
+        s8 = s.astype(jnp.int8)[:, None]                 # [n, 1]
+        parts = [matmul_i8(a_limbs[..., l], s8)[..., 0] for l in range(8)]
+        return i8_limbs_combine(parts, [8 * l for l in range(8)], 64)
     return jax.lax.dot_general(
         a, s.astype(a.dtype),
         dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),

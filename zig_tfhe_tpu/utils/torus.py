@@ -166,15 +166,22 @@ def i32_to_i8_limbs(x, n_limbs: int = 4):
     return jnp.stack(limbs, axis=-1)
 
 
-def i8_limbs_combine(parts, shifts):
-    """Combine int32 partial results: sum_i parts[i] << shifts[i] (mod 2^32).
+def i8_limbs_combine(parts, shifts, width: int = 32):
+    """Combine int32 partial results: sum_i parts[i] << shifts[i]
+    (mod 2^width).
 
-    Shifts >= 32 contribute nothing mod 2^32 and must be filtered by the
-    caller (we assert here to catch waste).
+    Shifts >= width contribute nothing mod 2^width and must be filtered by
+    the caller (we assert here to catch waste).  width=64 lifts the int32
+    partials onto int64 carriers before shifting (elementwise — the axon
+    TPU backend supports s64 elementwise ops but not s64 dot_general, so
+    every 64-bit contraction routes through int8-limb matmuls + this
+    combine; see ops/poly.py:small_matmul_torus).
     """
+    dtype = carrier_dtype(width)
     out = None
     for p, s in zip(parts, shifts):
-        assert s < 32, "shift >= 32 is a wasted matmul pass"
-        term = jax.lax.shift_left(p, jnp.int32(s)) if s else p
+        assert s < width, f"shift >= {width} is a wasted matmul pass"
+        p = p.astype(dtype)
+        term = jax.lax.shift_left(p, jnp.asarray(s, dtype)) if s else p
         out = term if out is None else out + term
     return out

@@ -197,13 +197,16 @@ class Generator:
         return self.encoder.message_modulus
 
 
-def encrypt_message(key, message, message_modulus: int, alpha: float, sk):
-    """Batched PBS-codec encrypt (tlwe.zig:74-88)."""
-    return _tlwe.encrypt_message(key, message, message_modulus, alpha, sk)
+def encrypt_message(key, message, message_modulus: int, alpha: float, sk,
+                    width: int = 32):
+    """Batched PBS-codec encrypt (tlwe.zig:74-88).  width=64 for the
+    64-bit-torus sets (params.torus_bits)."""
+    return _tlwe.encrypt_message(key, message, message_modulus, alpha, sk,
+                                 width)
 
 
-def decrypt_message(ct, message_modulus: int, sk):
-    return _tlwe.decrypt_message(ct, message_modulus, sk)
+def decrypt_message(ct, message_modulus: int, sk, width: int = 32):
+    return _tlwe.decrypt_message(ct, message_modulus, sk, width)
 
 
 def bootstrap_lut(ct_batch, lut, ck: CloudKey):

@@ -80,12 +80,14 @@ def main():
         ts.append(time.time() - t0)
     dt = float(np.median(ts))
     per_s = B / dt
-    # cost model: one eval = 1 + F = 3 blind-rotation lanes (multi-value
-    # mid layer + a 2-family select) plus 2*m_hi factored multiplications
-    # and the packing matmul; a single-shot (29%-accurate) bootstrap is
-    # 1 lane
+    # cost model: one eval = 1 multi-value mid rotation + the select
+    # lanes, plus 2*m_hi factored multiplications and the packing matmul.
+    # For m <= 128 the two select families interleave into ONE rotation
+    # (models/lut.py: 2*n_blocks*64 <= N) -> 1+1 lanes; m = 256 stays
+    # 1+2 (margin-blocked at m_hi=16 on N=1024).  A single-shot
+    # (29%-accurate at uint8) bootstrap is 1 lane.
     m_hi = m // 16
-    lanes = 3
+    lanes = 2 if 2 * m_hi * 64 <= params.N else 3
     print(f"# {dt*1e3:.0f} ms/batch of {B} ({dt/B*1e3:.1f} ms/eval, "
           f"{lanes} rotation lanes + {2*m_hi} factored muls/eval)",
           file=sys.stderr)

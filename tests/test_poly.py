@@ -91,3 +91,53 @@ def test_toeplitz_structure(rng):
         for n in range(N):
             exp = p[n - k] if n - k >= 0 else np.int32(0) - p[n - k + N]
             assert T[k, n] == np.int32(exp)
+
+
+# ---------------------------------------------------------------------------
+# width-64 limb-contraction paths (the axon TPU backend has no s64
+# dot_general — ops/poly.py routes every int64 contraction through int8
+# limb matmuls; these oracles pin exactness mod 2^64)
+# ---------------------------------------------------------------------------
+
+
+def _naive_matmul_mod(a, b, width):
+    mask = (1 << width) - 1
+    out = (a.astype(object) @ b.astype(object))
+    wrap = np.vectorize(lambda v: int(v) & mask, otypes=[object])
+    out = wrap(out)
+    sdt = np.int32 if width == 32 else np.int64
+    to_signed = np.vectorize(
+        lambda v: v - (1 << width) if v >= (1 << (width - 1)) else v,
+        otypes=[object])
+    return to_signed(out).astype(sdt)
+
+
+def test_small_matmul_torus_width64_exact(rng):
+    K, M = 37, 11
+    small = rng.integers(-8, 8, (3, K)).astype(np.int64)
+    mat = rng.integers(-2 ** 63, 2 ** 63, (K, M)).astype(np.int64)
+    got = np.asarray(poly.small_matmul_torus(
+        jnp.asarray(small), jnp.asarray(mat), 8, width=64))
+    assert got.dtype == np.int64
+    assert np.array_equal(got, _naive_matmul_mod(small, mat, 64))
+
+
+def test_polymul_binary_int64_exact(rng):
+    N = 32
+    a = rng.integers(-2 ** 63, 2 ** 63, (2, N)).astype(np.int64)
+    s = rng.integers(0, 2, N).astype(np.int64)
+    got = np.asarray(poly.negacyclic_polymul_binary(
+        jnp.asarray(a), jnp.asarray(s)))
+    T = np.asarray(poly.toeplitz(jnp.asarray(s)))  # {0, 1, -1} int64
+    assert np.array_equal(got, _naive_matmul_mod(a, T, 64))
+
+
+def test_inner_product_binary_int64_exact(rng):
+    from zig_tfhe_tpu.tlwe import _inner_product_binary
+
+    n = 53
+    a = rng.integers(-2 ** 63, 2 ** 63, (4, n)).astype(np.int64)
+    s = rng.integers(0, 2, n).astype(np.int64)
+    got = np.asarray(_inner_product_binary(jnp.asarray(a), jnp.asarray(s)))
+    exp = _naive_matmul_mod(a, s[:, None], 64)[:, 0]
+    assert np.array_equal(got, exp)

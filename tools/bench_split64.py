@@ -93,7 +93,9 @@ def main():
 
     t0 = time.time()
     sk = K.SecretKey.generate(jax.random.key(0), params)
-    ck = K.CloudKey.generate(jax.random.key(1), sk, params)
+    group = os.environ.get("BENCH_GROUP")      # default: per-set (2)
+    ck = K.CloudKey.generate(jax.random.key(1), sk, params,
+                             group=int(group) if group else None)
     jax.block_until_ready(ck.bsk_ntt)
     print(f"[split64] keygen {time.time() - t0:.1f}s "
           f"bsk {ck.bsk_ntt.shape} {ck.bsk_ntt.nbytes / 1e6:.0f} MB",

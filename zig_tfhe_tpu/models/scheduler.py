@@ -264,9 +264,72 @@ def _pack_level(lvl: np.ndarray, trash: int) -> dict:
     return out
 
 
+_EMPTY_I32 = np.zeros(0, np.int32)
+
+
+def _chunk_level(g: dict, B: int) -> list[dict]:
+    """Split one packed level into knee-sized dispatch chunks.
+
+    Gates and MUXes within a level are independent, so any partition is
+    valid; the bootstrap-free groups (not/copy/const) ride the first
+    chunk.  Chunk width is pow2 (so it divides every pow2-padded group
+    width) and targets _level_chunk_lanes() total rotation lanes at
+    batch B — every blind rotation then runs at the measured
+    peak-throughput batch instead of one past-the-knee giant.
+    """
+    chunk = _level_chunk_lanes()
+    if not chunk:
+        return [g]
+    chunk_k = _pad_pow2(max(1, chunk // B))
+    if chunk_k * B > chunk:
+        chunk_k //= 2
+    chunk_k = max(1, chunk_k)
+    two_k, mux_k = g["two"][0].shape[0], g["mux"][0].shape[0]
+    if two_k <= chunk_k and mux_k <= chunk_k:
+        return [g]
+    base = {"two": tuple(a[:0] for a in g["two"]),
+            "mux": tuple(a[:0] for a in g["mux"]),
+            "not": (_EMPTY_I32, _EMPTY_I32), "copy": (_EMPTY_I32, _EMPTY_I32),
+            "c0": (_EMPTY_I32,), "c1": (_EMPTY_I32,)}
+    chunks = []
+    for i in range(0, max(two_k, chunk_k), chunk_k):
+        if i >= two_k:
+            break
+        c = dict(base)
+        c["two"] = tuple(a[i:i + chunk_k] for a in g["two"])
+        chunks.append(c)
+    for i in range(0, max(mux_k, chunk_k), chunk_k):
+        if i >= mux_k:
+            break
+        c = dict(base)
+        c["mux"] = tuple(a[i:i + chunk_k] for a in g["mux"])
+        chunks.append(c)
+    if not chunks:
+        chunks.append(dict(base))
+    for name in ("not", "copy", "c0", "c1"):
+        chunks[0][name] = g[name]
+    return chunks
+
+
+def _level_chunk_lanes() -> int:
+    """Blind-rotation lanes per dispatch (env knob ZTFHE_LEVEL_CHUNK,
+    read when the plan's levels are packed; 0 disables chunking).
+
+    The gate path's measured throughput knee is ~2048 lanes (ROADMAP
+    round-3 sweep: 2048 -> 6008 BR/s but 3072 -> 4850 and falling);
+    wide circuit levels (k * B lanes — a 4097-gate level pads to 8192,
+    x B clients) would otherwise run one giant rotation deep past the
+    knee: the Bristol 64x64 bench measured B=8 SLOWER in aggregate than
+    B=1 (2,356 vs 3,261 gates/s) before chunking.  Chunks dispatch as
+    separate _run_level calls so each compiled graph stays one-rotation
+    sized and the compile cache is shared across chunks and levels.
+    """
+    return int(os.environ.get("ZTFHE_LEVEL_CHUNK", "2048"))
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _run_level(arena, ck, two, mux, nots, copies, c0, c1):
-    """One circuit level as ONE jitted dispatch over the slot arena.
+    """One level chunk as ONE jitted dispatch over the slot arena.
 
     arena: int32 [n_slots+1, B, n0+1] (donated; last row is trash).
     Lane groups are the padded index tuples from _pack_level.  Group
@@ -311,13 +374,16 @@ def evaluate(plan: Plan, input_cts, ck: CloudKey):
     throughput curve instead of the circuit's own width).
     Returns int32 [n_outputs, n0+1] (or [n_outputs, B, n0+1]).
 
-    Each level runs as ONE jitted dispatch (_run_level): its two-input
-    gates as one apply_gates batch, MUX lanes as one batched 2-rotation
-    MUX, NOT/COPY/CONST as vector ops — all padded to powers of two so
-    compiles are shared across levels with equal signatures.  One
-    dispatch per level matters in remote-device setups where per-dispatch
-    latency dominates eager execution (the round-4 fix that took the
-    Bristol 64x64 multiplier from ~10 s/level eager to ms-scale).
+    Each level runs as a handful of jitted dispatches (_run_level): its
+    two-input gates as apply_gates batches, MUX lanes as batched
+    2-rotation MUXes, NOT/COPY/CONST as vector ops — padded to powers of
+    two so compiles are shared across levels with equal signatures, and
+    chunked to the measured ~2048-lane throughput knee (_chunk_level;
+    ZTFHE_LEVEL_CHUNK overrides) so wide levels and client batches never
+    run one giant past-the-knee rotation.  Batched dispatch matters in
+    remote-device setups where per-dispatch latency dominates eager
+    execution (the round-4 fix that took the Bristol 64x64 multiplier
+    from ~10 s/level eager to ms-scale).
     """
     n0 = ck.params.n0
     input_cts = jnp.asarray(input_cts)
@@ -331,15 +397,15 @@ def evaluate(plan: Plan, input_cts, ck: CloudKey):
     arena = arena.at[jnp.asarray(plan.input_slots)].set(input_cts)
 
     for lvl in plan.levels:
-        g = _pack_level(lvl, trash)
-        arena = _run_level(
-            arena, ck,
-            tuple(jnp.asarray(a) for a in g["two"]),
-            tuple(jnp.asarray(a) for a in g["mux"]),
-            tuple(jnp.asarray(a) for a in g["not"]),
-            tuple(jnp.asarray(a) for a in g["copy"]),
-            tuple(jnp.asarray(a) for a in g["c0"]),
-            tuple(jnp.asarray(a) for a in g["c1"]))
+        for g in _chunk_level(_pack_level(lvl, trash), B):
+            arena = _run_level(
+                arena, ck,
+                tuple(jnp.asarray(a) for a in g["two"]),
+                tuple(jnp.asarray(a) for a in g["mux"]),
+                tuple(jnp.asarray(a) for a in g["not"]),
+                tuple(jnp.asarray(a) for a in g["copy"]),
+                tuple(jnp.asarray(a) for a in g["c0"]),
+                tuple(jnp.asarray(a) for a in g["c1"]))
 
     outs = arena[jnp.asarray(plan.output_slots)]
     return outs if batched else outs[:, 0]

@@ -296,3 +296,33 @@ def test_bristol_multiplier_netlist_encrypted(tiny, tiny_sk, tiny_ck):
     dec = np.asarray(tlwe.decrypt_bool(out, tiny_sk.key_lv0))
     got = sum(int(v) << i for i, v in enumerate(dec))
     assert got == a * b, got
+
+
+def test_chunked_levels_match_unchunked(tiny, tiny_sk, tiny_ck, monkeypatch):
+    """Knee chunking (_chunk_level) is a pure dispatch partition: forcing
+    tiny chunks (several dispatches per level, B > chunk) must decrypt
+    identically to the unchunked evaluation.  Guards the round-4 fix for
+    wide levels running one giant past-the-knee rotation (ROADMAP)."""
+    from zig_tfhe_tpu.models.netlists import bristol_multiplier
+
+    plan = S.parse_bristol(bristol_multiplier(4))
+    rng = np.random.default_rng(5)
+    B = 3
+    vals = rng.integers(0, 16, (2, B))
+    bits = np.zeros((8, B), bool)
+    for j in range(B):
+        for i in range(4):
+            bits[i, j] = (vals[0, j] >> i) & 1
+            bits[4 + i, j] = (vals[1, j] >> i) & 1
+    cts = tlwe.encrypt_bool(jax.random.key(9), jnp.asarray(bits), 0.0,
+                            tiny_sk.key_lv0)
+    monkeypatch.setenv("ZTFHE_LEVEL_CHUNK", "0")
+    ref = np.asarray(tlwe.decrypt_bool(
+        S.evaluate(plan, cts, tiny_ck), tiny_sk.key_lv0))
+    monkeypatch.setenv("ZTFHE_LEVEL_CHUNK", "4")
+    got = np.asarray(tlwe.decrypt_bool(
+        S.evaluate(plan, cts, tiny_ck), tiny_sk.key_lv0))
+    assert np.array_equal(ref, got)
+    for j in range(B):
+        prod = sum(int(got[i, j]) << i for i in range(8))
+        assert prod == vals[0, j] * vals[1, j], j

@@ -133,7 +133,8 @@ def main():
         times.append(time.time() - t0)
     dt = min(times)
     gps = B / dt
-    ms_step = dt / params.n0 * 1e3
+    steps = -(-params.n0 // ck.bsk_group)    # scan steps (group-g folds g)
+    ms_step = dt / steps * 1e3
     print(f"[split64] {dt * 1e3:.1f} ms/batch, {ms_step:.3f} ms/step, "
           f"{gps:.1f} gates/s", file=sys.stderr)
     print(json.dumps({

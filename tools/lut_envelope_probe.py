@@ -53,7 +53,18 @@ def main():
         "BENCH_MS", "4,8,16,32").split(",")]
 
     sk = K.SecretKey.generate(jax.random.key(0), params)
-    ck = K.CloudKey.generate(jax.random.key(1), sk, params)
+    # optional key-config knobs: a finer engine gadget trades rotation
+    # rows for a smaller key-amplified a-truncation term (the dominant
+    # noise at the sets' defaults — docs/SECURITY.md "envelope")
+    kw = {}
+    if os.environ.get("BENCH_GROUP"):
+        kw["group"] = int(os.environ["BENCH_GROUP"])
+    if os.environ.get("BENCH_LEVELS"):
+        la, lb = (int(x) for x in os.environ["BENCH_LEVELS"].split(","))
+        kw["decomp_levels"] = (la, lb)
+    if os.environ.get("BENCH_BGBIT"):
+        kw["engine_bgbit"] = int(os.environ["BENCH_BGBIT"])
+    ck = K.CloudKey.generate(jax.random.key(1), sk, params, **kw)
     np.asarray(jax.tree_util.tree_leaves(ck)[1].ravel()[:1])
 
     pbs = jax.jit(lambda c, tv, k: L.bootstrap_lut(c, tv, k))

@@ -279,27 +279,29 @@ TEST_TINY_SPLIT = _sp("tiny_split", 0,
 # 2^-49) -> 137.0 gate bits (105.7 core-SVP) — both >= 128 with ~10 bits
 # of model margin, and both strictly dominate the audited public tfhe-rs
 # Q=2^64 corpus point (n=742 @ 2^-17.1 lwe / N=2048 @ 2^-51.5 glwe: more
-# dimension AND more noise on each level).  Noise budget at bg8/(2,2),
-# basebit2/iks_t12 (all torus-relative): KS sqrt(2048*12*1.5)*2^-17 =
-# 2^-9.4, modswitch sqrt(768/12)/4096 = 2^-9.2, BSK accumulation 2^-24,
-# gadget truncation 2^-12.4 -> total sigma ~2^-8.5 vs the 1/16 gate
-# margin = ~23 sigma.  The KS gadget is deliberately fine (basebit 2):
-# the first TPU measurement of this set ran basebit4/iks_t6, whose
-# sigma_KS = sqrt(2048*6*21.5)*2^-17 = 2^-8.0 sits exactly ON the m=64
-# LUT half-bin margin — measured single-shot m=64 accuracy 0.52; the
-# finer gadget costs only KSK rows (off the hot loop) and buys every
-# decode path ~1.4 bits of sigma.  Single-shot m=64 remains modswitch-
-# limited at ~2.7 sigma (docs/TORUS64.md §8) — m<=32 is the solid
-# single-shot envelope; use the radix route above that.  The in-tree
-# estimator models the primal attack only (no hybrid) — see
-# docs/SECURITY.md for scope.  Runs on the even/odd split-ring engine
-# (ops/split_ring.py); requires jax_enable_x64.  Not in ALL_PARAMS (the
-# reference-parity tuple).
+# dimension AND more noise on each level).  Noise budget at the
+# bg8/(3,2) asymmetric gadget, basebit2/iks_t12 (all torus-relative):
+# KS sqrt(2048*12*1.5)*2^-17 = 2^-9.4, modswitch sqrt(768/12)/4096 =
+# 2^-9.2, a-side gadget truncation (key-amplified: rho_a enters as
+# s * rho_a, a sqrt(N/2) x sqrt(steps) amplification) 2^-25 * 18.5 *
+# 19.6 = 2^-16.5, b-side 2^-13.5, BSK accumulation 2^-32 -> total sigma
+# ~2^-8.7 vs the 1/16 gate margin = ~26 sigma.  Both precision gadgets
+# here are measurement-tuned (docs/TORUS64.md §8): the first cut ran
+# basebit4/iks_t6 KS (sigma_KS = 2^-8.0 — ON the m=64 LUT half-bin;
+# measured accuracy 0.52) and an L=2 / (2,2) gadget whose key-amplified
+# a-remainder alone is sigma ~2^-8.2 (measured via the phase probe:
+# no bias, pure noise) — L=3 picks the (3,2) default and removes that
+# term for +25% rotation rows.  Single-shot m=64 remains modswitch-
+# limited at ~2.3 sigma — m<=32 is the solid single-shot envelope; use
+# the radix route above that.  The in-tree estimator models the primal
+# attack only (no hybrid) — see docs/SECURITY.md for scope.  Runs on
+# the even/odd split-ring engine (ops/split_ring.py); requires
+# jax_enable_x64.  Not in ALL_PARAMS (the reference-parity tuple).
 SECURITY_128_BIT_T64 = _sp(
     "128bit_t64", 128,
     "128-bit N=2048 64-bit-torus parameters (in-tree gate-model estimate "
     "139/137 bits, docs/SECURITY.md)",
-    768, 2 ** -17.0, 2 ** -49.0, 11, 8, 2, 2, 12, N=2048, torus_bits=64)
+    768, 2 ** -17.0, 2 ** -49.0, 11, 8, 3, 2, 12, N=2048, torus_bits=64)
 
 # Backwards-compatible alias: the round-4 spike shipped this set under a
 # DRAFT_ name with corpus-tracked alphas and the claim deferred; the

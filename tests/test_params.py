@@ -48,3 +48,23 @@ def test_digit_limbs():
 
 def test_security_info():
     assert "128" in P.security_info(P.SECURITY_128_BIT)
+
+
+def test_t64_set_measurement_tuned_constants():
+    """SECURITY_128_BIT_T64's precision gadgets are MEASUREMENT-tuned
+    (docs/TORUS64.md §8-9): basebit4/iks_t6 KS put sigma_KS exactly on
+    the m=64 half-bin (measured 0.52), and the L=2/(2,2) engine gadget's
+    key-amplified a-truncation alone was sigma 2^-8.2 (measured 0.72).
+    The pinned constants deliver the measured m=4..32 all-exact
+    single-shot envelope — guard them."""
+    from zig_tfhe_tpu.ops import ntt as N
+
+    p = P.SECURITY_128_BIT_T64
+    assert (p.n0, p.N, p.torus_bits) == (768, 2048, 64)
+    assert (p.bgbit, p.L) == (8, 3)
+    assert (p.basebit, p.iks_t) == (2, 12)          # sigma_KS = 2^-9.4
+    assert N.default_engine_gadget(p, 2) == (8, (3, 2))  # a-side 24 bits
+    assert N.default_group(p) == 2
+    assert p.split_ring
+    # the spike-era alias still resolves
+    assert P.PARAMS_BY_NAME["draft128_t64"] is p

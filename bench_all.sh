@@ -7,4 +7,7 @@ echo "== PBS (uint4) ==";          python bench_lut.py
 echo "== proxy re-encryption =="; python bench_pre.py
 echo "== radix PBS (uint8) ==";    python bench_radix.py
 echo "== encrypted integer mul ==";  python bench_integer.py
+echo "== circuit (Bristol 64x64) =="; python bench_circuit.py
+echo "== 64-bit split-ring gates ==";  python tools/bench_split64.py
+echo "== 64-bit LUT envelope ==";    BENCH_PARAMS=128bit_t64 BENCH_MS=4,8,16,32,64 BENCH_BATCH=512 python tools/lut_envelope_probe.py
 echo "== multichip ==";            python bench_multichip.py

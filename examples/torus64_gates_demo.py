@@ -12,9 +12,10 @@ The demo evaluates the NAND/XOR truth tables on a 64-bit N=2048 set and
 prints the noise headroom the wider torus buys.
 
 Usage:
-  python examples/torus64_gates_demo.py [--params tiny_split|draft128_t64]
-  (tiny_split is the fast exact CPU run; draft128_t64 is the real-scale
-  candidate whose security claim awaits a lattice-estimator pass)
+  python examples/torus64_gates_demo.py [--params tiny_split|128bit_t64]
+  (tiny_split is the fast exact CPU run; 128bit_t64 is the real-scale
+  128-bit set, pinned by the in-tree estimator — docs/SECURITY.md; the
+  round-4 spike name draft128_t64 still resolves as an alias)
 """
 
 import argparse
@@ -50,7 +51,7 @@ def main():
     ap.add_argument("--params", default="tiny_split")
     args = ap.parse_args()
     params = P.PARAMS_BY_NAME[args.params]
-    assert params.split_ring, "pick an N=2048 set (tiny_split/draft128_t64)"
+    assert params.split_ring, "pick an N=2048 set (tiny_split/128bit_t64)"
 
     print(f"params: {params.name}  N={params.N}  torus=2^{params.torus_bits}"
           f"  n0={params.n0}  (split-ring engine, group "

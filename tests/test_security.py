@@ -97,3 +97,19 @@ def test_estimate_is_deterministic_and_printable():
     assert a == b
     assert "core-SVP" in str(a) and "lv0" in str(a)
     assert isinstance(a.lv0, LweEstimate)
+
+
+def test_dual_cross_check_within_one_bit_of_primal():
+    """The distinguishing-dual cross-check (estimate_dual_lwe) must land
+    within ~1 bit of primal on every in-tree instance family — the
+    quantified version of the module's scope claim."""
+    from zig_tfhe_tpu.utils.security import estimate_dual_lwe
+
+    for n, q, s in [(1024, 32, 2e-8), (700, 32, 2e-5),
+                    (2048, 64, 2 ** -49), (768, 64, 2 ** -17)]:
+        p = estimate_lwe(n, q, s)
+        d = estimate_dual_lwe(n, q, s)
+        assert abs(p.classical_bits - d.classical_bits) <= 2.0, (n, p, d)
+    # noiseless flag propagates to the dual too
+    nl = estimate_dual_lwe(1024, 32, 2.22e-16)
+    assert nl.noiseless_discretized

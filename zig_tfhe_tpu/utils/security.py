@@ -35,9 +35,11 @@ Standard and the usvp model of the Albrecht–Player–Scott estimator):
     while its core-SVP number is ~99.  Calibration anchor checked in
     tests: Kyber512 -> beta ~400 (NIST round-3 analysis: 403).
 
-Scope and honesty: this is the *primal-uSVP* estimate only.  For the
-binary-secret, q in {2^32, 2^64} shapes used here the public estimator's
-dual and decoding attacks land within a few bits of primal, but hybrid
+Scope and honesty: the headline is the *primal-uSVP* estimate;
+``estimate_dual_lwe`` is the classic distinguishing-dual cross-check,
+which lands within 1 bit of primal on every in-tree shape (asserted in
+tests/test_security.py — e.g. 128bit lv1: primal 96.1 / dual 95.8).
+Refined duals (MATZOV-style FFT + modulus switching) and hybrid
 (combinatorial + lattice) attacks on very sparse secrets are NOT
 modeled; treat the output as the standard headline number, not a
 replacement for a full estimator pass before production deployment.
@@ -173,6 +175,79 @@ def estimate_lwe(n: int, q_bits: int, sigma_rel: float,
         classical_bits=0.292 * beta,
         quantum_bits=0.265 * beta,
         gate_bits=0.292 * beta + 16.4 + math.log2(8 * d),
+    )
+
+
+def estimate_dual_lwe(n: int, q_bits: int, sigma_rel: float,
+                      secret_std: float = 0.5,
+                      beta_max: int = 2000) -> LweEstimate:
+    """Dual-attack core-SVP cross-check (NOT the headline number).
+
+    Classic distinguishing dual on the scaled lattice
+    {(w, v) : A^T w = c v (mod q)} with the Bai–Galbraith balance
+    c = sigma/sigma_s: dim d = m + n, vol (q/c)^n, shortest output
+    length l = delta(beta)^(d-1) * vol^(1/d), per-vector advantage
+    eps = exp(-2 pi^2 (l * sigma_abs / q)^2), amortized over the
+    ~2^(0.2075 beta) vectors one sieve call yields:
+
+        cost_bits = 0.292 beta + max(0, 2 log2(1/eps) - 0.2075 beta)
+
+    This is the simple estimator-style dual (no FFT/modulus-switching
+    refinements a la MATZOV, which shave a few bits); its role here is
+    the documented sanity check that dual lands within a few bits of
+    primal on these shapes (tests/test_security.py asserts it).
+    """
+    if sigma_rel <= 0 or n < 16:
+        return LweEstimate(n, q_bits, max(sigma_rel, 0.0), 0, 0, 0,
+                           0.0, 0.0, 0.0)
+    lg_sigma_abs = math.log2(sigma_rel) + q_bits
+    if lg_sigma_abs < -1.0:
+        return LweEstimate(n, q_bits, sigma_rel, 0, 0, 0, 0.0, 0.0, 0.0,
+                           noiseless_discretized=True)
+    lg_c = max(0.0, lg_sigma_abs - math.log2(secret_std))
+
+    def cost_bits(beta, m):
+        d = m + n
+        lg_vol = n * (q_bits - lg_c)
+        lg_l = (d - 1) * log2_delta(beta) + lg_vol / d
+        lg_tau = lg_l + lg_sigma_abs - q_bits        # l * sigma / q
+        if lg_tau > 3.0:                              # eps ~ 0: hopeless
+            return None
+        # log2(1/eps) = 2 pi^2 tau^2 * log2(e)
+        lg_inv_eps = (2 * math.pi ** 2) * (2.0 ** (2 * lg_tau)) * _LOG2E
+        return 0.292 * beta + max(0.0, 2 * lg_inv_eps - 0.2075 * beta)
+
+    best = None   # (bits, beta, m)
+    for m in range(max(64, n // 2), 3 * n + 1, max(1, n // 16)):
+        lo, hi = 50, beta_max
+        # cost is unimodal-ish in beta; ternary search on integers
+        while hi - lo > 2:
+            m1 = lo + (hi - lo) // 3
+            m2 = hi - (hi - lo) // 3
+            c1, c2 = cost_bits(m1, m), cost_bits(m2, m)
+            if c1 is None:
+                lo = m1 + 1
+                continue
+            if c2 is None or c1 <= c2:
+                hi = m2 - 1
+            else:
+                lo = m1 + 1
+        for beta in range(lo, hi + 1):
+            c = cost_bits(beta, m)
+            if c is not None and (best is None or c < best[0]):
+                best = (c, beta, m)
+    if best is None:
+        d = 2 * n
+        return LweEstimate(n, q_bits, sigma_rel, beta_max, n, d,
+                           0.292 * beta_max, 0.265 * beta_max,
+                           0.292 * beta_max + 16.4 + math.log2(8 * d))
+    bits, beta, m = best
+    d = m + n
+    return LweEstimate(
+        n=n, q_bits=q_bits, sigma_rel=sigma_rel, beta=beta, m=m, d=d,
+        classical_bits=bits,
+        quantum_bits=bits - 0.027 * beta,     # 0.265 vs 0.292 sieve term
+        gate_bits=bits + 16.4 + math.log2(8 * d),
     )
 
 

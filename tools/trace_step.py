@@ -48,6 +48,8 @@ def main():
     from zig_tfhe_tpu.ops.blind_rotate import blind_rotate
 
     params = P.PARAMS_BY_NAME[pname]
+    if params.torus_bits == 64:
+        jax.config.update("jax_enable_x64", True)   # int64 carriers
     bgbit = os.environ.get("BENCH_BGBIT")   # engine-gadget base override
     ck = K.CloudKey.generate_no_ksk(params, group=group, decomp_levels=levels,
                                     engine_bgbit=int(bgbit) if bgbit else None)
@@ -55,8 +57,10 @@ def main():
     ck = dataclasses.replace(
         ck, bsk_ntt=jnp.asarray(
             rng.integers(-30000, 30000, ck.bsk_ntt.shape).astype(np.int16)))
-    tl = jnp.asarray(
-        rng.integers(-2**31, 2**31, (B, params.n0 + 1)).astype(np.int32))
+    w = params.torus_bits
+    tl = jnp.asarray(rng.integers(-2 ** (w - 1), 2 ** (w - 1),
+                                  (B, params.n0 + 1), dtype=np.int64)
+                     .astype(np.int32 if w == 32 else np.int64))
 
     @jax.jit
     def run(tl, ck):

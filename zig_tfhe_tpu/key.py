@@ -239,12 +239,17 @@ class CloudKey:
             plan = _nttmod.plan_for_params(params, ntt_drop, group,
                                            decomp_levels, bgbit=engine_bgbit,
                                            pseudorandom_key=True)
+            if params.split_ring:
+                # folded split layout (ops/split_ring.py:fold_key_split):
+                # row axis (r, q_in) = 2R, plane axis (c, q_out) = 4, Nh
+                tail = (plan.n_primes, 2 * (la + lb), 4, params.N // 2)
+            else:
+                tail = (plan.n_primes, la + lb, 2, params.N)
             if group == 1:
-                shape = (params.n0, plan.n_primes, la + lb, 2, params.N)
+                shape = (params.n0,) + tail
             else:
                 G = -(-params.n0 // group)
-                shape = (G, (1 << group) - 1, plan.n_primes,
-                         la + lb, 2, params.N)
+                shape = (G, (1 << group) - 1) + tail
             bsk_ntt = jnp.zeros(shape, jnp.int16)
         bsk_ext = None
         if "toeplitz" in engines:

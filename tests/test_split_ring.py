@@ -307,3 +307,26 @@ def test_gate_truth_tables_split_group1(sk):
     cb = tlwe.encrypt_bool(jax.random.key(2), b, 0.0, sk.key_lv0, width=64)
     dec = np.asarray(tlwe.decrypt_bool(G.nand(ca, cb, ck1), sk.key_lv0))
     np.testing.assert_array_equal(dec, [True, False])
+
+
+def test_gates_integer_bridge_split(sk, ck):
+    """to_bools/from_bools on the 64-bit split set: the boolbit LUT bank
+    must emit +-1/8 at the 64-BIT codec (the bank builds its raw-torus
+    tables via torus_constant_w; the 32-bit torus_constant would encode
+    2^29-scale constants into int64 tables — a latent width bug fixed in
+    the radix-spec refactor)."""
+    from zig_tfhe_tpu.models.integer import (decrypt_radix, encrypt_radix,
+                                             from_bools, to_bools)
+
+    vals = np.array([45, 7, 63])
+    cts = encrypt_radix(jax.random.key(5), vals, 2, 0.0, sk.key_lv0,
+                        width=64)
+    bits = to_bools(cts, ck)                        # [3, 6, n0+1] +-1/8
+    dec_bits = np.asarray(tlwe.decrypt_bool(
+        jnp.moveaxis(bits, -2, 0).reshape(-1, bits.shape[-1]),
+        sk.key_lv0)).reshape(6, 3)
+    for j, v in enumerate(vals):
+        got = sum(int(dec_bits[k, j]) << k for k in range(6))
+        assert got == v, (j, got, v)
+    back = from_bools(bits, ck)
+    assert (np.asarray(decrypt_radix(back, sk.key_lv0)) == vals).all()

@@ -7,16 +7,22 @@ machinery
 multi-bit parameter sets exist but nothing ever composes them;
 SURVEY.md §2 #10 notes even bootstrapLut is missing there).
 
-Representation: little-endian base-8 digits, each digit a PBS message
-with modulus 16.  The factor-2 headroom makes every intermediate fit the
-message space exactly:
+Representation: little-endian base-B digits, each digit a PBS message
+with modulus M = 2*B.  The factor-2 headroom makes every intermediate
+fit the message space exactly:
 
-  * add:   digit + digit + carry <= 15        (one PBS splits mod/div 8)
-  * mul:   a digit product x*y (x,y < 8) is computed EXACTLY via the
-           packing trick  w = x + 8*bit_k(y) <= 15 : a single univariate
-           LUT of w recovers (w mod 8) * (w div 8) * 2^k = x*y_k*2^k,
-           pre-split into its low/high base-8 parts; three bit-planes +
-           two carry normalizations assemble the 2-digit product.
+  * add:   digit + digit + carry <= M - 1     (one PBS splits mod/div B)
+  * mul:   a digit product x*y (x,y < B) is computed EXACTLY via the
+           packing trick  w = x + B*bit_k(y) <= M - 1 : a single
+           univariate LUT of w recovers (w mod B) * (w div B) * 2^k =
+           x*y_k*2^k, pre-split into its low/high base-B parts;
+           log2(B) bit-planes + carry normalizations assemble the
+           2-digit product.
+
+The radix is centralized in ``radix_spec``: B=8 / M=16 at every width
+(base-16 digits on the 64-bit set were refuted on composed-op noise
+grounds — see radix_spec's docstring); all machinery below is
+parametric in the spec, so a future higher-margin set flips one line.
 
 All heterogeneous LUT lanes of a round run as ONE batched bootstrap
 (per-lane testvecs, models/lut.py:bootstrap_lut), so the sequential
@@ -47,8 +53,37 @@ from zig_tfhe_tpu.models import lut as L
 from zig_tfhe_tpu.params import SecurityParams
 from zig_tfhe_tpu.utils import torus as _torus
 
-BASE = 8          # radix of the encrypted integers
+BASE = 8          # radix of the encrypted integers (32-bit sets)
 M = 16            # PBS message modulus per digit (headroom factor 2)
+
+
+def radix_spec(width: int) -> tuple[int, int, int]:
+    """(base_bits, base, message_modulus) for a torus width.
+
+    Base 8 / M=16 at BOTH widths.  Base-16 digits on the 64-bit set
+    (25% fewer digits) were considered and REFUTED on noise grounds:
+    the measured m<=32-exact envelope (docs/TORUS64.md §9) is a
+    SINGLE-op statement, but the radix machinery composes — a digit add
+    sums 3 PBS outputs (~3.0 sigma of the m=32 half-bin at the t64
+    set's sigma_KS 2^-9.4 / modswitch 2^-9.2 floor, ~1e-3/digit) and
+    the eq AND-reduce sums up to 15 (~1.3 sigma — double-digit failure
+    rates).  The 32-bit machine's deepest op runs at 3.1 sigma on
+    uint-grade keys; matching that at m=32 needs ~2 bits more KS margin
+    than the modswitch floor allows.  The machinery below is fully
+    parametric in this spec, so a future parameter set with the margin
+    (e.g. N=4096) flips one line.
+    """
+    del width
+    return (3, 8, 16)
+
+
+def _spec_params(params: SecurityParams) -> tuple[int, int, int]:
+    return radix_spec(params.torus_bits)
+
+
+def _spec_like(x) -> tuple[int, int, int]:
+    """Spec from a ciphertext's carrier dtype."""
+    return radix_spec(64 if x.dtype == jnp.int64 else 32)
 
 
 # ---------------------------------------------------------------------------
@@ -58,51 +93,62 @@ M = 16            # PBS message modulus per digit (headroom factor 2)
 
 @functools.lru_cache(maxsize=None)
 def _luts(params: SecurityParams):
-    gen = L.Generator.new(M, params)
+    """The LUT bank, parametric in the set's radix spec.
+
+    Names keep their historical base-8 spellings ("eq8", "x8", "div8",
+    "sign7", "bit{k}"...) at every base — the digits 8/7 in a name mean
+    "the base" / "base - 1", not a literal.
+    """
+    bb, base, m = _spec_params(params)
+    sbit = bb - 1                 # sign-bit index within a digit
+    gen = L.Generator.new(m, params)
     bank = {
-        "mod": gen.generate_lookup_table(lambda t: t % BASE),
-        "div": gen.generate_lookup_table(lambda t: t // BASE),
-        # div at the 8x packing scale (select bit for division's mux,
+        "mod": gen.generate_lookup_table(lambda t: t % base),
+        "div": gen.generate_lookup_table(lambda t: t // base),
+        # div at the base-x packing scale (select bit for division's mux,
         # rides the same rotation as mod/div)
-        "div8": gen.generate_lookup_table(lambda t: 8 * (t // BASE)),
+        "div8": gen.generate_lookup_table(lambda t: base * (t // base)),
     }
-    for k in range(3):  # BASE = 2^3 bit-planes
-        # outputs 8*bit directly so the packing add w = x + bits8 never
-        # scales a ciphertext (scalar-multiplying a PBS output by 8 would
-        # amplify its noise 8x and break real-noise parameter sets)
+    for k in range(bb):  # base = 2^bb bit-planes
+        # outputs base*bit directly so the packing add w = x + bits never
+        # scales a ciphertext (scalar-multiplying a PBS output by base
+        # would amplify its noise base-x and break real-noise sets)
         bank[f"bit{k}"] = gen.generate_lookup_table(
-            lambda y, k=k: 8 * ((y >> k) & 1))
+            lambda y, k=k: base * ((y >> k) & 1))
         # unit-scale bits (for shift-in during division)
         bank[f"ubit{k}"] = gen.generate_lookup_table(
-            lambda y, k=k: ((y % 8) >> k) & 1)
-        # w = x + 8*b packs (x, b); the LUT returns x*b*2^k split base-8
+            lambda y, k=k: ((y % base) >> k) & 1)
+        # w = x + base*b packs (x, b); the LUT returns x*b*2^k split base-B
         bank[f"pp{k}lo"] = gen.generate_lookup_table(
-            lambda w, k=k: ((w % 8) * (w // 8) << k) % BASE)
+            lambda w, k=k: ((w % base) * (w // base) << k) % base)
         bank[f"pp{k}hi"] = gen.generate_lookup_table(
-            lambda w, k=k: ((w % 8) * (w // 8) << k) // BASE)
-        # bitwise ops on the packing w = x + 8*bit_k(y): combine x's k-th
-        # bit with the (already extracted) k-th bit of y, repositioned
+            lambda w, k=k: ((w % base) * (w // base) << k) // base)
+        # bitwise ops on the packing w = x + base*bit_k(y): combine x's
+        # k-th bit with the (already extracted) k-th bit of y, repositioned
         bank[f"and{k}"] = gen.generate_lookup_table(
-            lambda w, k=k: (((w % 8) >> k) & 1 & (w // 8)) << k)
+            lambda w, k=k: (((w % base) >> k) & 1 & (w // base)) << k)
         bank[f"or{k}"] = gen.generate_lookup_table(
-            lambda w, k=k: ((((w % 8) >> k) & 1) | (w // 8)) << k)
+            lambda w, k=k: ((((w % base) >> k) & 1) | (w // base)) << k)
         bank[f"xor{k}"] = gen.generate_lookup_table(
-            lambda w, k=k: ((((w % 8) >> k) & 1) ^ (w // 8)) << k)
+            lambda w, k=k: ((((w % base) >> k) & 1) ^ (w // base)) << k)
     # gates <-> integer bridge: the k-th digit bit emitted at the BOOLEAN
     # gate codec (+-1/8) so outputs feed models/gates directly
-    for k in range(3):
+    for k in range(bb):
         bank[f"boolbit{k}"] = gen.generate_lookup_table_full(
-            lambda t, k=k: _torus.torus_constant(
-                0.125 if ((t % 8) >> k) & 1 else -0.125))
+            lambda t, k=k: _torus.torus_constant_w(
+                0.125 if ((t % base) >> k) & 1 else -0.125,
+                params.torus_bits))
     # comparisons / selection
-    bank["eq8"] = gen.generate_lookup_table(lambda t: 1 if t == 8 else 0)
+    bank["eq8"] = gen.generate_lookup_table(lambda t: 1 if t == base else 0)
     bank["iszero"] = gen.generate_lookup_table(lambda t: 1 if t == 0 else 0)
-    bank["x8"] = gen.generate_lookup_table(lambda t: 8 * (t & 1))
+    bank["x8"] = gen.generate_lookup_table(lambda t: base * (t & 1))
     # signed (two's complement) support: sign-bit bias flip for ordered
     # compares, sign digit/boundary fill for arithmetic right shift
-    bank["flipsign"] = gen.generate_lookup_table(lambda t: (t % 8) ^ 4)
-    bank["sign7"] = gen.generate_lookup_table(lambda t: 7 * ((t % 8) >> 2))
-    bank["sign1"] = gen.generate_lookup_table(lambda t: (t % 8) >> 2)
+    bank["flipsign"] = gen.generate_lookup_table(
+        lambda t: (t % base) ^ (base // 2))
+    bank["sign7"] = gen.generate_lookup_table(
+        lambda t: (base - 1) * ((t % base) >> sbit))
+    bank["sign1"] = gen.generate_lookup_table(lambda t: (t % base) >> sbit)
     # signed-overflow rule on packed v = sa + 2*sb + 4*sr: operands agree
     # in sign and the result sign differs
     bank["sovf"] = gen.generate_lookup_table(
@@ -111,24 +157,25 @@ def _luts(params: SecurityParams):
     # plain-constant fast paths: digit x known digit c products (the
     # encrypted path would waste a rotation extracting KNOWN bits), and
     # low-bit masks for divmod by powers of two
-    for c in range(2, 8):
+    for c in range(2, base):
         bank[f"mulc{c}lo"] = gen.generate_lookup_table(
-            lambda t, c=c: ((t % 8) * c) % 8)
+            lambda t, c=c: ((t % base) * c) % base)
         bank[f"mulc{c}hi"] = gen.generate_lookup_table(
-            lambda t, c=c: ((t % 8) * c) // 8)
-    # sub-digit shifts (r in {1, 2}; digit-aligned shifts need no LUT)
-    for r in (1, 2):
+            lambda t, c=c: ((t % base) * c) // base)
+    # sub-digit shifts (r in [1, bb); digit-aligned shifts need no LUT)
+    for r in range(1, bb):
         bank[f"signfill{r}"] = gen.generate_lookup_table(
-            lambda t, r=r: (8 - (1 << (3 - r))) * ((t % 8) >> 2))
+            lambda t, r=r: (base - (1 << (bb - r))) * ((t % base) >> sbit))
         bank[f"masklow{r}"] = gen.generate_lookup_table(
-            lambda t, r=r: (t % 8) & ((1 << r) - 1))
+            lambda t, r=r: (t % base) & ((1 << r) - 1))
         bank[f"shl{r}lo"] = gen.generate_lookup_table(
-            lambda t, r=r: ((t % 8) << r) % 8)
+            lambda t, r=r: ((t % base) << r) % base)
         bank[f"shl{r}hi"] = gen.generate_lookup_table(
-            lambda t, r=r: ((t % 8) << r) // 8)
-        bank[f"shr{r}"] = gen.generate_lookup_table(lambda t, r=r: (t % 8) >> r)
+            lambda t, r=r: ((t % base) << r) // base)
+        bank[f"shr{r}"] = gen.generate_lookup_table(
+            lambda t, r=r: (t % base) >> r)
         bank[f"low{r}"] = gen.generate_lookup_table(
-            lambda t, r=r: ((t % 8) & ((1 << r) - 1)) << (3 - r))
+            lambda t, r=r: ((t % base) & ((1 << r) - 1)) << (bb - r))
     return bank
 
 
@@ -212,7 +259,7 @@ def _use_mv() -> bool:
 
 @functools.lru_cache(maxsize=None)
 def _factored(params: SecurityParams, name: str):
-    return L.factor_lut(_luts(params)[name], M)
+    return L.factor_lut(_luts(params)[name], _spec_params(params)[2])
 
 
 def _pbs_mv(ct, table_names, ck: CloudKey):
@@ -226,7 +273,8 @@ def _pbs_mv(ct, table_names, ck: CloudKey):
     B = int(np.prod(batch)) if batch else 1
     flat = _pad_to_bucket(ct.reshape(B, ct.shape[-1]))
     bank = _luts(ck.params)
-    out = L.bootstrap_multi_lut(flat, [bank[n] for n in table_names], M, ck)
+    out = L.bootstrap_multi_lut(flat, [bank[n] for n in table_names],
+                                _spec_params(ck.params)[2], ck)
     out = out[:, :B]
     return out.reshape((len(table_names),) + batch + (ct.shape[-1],))
 
@@ -257,8 +305,8 @@ def _pbs_mv_groups(rows, name_groups, ck: CloudKey):
         grid = jnp.moveaxis(
             _pad_to_bucket(jnp.moveaxis(grid, 1, 0), B), 0, 1)
     flat = grid.reshape(G * B, rows.shape[-1])
-    base = jnp.asarray(L.multi_lut_base(M, params.N,
-                                         params.torus_bits))
+    base = jnp.asarray(L.multi_lut_base(_spec_params(params)[2], params.N,
+                                        params.torus_bits))
     acc = blind_rotate(flat, base, ck, params).reshape(G, B, 2, params.N)
     outs = jnp.stack([
         jnp.stack([L.apply_factored(acc[g], *_factored(params, n)[:2])
@@ -278,7 +326,9 @@ def _pbs_mv_groups(rows, name_groups, ck: CloudKey):
 
 def encrypt_radix(key, value, n_digits: int, alpha: float, sk,
                   width: int = 32):
-    """Encrypt value(s) as n_digits little-endian base-8 digits.
+    """Encrypt value(s) as n_digits little-endian radix digits
+    (base follows the torus width — radix_spec: 8 at 32-bit, 16 at
+    64-bit).
 
     value: python int or int array [...].  Returns int32 [..., n_digits,
     n0+1] (batch-first: a batch of integers is just a leading axis);
@@ -286,19 +336,21 @@ def encrypt_radix(key, value, n_digits: int, alpha: float, sk,
     Digit extraction runs in host int64 so values beyond 2^31 encode
     correctly (int32 shifts would silently truncate them).
     """
+    bb, base, m = radix_spec(width)
     v = np.asarray(value, np.int64)
-    shifts = 3 * np.arange(n_digits, dtype=np.int64)
-    digits = jnp.asarray(((v[..., None] >> shifts) & (BASE - 1))
+    shifts = bb * np.arange(n_digits, dtype=np.int64)
+    digits = jnp.asarray(((v[..., None] >> shifts) & (base - 1))
                          .astype(np.int32))
-    return _tlwe.encrypt_message(key, digits, M, alpha, sk, width)
+    return _tlwe.encrypt_message(key, digits, m, alpha, sk, width)
 
 
 def decrypt_radix(ct_digits, sk):
     """[..., D, n0+1] -> int or int64 array [...] (width follows dtype)."""
     w = 64 if ct_digits.dtype == jnp.int64 else 32
-    msgs = np.asarray(_tlwe.decrypt_message(ct_digits, M, sk, w)) % BASE
+    bb, base, m = radix_spec(w)
+    msgs = np.asarray(_tlwe.decrypt_message(ct_digits, m, sk, w)) % base
     D = msgs.shape[-1]
-    weights = (1 << (3 * np.arange(D, dtype=np.int64)))
+    weights = (1 << (bb * np.arange(D, dtype=np.int64)))
     out = (msgs.astype(np.int64) * weights).sum(axis=-1)
     return int(out) if out.ndim == 0 else out
 
@@ -311,11 +363,12 @@ def _trivial_digit(value: int, like):
     """Noiseless (a = 0) ciphertext of ``value`` at the PBS codec scale
     1/(2M), shaped like the digit ciphertext ``like`` [..., n0+1].  Used
     for the additive constants of sub/compare (exact, adds no noise)."""
-    assert 0 <= value < M, value
-    z = jnp.zeros_like(like)
     w = 64 if like.dtype == jnp.int64 else 32
+    m = radix_spec(w)[2]
+    assert 0 <= value < m, value
+    z = jnp.zeros_like(like)
     return z.at[..., -1].set(
-        jnp.asarray(((1 << w) // (2 * M)) * value, like.dtype))
+        jnp.asarray(((1 << w) // (2 * m)) * value, like.dtype))
 
 
 def _trivial_radix(value: int, D: int, like_digits):
@@ -325,10 +378,11 @@ def _trivial_radix(value: int, D: int, like_digits):
     shifts would fail beyond 2^31)."""
     dt = like_digits.dtype
     w = 64 if dt == jnp.int64 else 32
-    digits = jnp.asarray([(value >> (3 * i)) & (BASE - 1) for i in range(D)],
-                         dt)
+    bb, base, m = radix_spec(w)
+    digits = jnp.asarray([(value >> (bb * i)) & (base - 1)
+                          for i in range(D)], dt)
     ct = jnp.zeros(like_digits.shape[:-2] + (D, like_digits.shape[-1]), dt)
-    enc = jnp.asarray((1 << w) // (2 * M), dt) * digits  # PBS codec: x/(2M)
+    enc = jnp.asarray((1 << w) // (2 * m), dt) * digits  # PBS codec: x/(2M)
     return ct.at[..., :, -1].set(jnp.broadcast_to(enc, ct.shape[:-1]))
 
 
@@ -368,20 +422,21 @@ def radix_sub(a_digits, b_digits, ck: CloudKey, emit_ge8: bool = False):
     borrow [..., n0+1]) with a - b = diff - borrow * 8^D, i.e. diff is the
     wrapping difference and borrow is the encrypted (a < b) bit.
 
-    Per digit: t = a_i - b_i - borrow + 8 in [0, 15]; diff_i = t mod 8 and
-    t div 8 = 1 iff no borrow, so the next borrow is the LINEAR flip
+    Per digit: t = a_i - b_i - borrow + B in [0, 2B-1]; diff_i = t mod B
+    and t div B = 1 iff no borrow, so the next borrow is the LINEAR flip
     1 - div (a trivial constant minus a fresh PBS output — no extra
     rotation, no noise amplification).  Same cost as radix_add: one
     2-LUT multi-value rotation per digit position over the whole batch.
 
     emit_ge8=True adds a div8 LUT to the LAST digit's rotation and
-    returns (diff, borrow, ge8) where ge8 = 8*(a >= b) — the pre-scaled
+    returns (diff, borrow, ge8) where ge8 = B*(a >= b) — the pre-scaled
     select bit radix_select(sel8=...) consumes without its own x8
     rotation (division's inner loop).
     """
     D = a_digits.shape[-2]
     assert b_digits.shape[-2] == D, (a_digits.shape, b_digits.shape)
-    eight = _trivial_digit(8, a_digits[..., 0, :])
+    base = _spec_like(a_digits)[1]
+    eight = _trivial_digit(base, a_digits[..., 0, :])
     one = _trivial_digit(1, a_digits[..., 0, :])
     borrow = _zeros_like_digit(a_digits[..., 0, :])
     out = []
@@ -408,16 +463,17 @@ def radix_lt(a_digits, b_digits, ck: CloudKey):
 def _and_reduce_bits(bits, ck: CloudKey):
     """AND of K encrypted 0/1 bits [K, ..., n0+1] -> [..., n0+1].
 
-    Chunks of <= 15 bits sum into one PBS message (the m = 16 capacity
+    Chunks of <= M-1 bits sum into one PBS message (the message-capacity
     bound; the sum of k fresh PBS outputs carries ~sqrt(k) PBS noise,
     well inside the uint4-class budget), then iszero(k - sum) ANDs each
     chunk in ONE batched rotation per tree level.
     """
+    cap = _spec_like(bits)[2] - 1
     while bits.shape[0] > 1:
         K = bits.shape[0]
         rows = []
-        for i in range(0, K, 15):
-            c = bits[i:i + 15]
+        for i in range(0, K, cap):
+            c = bits[i:i + cap]
             # dtype= keeps the carrier width: under jax_enable_x64 an
             # int32 sum otherwise promotes to int64 (numpy
             # accumulator rule) and poisons the pipeline dtype
@@ -430,11 +486,11 @@ def _and_reduce_bits(bits, ck: CloudKey):
 def radix_eq(a_digits, b_digits, ck: CloudKey):
     """Encrypted (a == b) bit [..., n0+1] (message 0/1).
 
-    Depth log_15(D) + 1 rotations, all digit lanes batched: per-digit
-    equality bits eq8(a_i - b_i + 8) in one rotation, then an AND tree.
+    Depth log_(M-1)(D) + 1 rotations, all digit lanes batched: per-digit
+    equality bits eq8(a_i - b_i + B) in one rotation, then an AND tree.
     """
     D = a_digits.shape[-2]
-    eight = _trivial_digit(8, a_digits[..., 0, :])
+    eight = _trivial_digit(_spec_like(a_digits)[1], a_digits[..., 0, :])
     t = a_digits - b_digits + eight[..., None, :]
     bits = _pbs_rows(jnp.moveaxis(t, -2, 0), ("eq8",) * D, ck)
     return _and_reduce_bits(bits, ck)
@@ -453,7 +509,7 @@ def radix_select(sel, a_digits, b_digits, ck: CloudKey, *, sel8=None):
     D = a_digits.shape[-2]
     assert b_digits.shape[-2] == D
     s8 = _pbs_mv(sel, ("x8",), ck)[0] if sel8 is None else sel8
-    not8 = _trivial_digit(8, s8) - s8
+    not8 = _trivial_digit(_spec_like(s8)[1], s8) - s8
     wa = jnp.moveaxis(a_digits, -2, 0) + s8
     wb = jnp.moveaxis(b_digits, -2, 0) + not8
     parts = _pbs_rows(jnp.concatenate([wa, wb]), ("pp0lo",) * (2 * D), ck)
@@ -479,7 +535,7 @@ def radix_asr(a_digits, s: int, ck: CloudKey):
     if s == 0:
         return a_digits
     D = a_digits.shape[-2]
-    q, r = divmod(s, 3)
+    q, r = divmod(s, _spec_like(a_digits)[0])
     top = a_digits[..., -1, :]
     if q >= D:
         sign7 = _pbs_mv(top, ("sign7",), ck)[0]
@@ -516,32 +572,34 @@ def radix_max(a_digits, b_digits, ck: CloudKey):
 def radix_bitwise(a_digits, b_digits, op: str, ck: CloudKey):
     """Bitwise and/or/xor of two radix integers (equal widths).
 
-    2 rotations total, all digits batched: extract b's 3 bit-planes
-    (multi-value, 8x-scaled for packing), then one batched rotation over
-    3*D packed lanes w_k = a_i + 8*bit_k(b_i) evaluates the per-bit
-    {op}{k} LUTs; the three bit-plane outputs occupy disjoint bits so
+    2 rotations total, all digits batched: extract b's bb bit-planes
+    (multi-value, base-x-scaled for packing), then one batched rotation
+    over bb*D packed lanes w_k = a_i + B*bit_k(b_i) evaluates the
+    per-bit {op}{k} LUTs; the bit-plane outputs occupy disjoint bits so
     their sum is the exact digit with no carry normalization.
     """
     assert op in ("and", "or", "xor"), op
+    bb = _spec_like(a_digits)[0]
     D = a_digits.shape[-2]
     assert b_digits.shape[-2] == D
     b_rows = jnp.moveaxis(b_digits, -2, 0)                   # [D, ..., n1]
-    bits8 = _pbs_mv(b_rows, ("bit0", "bit1", "bit2"), ck)    # [3, D, ...]
+    bits8 = _pbs_mv(b_rows, tuple(f"bit{k}" for k in range(bb)),
+                    ck)                                      # [bb, D, ...]
     w = jnp.moveaxis(a_digits, -2, 0)[None] + bits8
-    names = tuple(f"{op}{k}" for k in range(3) for _ in range(D))
-    parts = _pbs_rows(w.reshape((3 * D,) + w.shape[2:]), names, ck)
-    out = parts.reshape((3, D) + parts.shape[1:]).sum(
+    names = tuple(f"{op}{k}" for k in range(bb) for _ in range(D))
+    parts = _pbs_rows(w.reshape((bb * D,) + w.shape[2:]), names, ck)
+    out = parts.reshape((bb, D) + parts.shape[1:]).sum(
         axis=0, dtype=parts.dtype)
     return jnp.moveaxis(out, 0, -2)
 
 
 def radix_shl(a_digits, s: int, ck: CloudKey):
     """Left shift by a PLAIN amount s >= 0; widens to hold every bit
-    ([..., D + ceil(s/3), n0+1]).  Digit-aligned part is free (zero-digit
+    ([..., D + ceil(s/bb), n0+1]).  Digit-aligned part is free (zero-digit
     prepend); the sub-digit remainder r costs ONE batched rotation (2
     LUTs per digit: shl{r}lo/hi), recombined linearly (disjoint bits)."""
     assert s >= 0
-    q, r = divmod(s, 3)
+    q, r = divmod(s, _spec_like(a_digits)[0])
     D = a_digits.shape[-2]
     zero = _zeros_like_digit(a_digits[..., 0, :])[..., None, :]
     if r:
@@ -562,7 +620,7 @@ def radix_shr(a_digits, s: int, ck: CloudKey):
     n0+1]).  Digit-aligned part drops digits; the remainder r is one
     batched rotation (shr{r} of d_i + low{r} of d_{i+1}, disjoint bits)."""
     assert s >= 0
-    q, r = divmod(s, 3)
+    q, r = divmod(s, _spec_like(a_digits)[0])
     D = a_digits.shape[-2]
     if q >= D:
         return _zeros_like_digit(a_digits[..., 0, :])[..., None, :]
@@ -587,16 +645,18 @@ def radix_shr(a_digits, s: int, ck: CloudKey):
 
 @functools.lru_cache(maxsize=None)
 def _digit_mul_tvs(params: SecurityParams) -> np.ndarray:
-    """Tree-PBS tables for the bivariate digit multiplier: [2, 8, 2, N];
-    [fam, h] is (x*h) mod 8 (fam 0) / (x*h) div 8 (fam 1) over the
-    modulus-16 input grid (digits live in [0, 8))."""
-    gen = L.Generator.new(M, params)
-    tvs = np.zeros((2, BASE, 2, params.N), np.int32)
-    for h in range(BASE):
+    """Tree-PBS tables for the bivariate digit multiplier: [2, B, 2, N];
+    [fam, h] is (x*h) mod B (fam 0) / (x*h) div B (fam 1) over the
+    modulus-M input grid (digits live in [0, B))."""
+    bb, base, m = _spec_params(params)
+    gen = L.Generator.new(m, params)
+    dt = np.int32 if params.torus_bits == 32 else np.int64
+    tvs = np.zeros((2, base, 2, params.N), dt)
+    for h in range(base):
         tvs[0, h] = gen.generate_lookup_table(
-            lambda x, h=h: ((x % 8) * h) % BASE).poly
+            lambda x, h=h: ((x % base) * h) % base).poly
         tvs[1, h] = gen.generate_lookup_table(
-            lambda x, h=h: ((x % 8) * h) // BASE).poly
+            lambda x, h=h: ((x % base) * h) // base).poly
     return tvs
 
 
@@ -657,26 +717,32 @@ def digit_mul(x_ct, y_ct, ck: CloudKey):
         B = int(np.prod(batch)) if batch else 1
         n1 = x_ct.shape[-1]
         out = L.tree_pbs(x_ct.reshape(B, n1), y_ct.reshape(B, n1),
-                         _digit_mul_tvs(ck.params), M, ck, ck.pksk)
+                         _digit_mul_tvs(ck.params),
+                         _spec_params(ck.params)[2], ck, ck.pksk)
         lo = out[:, 0].reshape(batch + (n1,))
         hi = out[:, 1].reshape(batch + (n1,))
         return lo, hi
+    bb = _spec_params(ck.params)[0]
     x, y = x_ct, y_ct                                   # [..., n0+1]
-    bits8 = _pbs_mv(y, ("bit0", "bit1", "bit2"), ck)    # 1 rotation, 3 LUTs
-    w = x[None] + bits8                                 # w_k = x + 8*y_k
-    parts = _pbs_mv_groups(                             # 3 rotations, 6 LUTs
-        w, (("pp0lo", "pp0hi"), ("pp1lo", "pp1hi"),
-            ("pp2lo", "pp2hi")), ck)                    # [3, 2, ..., n0+1]
-    lo0, lo1, lo2 = parts[0, 0], parts[1, 0], parts[2, 0]
-    hi_parts = parts[0, 1] + parts[1, 1] + parts[2, 1]  # <= 0 + 1 + 3
-
-    t01 = lo0 + lo1                                     # <= 14
-    s01 = _pbs_mv(t01, ("mod", "div"), ck)
-    t = s01[0] + lo2                                    # <= 14
-    fin = _pbs_mv(t, ("mod", "div"), ck)
-    lo = fin[0]
-    hi_lin = hi_parts + s01[1] + fin[1]                 # <= 6 < 8
-    hi = _pbs_rows(hi_lin[None], ("mod",), ck)[0]
+    bits8 = _pbs_mv(y, tuple(f"bit{k}" for k in range(bb)),
+                    ck)                                 # 1 rotation, bb LUTs
+    w = x[None] + bits8                                 # w_k = x + B*y_k
+    parts = _pbs_mv_groups(                             # bb rotations
+        w, tuple((f"pp{k}lo", f"pp{k}hi") for k in range(bb)),
+        ck)                                             # [bb, 2, ..., n0+1]
+    hi_parts = parts[0, 1]
+    for k in range(1, bb):
+        # sum_k floor((B-1) 2^k / B) = B - 1 - bb (e.g. 4 at B=8, 11 at
+        # B=16); + the bb-1 mod/div carries (<= 1 each) stays < B
+        hi_parts = hi_parts + parts[k, 1]
+    t = parts[0, 0]
+    for k in range(1, bb):
+        # lo_k <= B - 1 each: the pairwise sum <= 2B - 2 = M - 2 fits
+        s = _pbs_mv(t + parts[k, 0], ("mod", "div"), ck)
+        t = s[0]
+        hi_parts = hi_parts + s[1]
+    lo = t
+    hi = _pbs_rows(hi_parts[None], ("mod",), ck)[0]
     return lo, hi
 
 
@@ -696,12 +762,12 @@ def radix_scale(a_digits, y_ct, ck: CloudKey):
 
 
 def radix_scale_plain(a_digits, c: int, ck: CloudKey):
-    """[..., D, n0+1] times a PLAIN digit c in [0, 8) -> [..., D+1, n0+1].
+    """[..., D, n0+1] times a PLAIN digit c in [0, B) -> [..., D+1, n0+1].
 
     One batched mulc{c}lo/hi rotation over 2D lanes, then one addition
-    (lo_i + hi_{i-1} <= 7 + 6 = 13 fits the message space, so the carry
-    chain normalizes exactly).  1 + (D+1) rotations vs the encrypted
-    digit_mul path's ~7 per digit."""
+    (lo_i + hi_{i-1} <= (B-1) + (B-2) = M - 3 fits the message space, so
+    the carry chain normalizes exactly).  1 + (D+1) rotations vs the
+    encrypted digit_mul path's ~7 per digit."""
     D = a_digits.shape[-2]
     zero = _zeros_like_digit(a_digits[..., 0, :])[..., None, :]
     if c == 0:
@@ -721,15 +787,16 @@ def radix_scale_plain(a_digits, c: int, ck: CloudKey):
 
 def radix_mul_plain(a_digits, v: int, ck: CloudKey):
     """[..., D, n0+1] times a PLAIN non-negative int -> widened exact
-    product: schoolbook over v's base-8 digits with zero digits skipped,
+    product: schoolbook over v's radix digits with zero digits skipped,
     powers of two routed through the (cheaper) shift path."""
     assert v >= 0
+    bb, base, _ = _spec_like(a_digits)
     D = a_digits.shape[-2]
     if v == 0:
         return _zeros_like_digit(a_digits[..., 0, :])[..., None, :]
     if v & (v - 1) == 0:                       # power of two -> shl
         return radix_shl(a_digits, v.bit_length() - 1, ck)
-    Dv = max(1, (v.bit_length() + 2) // 3)
+    Dv = max(1, -(-v.bit_length() // bb))
     W = D + Dv
     zero = _zeros_like_digit(a_digits[..., 0, :])[..., None, :]
 
@@ -739,7 +806,7 @@ def radix_mul_plain(a_digits, v: int, ck: CloudKey):
 
     acc = None
     for j in range(Dv):
-        c = (v >> (3 * j)) & 7
+        c = (v >> (bb * j)) & (base - 1)
         if c == 0:
             continue
         row = radix_scale_plain(a_digits, c, ck)           # [..., D+1]
@@ -752,11 +819,11 @@ def radix_mul_plain(a_digits, v: int, ck: CloudKey):
 def radix_mask_low(a_digits, nbits: int, ck: CloudKey):
     """Keep the low ``nbits`` of a radix value (x & (2^nbits - 1)):
     digit-aligned drops are free; the boundary digit costs one masklow
-    rotation.  Width shrinks to ceil(nbits/3) (min 1)."""
+    rotation.  Width shrinks to ceil(nbits/bb) (min 1)."""
     assert nbits >= 0
     if nbits == 0:
         return _zeros_like_digit(a_digits[..., 0, :])[..., None, :]
-    q, r = divmod(nbits, 3)
+    q, r = divmod(nbits, _spec_like(a_digits)[0])
     if r == 0:
         return a_digits[..., :q, :]
     kept = a_digits[..., : q + 1, :]
@@ -780,32 +847,34 @@ def radix_mul(a_digits, b_digits, ck: CloudKey):
 
 def to_bools(digits, ck: CloudKey):
     """Radix digits -> boolean-codec bits: [..., D, n0+1] ->
-    [..., 3D, n0+1] TLWE ciphertexts at the gate codec (+-1/8),
+    [..., bb*D, n0+1] TLWE ciphertexts at the gate codec (+-1/8),
     little-endian — directly composable with models/gates (and
     models/circuits adders / the Bristol scheduler).
 
-    One batched rotation: 3 boolbit lanes per digit, each a full-output
+    One batched rotation: bb boolbit lanes per digit, each a full-output
     LUT emitting +-1/8 raw torus values.
     """
+    bb = _spec_like(digits)[0]
     D = digits.shape[-2]
-    rows = jnp.repeat(jnp.moveaxis(digits, -2, 0), 3, axis=0)  # [3D, ...]
-    names = tuple(f"boolbit{k}" for _ in range(D) for k in range(3))
+    rows = jnp.repeat(jnp.moveaxis(digits, -2, 0), bb, axis=0)  # [bb*D, ..]
+    names = tuple(f"boolbit{k}" for _ in range(D) for k in range(bb))
     return jnp.moveaxis(_pbs_rows(rows, names, ck), 0, -2)
 
 
 def from_bools(bits, ck: CloudKey):
     """Boolean-codec bits -> radix digits: [..., nb, n0+1] (+-1/8 codec,
-    little-endian, e.g. gate/adder outputs) -> [..., ceil(nb/3), n0+1]
+    little-endian, e.g. gate/adder outputs) -> [..., ceil(nb/bb), n0+1]
     PBS-codec digits.
 
-    One batched rotation over all bits: lane 3j+k bootstraps with a
+    One batched rotation over all bits: lane bb*j+k bootstraps with a
     CONSTANT testvec 2^k/(4M), so the sign of the bit selects
     -+2^k/(4M); adding the trivial offset 2^k/(4M) yields bit*2^k at the
-    digit codec, and each digit is the exact sum of its <= 3 disjoint
+    digit codec, and each digit is the exact sum of its <= bb disjoint
     bit contributions.
     """
+    bb, _, m = _spec_params(ck.params)
     nb = bits.shape[-2]
-    D = -(-nb // 3)
+    D = -(-nb // bb)
     rows = jnp.moveaxis(bits, -2, 0)                       # [nb, ..., n1]
     batch = rows.shape[1:-1]
     B = int(np.prod(batch)) if batch else 1
@@ -813,7 +882,7 @@ def from_bools(bits, ck: CloudKey):
     N = ck.params.N
     w = ck.params.torus_bits
     dt = np.int32 if w == 32 else np.int64
-    offs = np.array([((1 << w) // (4 * M)) << (i % 3) for i in range(nb)],
+    offs = np.array([((1 << w) // (4 * m)) << (i % bb) for i in range(nb)],
                     dt)
     tv = np.zeros((nb, 2, N), dt)
     tv[:, 1, :] = offs[:, None]
@@ -822,30 +891,32 @@ def from_bools(bits, ck: CloudKey):
     out = out.reshape((nb,) + batch + (rows.shape[-1],))
     out = out.at[..., -1].add(
         jnp.asarray(offs).reshape((nb,) + (1,) * len(batch)))
-    ds = [sum(out[3 * j + k] for k in range(3) if 3 * j + k < nb)
+    ds = [sum(out[bb * j + k] for k in range(bb) if bb * j + k < nb)
           for j in range(D)]
     return jnp.moveaxis(jnp.stack(ds), 0, -2)
 
 
 def _barrel_shift(a_digits, y_digits, ck: CloudKey, shift_fn):
     """Barrel shifter core: fixed width D (data-dependent widths are
-    impossible under an encrypted amount); amounts >= 3*D shift
+    impossible under an encrypted amount); amounts >= bb*D shift
     everything into the fill (zeros, or sign digits for shift_fn =
     radix_asr which keeps width and sign-fills by construction).
 
-    One multi-value rotation extracts all bits of y in their 8x packing
-    form, then each bit k muxes x against shift_fn(x, 2^k) — the select
-    consumes the pre-scaled bit directly (sel8), so a level costs the
-    plain shift's rotations + one pack rotation.
+    One multi-value rotation extracts all bits of y in their base-x
+    packing form, then each bit k muxes x against shift_fn(x, 2^k) — the
+    select consumes the pre-scaled bit directly (sel8), so a level costs
+    the plain shift's rotations + one pack rotation.
     """
+    bb = _spec_like(a_digits)[0]
     D = a_digits.shape[-2]
     Dy = y_digits.shape[-2]
     bits8 = _pbs_mv(jnp.moveaxis(y_digits, -2, 0),
-                    ("bit0", "bit1", "bit2"), ck)      # [3, Dy, ..., n1]
+                    tuple(f"bit{k}" for k in range(bb)),
+                    ck)                                # [bb, Dy, ..., n1]
     x = a_digits
-    for k in range(3 * Dy):
-        s8 = bits8[k % 3, k // 3]
-        shifted = shift_fn(x, min(1 << k, 3 * D), ck)
+    for k in range(bb * Dy):
+        s8 = bits8[k % bb, k // bb]
+        shifted = shift_fn(x, min(1 << k, bb * D), ck)
         x = radix_select(None, shifted, x, ck, sel8=s8)
     return x
 
@@ -890,40 +961,42 @@ def radix_divmod(n_digits, m_digits, ck: CloudKey):
     """Exact unsigned division: (quotient [..., Dn, n0+1], remainder
     [..., Dm, n0+1]) by restoring shift-subtract over encrypted bits.
 
-    Per quotient bit (3*Dn total): shift the running remainder left one
+    Per quotient bit (bb*Dn total): shift the running remainder left one
     bit (1 rotation), shift in the next numerator bit (linear; all
     numerator bits are extracted up front in ONE multi-value rotation),
     trial-subtract the divisor (Dm+1 rotations), and keep either result
     by encrypted mux (2 rotations) — the no-borrow bit IS the quotient
-    bit.  Quotient digits reassemble as b0 + 2*b1 + 4*b2 (<= 7, exact)
-    with one final batched mod refresh.  ~3*Dn*(Dm+3) rotations total
+    bit.  Quotient digits reassemble as sum_k 2^k b_k (<= B-1, exact)
+    with one final batched mod refresh.  ~bb*Dn*(Dm+3) rotations total
     (the mux's x8 refresh rides the trial-subtract's last multi-value
     rotation), every rotation batched over all lanes/batch dims.
 
     Division by an encrypted zero yields an all-ones quotient (tfhe-rs
     convention — no borrow ever fires) and an unspecified remainder.
     """
+    bb = _spec_like(n_digits)[0]
     Dn, Dm = n_digits.shape[-2], m_digits.shape[-2]
-    Dr = Dm + 1            # remainder width: R < 2*M <= 2*(8^Dm - 1)
+    Dr = Dm + 1            # remainder width: R < 2*divisor <= B^(Dm+1)
     zero = _zeros_like_digit(n_digits[..., 0, :])
     m_ext = jnp.concatenate(
         [m_digits, jnp.broadcast_to(zero[..., None, :],
                                     m_digits.shape[:-2] + (1, zero.shape[-1]))],
         axis=-2)
     rows = jnp.moveaxis(n_digits, -2, 0)
-    ubits = _pbs_mv(rows, ("ubit0", "ubit1", "ubit2"), ck)  # [3, Dn, ...]
+    ubits = _pbs_mv(rows, tuple(f"ubit{k}" for k in range(bb)),
+                    ck)                                     # [bb, Dn, ...]
     one = _trivial_digit(1, zero)
     R = jnp.broadcast_to(zero[..., None, :],
                          zero.shape[:-1] + (Dr, zero.shape[-1]))
-    q_bits = [None] * (3 * Dn)
-    for i in range(3 * Dn - 1, -1, -1):
-        R = radix_shl(R, 1, ck)[..., :Dr, :]      # top stays 0 (R < M)
-        R = R.at[..., 0, :].add(ubits[i % 3, i // 3])
+    q_bits = [None] * (bb * Dn)
+    for i in range(bb * Dn - 1, -1, -1):
+        R = radix_shl(R, 1, ck)[..., :Dr, :]      # top stays 0
+        R = R.at[..., 0, :].add(ubits[i % bb, i // bb])
         diff, borrow, ge8 = radix_sub(R, m_ext, ck, emit_ge8=True)
-        ge = one - borrow                          # R >= M, linear flip
+        ge = one - borrow                          # R >= divisor, flip
         R = radix_select(None, diff, R, ck, sel8=ge8)  # x8 rode the sub
         q_bits[i] = ge
-    qd = [q_bits[3 * j] + 2 * q_bits[3 * j + 1] + 4 * q_bits[3 * j + 2]
+    qd = [sum((1 << k) * q_bits[bb * j + k] for k in range(bb))
           for j in range(Dn)]
     q = _pbs_rows(jnp.stack(qd), ("mod",) * Dn, ck)
     return jnp.moveaxis(q, 0, -2), R[..., :Dm, :]
@@ -1073,7 +1146,8 @@ class FheUint(_FheOpsMixin):
         v = int(other)
         if v < 0:
             raise ValueError(f"FheUint is unsigned, got {v}")
-        D = max(1, (v.bit_length() + 2) // 3)
+        bb = _spec_like(self.digits)[0]
+        D = max(1, -(-v.bit_length() // bb))
         return FheUint(_trivial_radix(v, D, self.digits), self.ck)
 
     @property
@@ -1209,12 +1283,13 @@ class FheInt(_FheOpsMixin):
     def encrypt(cls, key, value, n_digits: int, sk, ck: CloudKey,
                 alpha: float | None = None) -> "FheInt":
         a = ck.params.tlwe_lv0.alpha if alpha is None else alpha
+        bb = _spec_params(ck.params)[0]
         v = np.asarray(value, np.int64)
-        half = (1 << (3 * n_digits)) // 2
+        half = (1 << (bb * n_digits)) // 2
         if ((v < -half) | (v >= half)).any():
             raise ValueError(f"{value} out of range for {n_digits} digits "
                              f"[{-half}, {half})")
-        enc_v = np.mod(v, 1 << (3 * n_digits))
+        enc_v = np.mod(v, 1 << (bb * n_digits))
         return cls(encrypt_radix(key, enc_v, n_digits, a, sk.key_lv0,
                                  ck.params.torus_bits), ck)
 
@@ -1235,16 +1310,19 @@ class FheInt(_FheOpsMixin):
                 x.digits.shape[:-2] + (extra, sign7.shape[-1]))
             return jnp.concatenate([x.digits, ext], axis=-2)
         v = int(x)
-        half = (1 << (3 * D)) // 2
+        bb = _spec_like(self.digits)[0]
+        half = (1 << (bb * D)) // 2
         if not -half <= v < half:
             raise ValueError(f"constant {v} out of range for {D} digits")
-        return _trivial_radix(v % (1 << (3 * D)), D, self.digits)
+        return _trivial_radix(v % (1 << (bb * D)), D, self.digits)
 
     def _align(self, other):
+        bb = _spec_like(self.digits)[0]
         if isinstance(other, FheInt):
             D = max(self.n_digits, other.n_digits)
         else:
-            D = max(self.n_digits, (int(other).bit_length() + 1 + 2) // 3, 1)
+            D = max(self.n_digits,
+                    -(-(int(other).bit_length() + 1) // bb), 1)
         return self._at_width(self, D), self._at_width(other, D), D
 
     def __add__(self, other):
@@ -1358,7 +1436,7 @@ class FheInt(_FheOpsMixin):
 
     def decrypt(self, sk):
         raw = decrypt_radix(self.digits, sk.key_lv0)
-        mod = 1 << (3 * self.n_digits)
+        mod = 1 << (_spec_like(self.digits)[0] * self.n_digits)
         if isinstance(raw, (int, np.integer)):
             return int(raw - mod) if raw >= mod // 2 else int(raw)
         return np.where(raw >= mod // 2, raw - mod, raw)

@@ -330,3 +330,13 @@ def test_gates_integer_bridge_split(sk, ck):
         assert got == v, (j, got, v)
     back = from_bools(bits, ck)
     assert (np.asarray(decrypt_radix(back, sk.key_lv0)) == vals).all()
+
+
+def test_packing_key_rejected_on_64bit_sets(sk):
+    """The packing key switch is 32-bit only (int32-carrier digit
+    contraction); a 64-bit set must fail LOUDLY at keygen rather than
+    silently building a garbage key."""
+    from zig_tfhe_tpu.ops.packing_keyswitch import gen_packing_ksk
+
+    with pytest.raises(NotImplementedError, match="32-bit-torus only"):
+        gen_packing_ksk(jax.random.key(1), sk.key_lv1, PS)

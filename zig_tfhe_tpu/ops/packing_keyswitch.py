@@ -51,6 +51,16 @@ def gen_packing_ksk(key, secret_key_lv1, params: SecurityParams,
     dimensionally wrong here — at uint4 it measurably blows the packed
     testvec's budget once the block spread multiplies it by sqrt(delta).)
     """
+    if params.torus_bits != 32:
+        raise NotImplementedError(
+            "the packing key switch (and the tree-PBS/radix routes built "
+            "on it) is 32-bit-torus only: its digit contraction and "
+            "exactness bounds (docs/NOISE.md §9) are specific to the "
+            "32-bit plans.  64-bit sets cover the same ground with "
+            "single-shot LUTs through m=32 (measured all-exact, "
+            "docs/TORUS64.md §9) and the classic digit-multiply path; "
+            "TORUS64.md §5 prices a 64-bit radix route 2.5x worse than "
+            "the 32-bit one anyway")
     basebit = params.basebit if basebit is None else basebit
     t = params.iks_t if t is None else t
     alpha = params.bsk_alpha if alpha is None else alpha
@@ -73,6 +83,10 @@ def packing_key_switch(tlwes, pksk, basebit: int, t: int, delta: int):
     the digit contraction is one exact int8-limb matmul over all K
     samples, the rotations are static (K is a Python int).
     """
+    if tlwes.dtype == jnp.int64:
+        raise NotImplementedError(
+            "packing key switch is 32-bit-torus only (its decompose and "
+            "digit contraction assume int32 carriers) — see gen_packing_ksk")
     n1 = tlwes.shape[-1] - 1
     N = pksk.shape[-1]
     K = tlwes.shape[-2]

@@ -10,4 +10,7 @@ echo "== encrypted integer mul ==";  python bench_integer.py
 echo "== circuit (Bristol 64x64) =="; python bench_circuit.py
 echo "== 64-bit split-ring gates ==";  python tools/bench_split64.py
 echo "== 64-bit LUT envelope ==";    BENCH_PARAMS=128bit_t64 BENCH_MS=4,8,16,32,64 BENCH_BATCH=512 python tools/lut_envelope_probe.py
+echo "== SECURE integer mul (128bit_t64) ==";  BENCH_PARAMS=128bit_t64 BENCH_BATCH=64 python bench_integer.py
+echo "== SECURE integer add (128bit_t64) ==";  BENCH_PARAMS=128bit_t64 BENCH_BATCH=64 BENCH_OP=add python bench_integer.py
+echo "== SECURE radix LUT m=64/256 (128bit_t64) ==";  BENCH_PARAMS=128bit_t64 BENCH_BATCH=64 python bench_radix.py
 echo "== multichip ==";            python bench_multichip.py

@@ -7,9 +7,14 @@ per integer amortizes like the gate benches.  Accuracy is checked against
 plain arithmetic (must be 1.0 at uint4 real noise).
 
 Env: BENCH_BATCH (default 256), BENCH_PARAMS (default uint4),
-     BENCH_ITERS (default 3), BENCH_OP (mul|div|lt|eq, default mul),
+     BENCH_ITERS (default 3), BENCH_OP (mul|add|div|lt|eq, default mul),
      BENCH_PACKING=1 (tree-PBS digit multiplier via a packing key).
 Prints one JSON line.
+
+BENCH_PARAMS=128bit_t64 measures the SECURE integer path (the in-tree-
+estimator-pinned 64-bit split-ring set; VERDICT r4 #2 — every uint-set
+row is 0-bit lv1 security per docs/SECURITY.md and the README labels
+them so).  Requires jax_enable_x64; the carrier width follows the set.
 """
 
 import json
@@ -47,11 +52,13 @@ def main():
     pname = os.environ.get("BENCH_PARAMS", "uint4")
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     params = P.PARAMS_BY_NAME[pname]
+    if params.torus_bits == 64:
+        jax.config.update("jax_enable_x64", True)
 
     t0 = time.time()
     sk = K.SecretKey.generate(jax.random.key(0), params)
     opname = os.environ.get("BENCH_OP", "mul")
-    # only mul's digit multiplier uses the packing key; div/lt/eq keep
+    # only mul's digit multiplier uses the packing key; add/div/lt/eq keep
     # their round-1 metric names (and skip the extra keygen)
     packing = opname == "mul" and \
         os.environ.get("BENCH_PACKING", "1") in ("1", "true")
@@ -61,17 +68,20 @@ def main():
     print(f"# keygen (cold, incl jit compile): {time.time()-t0:.1f}s",
           file=sys.stderr)
 
+    w = params.torus_bits
     rng = np.random.default_rng(0)
     a = rng.integers(0, 64, B)
     b = rng.integers(0, 64, B)
     ca = I.encrypt_radix(jax.random.key(2), a, 2, params.tlwe_lv0.alpha,
-                         sk.key_lv0)
+                         sk.key_lv0, width=w)
     cb = I.encrypt_radix(jax.random.key(3), b, 2, params.tlwe_lv0.alpha,
-                         sk.key_lv0)
+                         sk.key_lv0, width=w)
 
     ops = {
         # (jitted fn on digit arrays, plain reference on values)
         "mul": (lambda x, y, k: I.radix_mul(x, y, k), lambda: a * b),
+        "add": (lambda x, y, k: I.radix_add(x, y, k)[:, :2],
+                lambda: (a + b) % 64),
         "div": (lambda x, y, k: I.radix_divmod(x, y, k)[0],
                 lambda: a // np.maximum(b, 1)),
         "lt": (lambda x, y, k: I.radix_lt(x, y, k)[:, None, :],
@@ -83,7 +93,7 @@ def main():
     if opname == "div":
         b = np.maximum(b, 1)           # benchmarked path: nonzero divisors
         cb = I.encrypt_radix(jax.random.key(3), b, 2,
-                             params.tlwe_lv0.alpha, sk.key_lv0)
+                             params.tlwe_lv0.alpha, sk.key_lv0, width=w)
     op = jax.jit(fn)
     t0 = time.time()
     out = _sync(op(ca, cb, ck))

@@ -10,7 +10,11 @@ blind-rotation lanes (1 multi-value mid + 2 select-family lanes) plus
 2*m_hi factored multiplications per evaluation.
 
 Env: BENCH_BATCH (default 512, the measured knee: 256 -> 643, 512 ->
-663, 1024 -> 603 evals/s), BENCH_PARAMS (uint8), BENCH_ITERS (3).
+663, 1024 -> 603 evals/s), BENCH_PARAMS (uint8), BENCH_ITERS (3),
+BENCH_M (message modulus; default 2^security_bits for the uint sets,
+256 otherwise — e.g. BENCH_PARAMS=128bit_t64 measures the SECURE radix
+route on the 64-bit split-ring set, where steep mid tables ride exact
+dedicated lanes per models/lut.py:mid_norm1_budget).
 Prints one JSON line.
 """
 
@@ -42,7 +46,12 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     pname = os.environ.get("BENCH_PARAMS", "uint8")
     params = P.PARAMS_BY_NAME[pname]
-    m = 1 << params.security_bits
+    if params.torus_bits == 64:
+        jax.config.update("jax_enable_x64", True)
+    default_m = (1 << params.security_bits if pname.startswith("uint")
+                 else 256)
+    m = int(os.environ.get("BENCH_M", str(default_m)))
+    w = params.torus_bits
     f = lambda x: (x * 5 + 1) % m
 
     t0 = time.time()
@@ -55,7 +64,8 @@ def main():
     rng = np.random.default_rng(0)
     msgs = rng.integers(0, m, B)
     cts = L.encrypt_radix_message(jax.random.key(3), msgs, m,
-                                  params.tlwe_lv0.alpha, sk.key_lv0)
+                                  params.tlwe_lv0.alpha, sk.key_lv0,
+                                  width=w)
 
     run = jax.jit(lambda lo, hi, ck, pksk: L.bootstrap_lut_radix(
         lo, hi, f, m, ck, pksk))
@@ -68,7 +78,7 @@ def main():
     out = _sync(run(*cts, ck, pksk))
     print(f"# compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    dec = np.asarray(L.decrypt_radix_message(out, m, sk.key_lv0))
+    dec = np.asarray(L.decrypt_radix_message(out, m, sk.key_lv0, width=w))
     exp = np.array([f(int(x)) for x in msgs])
     acc = float((dec == exp).mean())
     print(f"# accuracy: {acc:.4f}", file=sys.stderr)
@@ -87,17 +97,25 @@ def main():
     # 1+2 (margin-blocked at m_hi=16 on N=1024).  A single-shot
     # (29%-accurate at uint8) bootstrap is 1 lane.
     m_hi = m // 16
-    lanes = 2 if 2 * m_hi * 64 <= params.N else 3
+    sel_lanes = 1 if 2 * m_hi * 64 <= params.N else 2
+    tvs = L.radix_lut_testvecs(f, m, params)
+    budget = L.mid_norm1_budget(ck)
+    ded = sum(1 for fam in range(2) for h in range(m_hi)
+              if L.factor_lut(tvs[fam, h], 16)[2] > budget)
+    mid_lanes = (1 if ded < 2 * m_hi else 0) + ded
     print(f"# {dt*1e3:.0f} ms/batch of {B} ({dt/B*1e3:.1f} ms/eval, "
-          f"{lanes} rotation lanes + {2*m_hi} factored muls/eval)",
+          f"{mid_lanes} mid + {sel_lanes} select rotation lanes, "
+          f"{2*m_hi - ded} factored muls/eval)",
           file=sys.stderr)
     print(json.dumps({
-        "metric": f"radix_lut_evals_per_s_{pname}_batch{B}",
+        "metric": f"radix_lut_m{m}_evals_per_s_{pname}_batch{B}"
+        if not pname.startswith("uint")
+        else f"radix_lut_evals_per_s_{pname}_batch{B}",
         "value": round(per_s, 2),
         "unit": "evals/s",
         "vs_baseline": None,
         "accuracy": acc,
-        "rotation_lanes_per_eval": lanes,
+        "rotation_lanes_per_eval": mid_lanes + sel_lanes,
     }))
 
 

@@ -183,10 +183,27 @@ Circuit* circuit_parse_bristol(const char* text) {
 }
 
 // ---------------------------------------------------------------------------
-// Scheduling: ASAP leveling + liveness slot allocation
+// Scheduling: leveling + liveness slot allocation
+//
+// cap == 0: plain ASAP leveling (every ready gate runs at its earliest
+// level) — the round-4 behavior, kept as the regression reference.
+//
+// cap > 0: capacity-and-slack LIST SCHEDULING (the round-5 ragged-tail
+// fix).  ASAP leveling leaves narrow levels (a 7-gate level dispatches a
+// 7-lane blind rotation whose wall-clock equals a 2048-lane one — the
+// measured ~30% Bristol gap at B=1).  Instead, each emitted level takes
+// ready gates in ALAP-slack order (critical-path gates first) up to a
+// ROTATION-LANE budget of `cap` (two-input gate = 1 lane, MUX = 2,
+// NOT/COPY/CONST = 0 — they are arena ops, always emitted when ready):
+// gates with slack defer out of over-wide levels and TOP UP later narrow
+// ones, driving the dispatch count toward the critical-path depth while
+// no level exceeds the throughput knee.  Depth never grows beyond
+// max(ASAP depth, ceil(total_lanes / cap)) and the within-level
+// independence invariant (a gate never reads a same-level output) holds
+// by construction of the ready set.
 // ---------------------------------------------------------------------------
 
-Plan* circuit_schedule(const Circuit* c) {
+Plan* circuit_schedule(const Circuit* c, int32_t cap) {
   auto* plan = new Plan();
   const int32_t W = c->n_wires;
   const auto& gates = c->gates;
@@ -256,10 +273,13 @@ Plan* circuit_schedule(const Circuit* c) {
   size_t done = 0;
   int32_t max_level = -1;
   auto indeg_work = indeg;
+  std::vector<int32_t> topo;  // Kahn finish order (a topological order)
+  topo.reserve(gates.size());
   while (!ready.empty()) {
     int32_t gi = ready.front();
     ready.pop();
     done++;
+    topo.push_back(gi);
     max_level = std::max(max_level, level[gi]);
     for (int32_t cj : consumers[gi]) {
       level[cj] = std::max(level[cj], level[gi] + 1);
@@ -269,6 +289,69 @@ Plan* circuit_schedule(const Circuit* c) {
   if (done != gates.size()) {
     plan->error = "cycle detected in circuit";
     return plan;
+  }
+
+  if (cap > 0 && !gates.empty()) {
+    // ALAP levels (unit edges): latest level each gate may run without
+    // stretching the ASAP depth.  slack = alap - asap >= 0.
+    std::vector<int32_t> alap(gates.size(), max_level);
+    for (size_t k = topo.size(); k-- > 0;) {
+      int32_t gi = topo[k];
+      for (int32_t cj : consumers[gi])
+        alap[gi] = std::min(alap[gi], alap[cj] - 1);
+    }
+    auto lane_weight = [&](int32_t gi) -> int32_t {
+      int32_t op = gates[gi].op;
+      if (is_two_input(op)) return 1;
+      if (op == MUX) return 2;  // 2 blind-rotation lanes
+      return 0;                 // NOT/COPY/CONST: arena ops, free
+    };
+    // min-heaps on (alap, gate index) — critical (low-slack) gates first,
+    // deterministic tie-break
+    auto cmp = [&](int32_t a, int32_t b) {
+      return alap[a] != alap[b] ? alap[a] > alap[b] : a > b;
+    };
+    std::priority_queue<int32_t, std::vector<int32_t>, decltype(cmp)>
+        ready_boot(cmp), ready_free(cmp);
+    indeg_work = indeg;
+    for (size_t i = 0; i < gates.size(); ++i)
+      if (indeg[i] == 0)
+        (lane_weight(static_cast<int32_t>(i)) ? ready_boot : ready_free)
+            .push(static_cast<int32_t>(i));
+    std::vector<int32_t> emitted;
+    size_t scheduled = 0;
+    int32_t round = 0;
+    while (scheduled < gates.size()) {
+      emitted.clear();
+      while (!ready_free.empty()) {        // free ops: all of them, now
+        emitted.push_back(ready_free.top());
+        ready_free.pop();
+      }
+      int32_t used = 0;
+      while (!ready_boot.empty()) {
+        int32_t gi = ready_boot.top();
+        int32_t w = lane_weight(gi);
+        if (used > 0 && used + w > cap) break;
+        ready_boot.pop();
+        emitted.push_back(gi);
+        used += w;
+      }
+      if (emitted.empty()) {
+        plan->error = "internal: list scheduler stalled";  // unreachable
+        return plan;
+      }
+      for (int32_t gi : emitted) {
+        level[gi] = round;
+        scheduled++;
+      }
+      // consumers become ready for LATER rounds only (same-level reads
+      // of same-level outputs are impossible by construction)
+      for (int32_t gi : emitted)
+        for (int32_t cj : consumers[gi])
+          if (--indeg_work[cj] == 0)
+            (lane_weight(cj) ? ready_boot : ready_free).push(cj);
+      round++;
+    }
   }
 
   // Order gates by level (stable).
@@ -414,15 +497,18 @@ int32_t tfhe_circuit_n_outputs(Circuit* c) {
   return static_cast<int32_t>(c->outputs.size());
 }
 
-Plan* tfhe_schedule(Circuit* c) {
+Plan* tfhe_schedule_capped(Circuit* c, int32_t cap) {
   try {
-    return tfhe_sched::circuit_schedule(c);
+    return tfhe_sched::circuit_schedule(c, cap);
   } catch (const std::exception& e) {
     auto* p = new Plan();
     p->error = std::string("schedule exception: ") + e.what();
     return p;
   }
 }
+
+// Back-compat: plain ASAP leveling (cap = 0).
+Plan* tfhe_schedule(Circuit* c) { return tfhe_schedule_capped(c, 0); }
 void tfhe_plan_free(Plan* p) { delete p; }
 const char* tfhe_plan_error(Plan* p) { return p->error.c_str(); }
 int32_t tfhe_plan_n_levels(Plan* p) {

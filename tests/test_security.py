@@ -113,3 +113,25 @@ def test_dual_cross_check_within_one_bit_of_primal():
     # noiseless flag propagates to the dual too
     nl = estimate_dual_lwe(1024, 32, 2.22e-16)
     assert nl.noiseless_discretized
+
+
+def test_v2_boolean_set_clears_128_gate_bits():
+    """SECURITY_128_BIT_V2 (VERDICT r4 #4): the estimator-pinned 32-bit
+    boolean set must clear 128 gate bits on BOTH levels, under primal
+    AND the dual cross-check, with >= 2 bits of margin; the reference-
+    parity 128bit set stays bit-identical to params.zig:350-378 (its
+    documented 126.4-bit lv1 shortfall is the reason V2 exists)."""
+    from zig_tfhe_tpu.utils.security import estimate_dual_lwe
+
+    v2 = P.SECURITY_128_BIT_V2
+    assert v2.tlwe_lv0.n == P.SECURITY_128_BIT.tlwe_lv0.n
+    assert v2.tlwe_lv0.alpha == P.SECURITY_128_BIT.tlwe_lv0.alpha
+    assert v2.N == P.SECURITY_128_BIT.N and v2.torus_bits == 32
+    est = estimate_params(v2)
+    assert est.lv0.gate_bits >= 130.0, est.lv0
+    assert est.lv1.gate_bits >= 130.0, est.lv1
+    for n, s in ((v2.tlwe_lv0.n, v2.tlwe_lv0.alpha),
+                 (v2.n1, v2.tlwe_lv1.alpha)):
+        assert estimate_dual_lwe(n, 32, s).gate_bits >= 130.0
+    # the parity set is untouched
+    assert P.SECURITY_128_BIT.tlwe_lv1.alpha == 2.0e-8

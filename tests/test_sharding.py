@@ -114,6 +114,43 @@ def test_sharded_integer_ops_bit_exact(mesh8):
     assert np.array_equal(I.decrypt_radix(out_add, sk.key_lv0), av + bv)
 
 
+def test_sharded_split_gates_bit_exact(mesh8):
+    """The 64-bit split-ring engine under a data-sharded batch must be
+    BIT-EXACT vs single-device (VERDICT r4 #6: the scan/gather/fold
+    pipeline of ops/split_ring.py had no multi-chip coverage).  Covers
+    the hi-plane int32 scan (drop=32 default) across placements."""
+    from zig_tfhe_tpu import params as P
+
+    params = P.TEST_TINY_SPLIT
+    sk = K.SecretKey.generate(jax.random.key(500), params)
+    ck = K.CloudKey.generate(jax.random.key(501), sk, params,
+                             packing_key=False)
+    rng = np.random.default_rng(12)
+    B = 8
+    bits_a = jnp.asarray(rng.integers(0, 2, B).astype(bool))
+    bits_b = jnp.asarray(rng.integers(0, 2, B).astype(bool))
+    cta = tlwe.encrypt_bool(jax.random.key(502), bits_a, 0.0, sk.key_lv0,
+                            width=64)
+    ctb = tlwe.encrypt_bool(jax.random.key(503), bits_b, 0.0, sk.key_lv0,
+                            width=64)
+    ids = jnp.asarray(rng.integers(0, len(G.GATE_NAMES), B).astype(np.int32))
+
+    ref = np.asarray(G.apply_gates(ids, cta, ctb, ck))
+
+    batch_sh = NamedSharding(mesh8, Pspec("data"))
+    repl = NamedSharding(mesh8, Pspec())
+    ck_r = jax.tree.map(lambda x: jax.device_put(x, repl), ck)
+    ids_s, cta_s, ctb_s = (jax.device_put(x, batch_sh)
+                           for x in (ids, cta, ctb))
+    with mesh8:
+        out = step_out = jax.jit(
+            lambda i, a, b: G.apply_gates(i, a, b, ck_r))(ids_s, cta_s,
+                                                          ctb_s)
+    assert np.array_equal(np.asarray(out), ref)
+    dec = np.asarray(tlwe.decrypt_bool(step_out, sk.key_lv0))
+    assert dec.shape == (B,)
+
+
 def test_sharded_radix_lut_bit_exact(mesh8):
     """The radix tree-PBS (multi-value mid layer + packing key switch +
     select rotation) under a data-sharded batch must be BIT-EXACT vs

@@ -138,11 +138,13 @@ def test_split_rotation_vs_coefficient_gather(plan):
 
 def test_cloud_key_split_shapes(ck):
     # split default: group 2 (the pair-representation subset combiner,
-    # ops/ntt.py:default_group) — [G, 2^g-1, P, 2R, 4, Nh]
+    # ops/ntt.py:default_group) — [G, 2^g-1, P, 2R, 4, Nh].  drop=32
+    # (the hi-plane scan threshold) puts the Hoeffding plan at FOUR CRT
+    # primes (ops/ntt.py:default_drop_bits derivation).
     assert ck.bsk_group == 2
-    assert ck.bsk_ntt_drop == 12
+    assert ck.bsk_ntt_drop == 32
     n0, Nh = PS.n0, PS.N // 2
-    assert ck.bsk_ntt.shape == (n0 // 2, 3, 5, 8, 4, Nh)
+    assert ck.bsk_ntt.shape == (n0 // 2, 3, 4, 8, 4, Nh)
     assert ck.bsk_ntt.dtype == jnp.int16
 
 
@@ -201,11 +203,11 @@ def test_gate_truth_tables_split(sk, ck):
 def test_gate_truth_tables_split_multibit(sk, group, shape):
     """Higher multi-bit groups stay exact — the pair-representation
     combiner is generic in g (the subset DP and the Hoeffding plan bound
-    both scale; groups 3/4 still ride the five-prime plan at drop 12)."""
+    both scale; groups 3/4 ride the same four-prime plan at drop 32)."""
     ckg = K.CloudKey.generate(jax.random.key(12 + group), sk, PS,
                               group=group)
     assert ckg.bsk_group == group
-    assert ckg.bsk_ntt.shape == shape + (5, 8, 4, PS.N // 2)
+    assert ckg.bsk_ntt.shape == shape + (4, 8, 4, PS.N // 2)
     a = jnp.array([0, 1], bool)
     b = jnp.array([1, 1], bool)
     ca = tlwe.encrypt_bool(jax.random.key(1), a, 0.0, sk.key_lv0, width=64)
@@ -300,7 +302,7 @@ def test_gate_truth_tables_split_group1(sk):
     """group=1 (classic per-bit BSK) stays exact through the same path."""
     ck1 = K.CloudKey.generate(jax.random.key(11), sk, PS, group=1)
     assert ck1.bsk_group == 1
-    assert ck1.bsk_ntt.shape == (PS.n0, 5, 8, 4, PS.N // 2)
+    assert ck1.bsk_ntt.shape == (PS.n0, 4, 8, 4, PS.N // 2)
     a = jnp.array([0, 1], bool)
     b = jnp.array([1, 1], bool)
     ca = tlwe.encrypt_bool(jax.random.key(1), a, 0.0, sk.key_lv0, width=64)
@@ -332,11 +334,59 @@ def test_gates_integer_bridge_split(sk, ck):
     assert (np.asarray(decrypt_radix(back, sk.key_lv0)) == vals).all()
 
 
-def test_packing_key_rejected_on_64bit_sets(sk):
-    """The packing key switch is 32-bit only (int32-carrier digit
-    contraction); a 64-bit set must fail LOUDLY at keygen rather than
-    silently building a garbage key."""
-    from zig_tfhe_tpu.ops.packing_keyswitch import gen_packing_ksk
+def test_hi32_scan_bit_exact_vs_generic(sk, ck):
+    """The pure-int32 hi-plane scan (drop >= 32) is an algebraic rewrite:
+    its output must match the generic int64 scan BIT-exactly at equal
+    drop (ZTFHE_SPLIT_HI32=0 forces the generic path)."""
+    import os
 
-    with pytest.raises(NotImplementedError, match="32-bit-torus only"):
-        gen_packing_ksk(jax.random.key(1), sk.key_lv1, PS)
+    from zig_tfhe_tpu.ops.split_ring import _hi32_viable, blind_rotate_split
+
+    assert _hi32_viable(PS, ck.bsk_ntt_drop, ck.bsk_bgbit, ck.bsk_levels)
+    ct = tlwe.encrypt_message(jax.random.key(21), jnp.arange(8), 16, 0.0,
+                              sk.key_lv0, width=64)
+    args = (ct, jnp.asarray(ck.testvec), ck.bsk_ntt, PS, ck.bsk_ntt_drop)
+    kw = dict(group=ck.bsk_group, levels=ck.bsk_levels, bgbit=ck.bsk_bgbit)
+    a1 = blind_rotate_split(*args, **kw)
+    os.environ["ZTFHE_SPLIT_HI32"] = "0"
+    try:
+        a2 = blind_rotate_split(*args, **kw)
+    finally:
+        del os.environ["ZTFHE_SPLIT_HI32"]
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_packing_key_built_on_64bit_sets(sk, ck):
+    """Round 4 REJECTED packing-key builds on 64-bit sets; round 5 ships
+    the width-64 packing key switch (the exact m >= 64 radix door,
+    VERDICT r4 #1).  The default cloud key now carries an int64 packing
+    key at the (8, 3) width-64 gadget."""
+    from zig_tfhe_tpu.ops.packing_keyswitch import default_packing_gadget
+
+    assert default_packing_gadget(PS) == (8, 3)
+    assert ck.pksk is not None
+    assert ck.pksk.dtype == jnp.int64
+    assert ck.pksk.shape == (PS.n1 * 3, 2, PS.N)
+    assert ck.pksk_gadget == (8, 3)
+
+
+def test_radix_lut_m64_m256_split(sk, ck):
+    """Exact m=64 and m=256 LUTs via the width-64 radix tree-PBS — the
+    capability docs/TORUS64.md §8 promises beyond the m<=32 single-shot
+    envelope.  Steep tables exceed the CIM17 ||q||_1 budget on this
+    set's gadget and take dedicated mid lanes (models/lut.py:
+    mid_norm1_budget); identity-grade tables ride the shared factored
+    rotation — both must land exactly at alpha=0."""
+    from zig_tfhe_tpu.models import lut as L
+
+    for m, f in ((64, lambda x: (3 * x + 7) % 64),
+                 (256, lambda x: (57 * x + 19) % 256)):
+        vals = (np.arange(16) * (m // 16 * 4 + 1) + 3) % m
+        ct_lo, ct_hi = L.encrypt_radix_message(
+            jax.random.key(m), jnp.asarray(vals), m, 0.0, sk.key_lv0,
+            width=64)
+        out = L.bootstrap_lut_radix(ct_lo, ct_hi, f, m, ck, ck.pksk)
+        dec = np.asarray(L.decrypt_radix_message(out, m, sk.key_lv0,
+                                                 width=64))
+        want = np.array([f(int(v)) for v in vals])
+        np.testing.assert_array_equal(dec, want), m

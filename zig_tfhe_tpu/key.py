@@ -189,13 +189,14 @@ class CloudKey:
         if packing_key:
             pksk = _gen_pksk_jit(jax.random.fold_in(key, 0x9acc), secret_key,
                                  params)
+        from zig_tfhe_tpu.ops.packing_keyswitch import default_packing_gadget
         return cls(
             testvec=testvec,
             ksk1=ksk1,
             bsk_ntt=bsk_ntt,
             bsk_ext_limbs=bsk_ext,
             pksk=pksk,
-            pksk_gadget=(params.basebit, params.iks_t) if pksk is not None
+            pksk_gadget=default_packing_gadget(params) if pksk is not None
             else None,
             params=params,
             bsk_ntt_drop=ntt_drop,
@@ -280,11 +281,15 @@ def default_packing_key(params: SecurityParams) -> bool:
     LUT routes are 1.7x faster through the packing-key tree PBS, and the
     README's headline integer numbers assume it (VERDICT r3 #4: the
     quickstart's ``a * b`` silently took the slow path without it).
-    False for the boolean sets, whose gate pipeline never packs.  Custom
-    parameter sets follow the same naming rule; pass packing_key
-    explicitly to override either way.
+    Also True for the 64-bit-torus sets: the radix tree-PBS is their
+    only exact route to m >= 64 LUTs (single-shot is modswitch-limited
+    to m <= 32, docs/TORUS64.md §9), and the integer layer's digit
+    multiplier rides the same key.  False for the 32-bit boolean sets,
+    whose gate pipeline never packs.  Custom parameter sets follow the
+    same rules; pass packing_key explicitly to override either way.
     """
-    return params.name.startswith("uint") or params.name == "tiny_uint"
+    return (params.name.startswith("uint") or params.name == "tiny_uint"
+            or params.torus_bits == 64)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))

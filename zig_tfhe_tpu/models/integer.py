@@ -327,8 +327,8 @@ def _pbs_mv_groups(rows, name_groups, ck: CloudKey):
 def encrypt_radix(key, value, n_digits: int, alpha: float, sk,
                   width: int = 32):
     """Encrypt value(s) as n_digits little-endian radix digits
-    (base follows the torus width — radix_spec: 8 at 32-bit, 16 at
-    64-bit).
+    (base 8 / M=16 at every width — see radix_spec, which carries the
+    refutation of wider base-16 digits on the 64-bit sets).
 
     value: python int or int array [...].  Returns int32 [..., n_digits,
     n0+1] (batch-first: a batch of integers is just a leading axis);
@@ -689,27 +689,31 @@ def digit_mul(x_ct, y_ct, ck: CloudKey):
     mod-8 refresh is exact.
     """
     if getattr(ck, "pksk", None) is not None:
-        # the cloud key's embedded packing key uses the parameter-set
-        # (basebit, iks_t) contract (CloudKey.generate builds it that
-        # way and stamps ck.pksk_gadget).  Validate BOTH the declared
-        # contract and the row count: a custom-gadget key with the same
-        # t but a different basebit has the RIGHT row count yet
-        # ks_decompose at params.basebit would silently decode garbage
-        # (ADVICE r3 #1).
+        # the cloud key's embedded packing key uses the per-width default
+        # gadget contract (CloudKey.generate builds it that way and
+        # stamps ck.pksk_gadget; ops/packing_keyswitch.py:
+        # default_packing_gadget).  Validate BOTH the declared contract
+        # and the row count: a custom-gadget key with the same t but a
+        # different basebit has the RIGHT row count yet ks_decompose at
+        # the default basebit would silently decode garbage (ADVICE r3
+        # #1).
+        from zig_tfhe_tpu.ops.packing_keyswitch import default_packing_gadget
+
         p = ck.params
+        want = default_packing_gadget(p)
         declared = getattr(ck, "pksk_gadget", None)
-        if declared is not None and tuple(declared) != (p.basebit, p.iks_t):
+        if declared is not None and tuple(declared) != want:
             raise ValueError(
                 f"cloud key's packing key was built at (basebit, t) = "
-                f"{tuple(declared)} but the parameter set's key-switch "
-                f"gadget is ({p.basebit}, {p.iks_t}): custom-gadget "
+                f"{tuple(declared)} but the parameter set's default "
+                f"packing gadget is {want}: custom-gadget "
                 "packing keys must be used via models/lut.py:tree_pbs "
                 "with explicit pksk_basebit/pksk_t, not attached to the "
                 "cloud key")
-        if ck.pksk.shape[0] != p.n1 * p.iks_t:
+        if ck.pksk.shape[0] != p.n1 * want[1]:
             raise ValueError(
                 f"cloud key's packing key has {ck.pksk.shape[0]} rows, "
-                f"expected n1*iks_t = {p.n1 * p.iks_t}: custom-gadget "
+                f"expected n1*t = {p.n1 * want[1]}: custom-gadget "
                 "packing keys must be used via models/lut.py:tree_pbs "
                 "with explicit pksk_basebit/pksk_t, not attached to the "
                 "cloud key")

@@ -312,7 +312,9 @@ def _factor_lut_cached(b_bytes: bytes, N: int, m: int, width: int = 32):
         # wrap exactly; quotients and coefficients stay small)
         b = np.frombuffer(b_bytes, np.int64).view(np.uint64)
         d = np.empty(N, np.uint64)
-        d[0] = b[0] + b[N - 1]
+        # wrap-exact scalar add (numpy warns on uint64 SCALAR overflow
+        # even though array ops wrap silently)
+        d[0] = np.uint64((int(b[0]) + int(b[N - 1])) & ((1 << 64) - 1))
         d[1:] = b[1:] - b[:-1]
         delta = np.uint64((1 << 64) // (2 * m))
         if np.any(d % delta):
@@ -418,12 +420,13 @@ def apply_factored(acc, offsets, coeffs):
 
 
 def encrypt_radix_message(key, message, message_modulus: int, alpha: float,
-                          sk):
+                          sk, width: int = 32):
     """Encrypt messages of modulus m > 16 as (lo, hi) digit ciphertexts.
 
     lo = message mod 16 at modulus 16; hi = message // 16 at modulus m/16.
     message: int or int array [B].  Returns (ct_lo, ct_hi), each
-    int32 [B, n0+1] (scalars get a singleton batch axis).
+    carrier [B, n0+1] (scalars get a singleton batch axis).  width=64
+    for the 64-bit-torus sets (params.torus_bits).
     """
     m = message_modulus
     if m & (m - 1) or not 32 <= m <= 256:
@@ -433,17 +436,17 @@ def encrypt_radix_message(key, message, message_modulus: int, alpha: float,
             f"grid and the packing blocks must divide N)")
     msg = jnp.atleast_1d(jnp.asarray(message, jnp.int32)) % m
     k_lo, k_hi = jax.random.split(key)
-    ct_lo = _tlwe.encrypt_message(k_lo, msg % 16, 16, alpha, sk)
-    ct_hi = _tlwe.encrypt_message(k_hi, msg // 16, m // 16, alpha, sk)
+    ct_lo = _tlwe.encrypt_message(k_lo, msg % 16, 16, alpha, sk, width)
+    ct_hi = _tlwe.encrypt_message(k_hi, msg // 16, m // 16, alpha, sk, width)
     return ct_lo, ct_hi
 
 
-def decrypt_radix_message(cts, message_modulus: int, sk):
+def decrypt_radix_message(cts, message_modulus: int, sk, width: int = 32):
     """Inverse of encrypt_radix_message: (ct_lo, ct_hi) -> int [B]."""
     m = message_modulus
     ct_lo, ct_hi = cts
-    lo = _tlwe.decrypt_message(ct_lo, 16, sk)
-    hi = _tlwe.decrypt_message(ct_hi, m // 16, sk)
+    lo = _tlwe.decrypt_message(ct_lo, 16, sk, width)
+    hi = _tlwe.decrypt_message(ct_hi, m // 16, sk, width)
     return (lo + 16 * hi) % m
 
 
@@ -463,7 +466,8 @@ def radix_lut_testvecs(f: Callable[[int], int], message_modulus: int,
     m = message_modulus
     m_hi = m // 16
     gen = Generator.new(16, params)
-    tvs = np.zeros((2, m_hi, 2, params.N), np.int32)
+    tvs = np.zeros((2, m_hi, 2, params.N),
+                   np.int32 if params.torus_bits == 32 else np.int64)
     for h in range(m_hi):
         lo = gen.generate_lookup_table(
             lambda xl, h=h: f(16 * h + xl) % 16)
@@ -517,6 +521,68 @@ def _use_interleave() -> bool:
     return os.environ.get("ZTFHE_NO_INTERLEAVE", "") not in ("1", "true")
 
 
+def mid_norm1_budget(ck: CloudKey) -> float:
+    """Max ||q||_1 a factored (CIM17) mid-layer table may carry in
+    tree_pbs before its lane falls back to a dedicated blind rotation.
+
+    The factored route multiplies the mid rotation's AMPLITUDE error by
+    ||q||_1, and that product lands on the packed VALUE the select
+    rotation decodes against the modulus-16 half-bin (2^-6 of the
+    torus).  Two truncation terms make up that amplitude (docs/NOISE.md
+    §6 pins both; the t64 bisect reproduced the a-term live: a steep
+    ||q||_1 = 86 table flips bins on the alpha=0 tiny split set exactly
+    as the model predicts):
+
+        sigma_b = 2^-(e*lb+1) * sqrt(steps)            (bare b-remainder)
+        sigma_a = 2^-(e*la+1) * sqrt(N/6) * sqrt(steps) (a-remainder,
+                  key-convolved: the ~sqrt(N/2) binary-key amplification)
+
+    Budget: after reserving the pipeline's fixed noise (the lv1->lv0
+    key switch, sigma_KS = sqrt(n1 * t * B^2/12) * ksk_alpha — the
+    dominant fixed term at every secure set) out of a 4.5-sigma target,
+
+        budget = sqrt((2^-6 / 4.5)^2 - sigma_KS^2)
+                 / sqrt(sigma_a^2 + sigma_b^2).
+
+    32-bit sets return inf: their measured-exact radix envelope runs on
+    the uint family's deep parameter gadgets (e*lb >= 22, sigma_b ~
+    2^-17) where every table factors with orders-of-magnitude margin —
+    the budget machinery exists for the 64-bit sets' coarser bg8/(3,2)
+    engine gadget (sigma_b ~ 2^-12.7 at SECURITY_128_BIT_T64: identity/
+    carry tables with ||q||_1 <= ~21 still ride the single shared
+    rotation; steep multiply tables get exact dedicated lanes).
+    ZTFHE_MID=factored|dedicated overrides (trace-time semantics).
+    """
+    import math
+    import os
+
+    mode = os.environ.get("ZTFHE_MID", "")
+    if mode == "factored":
+        return math.inf
+    if mode == "dedicated":
+        return -1.0
+    params = ck.params
+    if params.torus_bits == 32:
+        return math.inf
+    e = ck.bsk_bgbit if ck.bsk_bgbit is not None else params.bgbit
+    levels = ck.bsk_levels
+    la = levels[0] if levels is not None else params.L
+    lb = levels[1] if levels is not None else params.L
+    steps = -(-params.n0 // max(ck.bsk_group, 1))
+    sigma_b = 2.0 ** -(e * lb + 1) * math.sqrt(steps)
+    sigma_a = (2.0 ** -(e * la + 1) * math.sqrt(params.N / 6.0)
+               * math.sqrt(steps))
+    sigma_b = math.sqrt(sigma_a * sigma_a + sigma_b * sigma_b)
+    base = 1 << params.basebit
+    sigma_ks = math.sqrt(params.n1 * params.iks_t * base * base / 12.0) \
+        * params.ksk_alpha
+    target = (1.0 / 64.0) / 4.5
+    avail_sq = target * target - sigma_ks * sigma_ks
+    if avail_sq <= 0:
+        return -1.0
+    return math.sqrt(avail_sq) / sigma_b
+
+
 def tree_pbs(ct_in, ct_sel, tvs, n_blocks: int, ck: CloudKey, pksk,
              pksk_basebit: int | None = None, pksk_t: int | None = None):
     """Generic two-layer tree PBS: F output families, H hypotheses.
@@ -567,10 +633,32 @@ def tree_pbs(ct_in, ct_sel, tvs, n_blocks: int, ck: CloudKey, pksk,
 
     factored = [factor_lut(tvs[fam, h], 16)
                 for fam in range(F) for h in range(H)]
-    base = jnp.asarray(multi_lut_base(16, N))
-    acc = blind_rotate(ct_in, base, ck, params)               # [B, 2, N]
-    outs = jnp.stack([apply_factored(acc, o, c) for o, c, _ in factored],
-                     axis=1)                                  # [B, F*H, 2, N]
+    # Mid-layer routing (the 64-bit door): CIM17 amplifies the rotation's
+    # amplitude error by ||q||_1, so tables beyond the budget take an
+    # exact dedicated rotation lane instead (mid_norm1_budget; on 32-bit
+    # sets the budget is inf and this is the shipped factored-only path).
+    budget = mid_norm1_budget(ck)
+    use_fact = [norm1 <= budget for _, _, norm1 in factored]
+    acc = None
+    if any(use_fact):
+        base = jnp.asarray(multi_lut_base(16, N, params.torus_bits))
+        acc = blind_rotate(ct_in, base, ck, params)           # [B, 2, N]
+    ded_idx = [i for i, u in enumerate(use_fact) if not u]
+    ded_out = None
+    if ded_idx:
+        D = len(ded_idx)
+        tvs_flat = tvs.reshape(F * H, 2, N)
+        tv_ded = jnp.asarray(np.stack([tvs_flat[i] for i in ded_idx]))
+        tv_rep = jnp.broadcast_to(tv_ded[:, None], (D, B, 2, N))
+        ct_rep = jnp.broadcast_to(ct_in[None], (D,) + ct_in.shape)
+        ded_out = blind_rotate(ct_rep.reshape(D * B, -1),
+                               tv_rep.reshape(D * B, 2, N), ck,
+                               params).reshape(D, B, 2, N)
+    pos = {i: k for k, i in enumerate(ded_idx)}
+    lanes = [apply_factored(acc, factored[i][0], factored[i][1])
+             if use_fact[i] else ded_out[pos[i]]
+             for i in range(F * H)]
+    outs = jnp.stack(lanes, axis=1)                           # [B, F*H, 2, N]
     lv1 = _trlwe.sample_extract(outs.reshape(B * F * H, 2, N), 0)
     lv1 = lv1.reshape(B, F, H, N + 1)
     if H < n_blocks:                                          # pad blocks
@@ -618,7 +706,8 @@ def bootstrap_lut_bivariate(ct_x, ct_y, f2: Callable[[int, int], int],
         raise ValueError(f"bivariate output modulus <= 16, got {out_modulus}")
     params = ck.params
     gen = Generator.new(16, params)
-    tvs = np.zeros((1, y_modulus, 2, params.N), np.int32)
+    tvs = np.zeros((1, y_modulus, 2, params.N),
+                   np.int32 if params.torus_bits == 32 else np.int64)
     for h in range(y_modulus):
         tvs[0, h] = gen.generate_lookup_table(
             lambda x, h=h: f2(x, h) % out_modulus).poly

@@ -42,13 +42,15 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        proc = subprocess.run(["make", "-C", _NATIVE_DIR],
-                              capture_output=True, text=True)
-        if proc.returncode != 0:
-            raise RuntimeError(
-                f"building the native circuit scheduler failed (needs make "
-                f"and a C++17 compiler):\n{proc.stdout}\n{proc.stderr}")
+    # make is incremental (mtime): a fresh checkout builds, an up-to-date
+    # .so is a no-op, and a stale .so (older than scheduler.cc) rebuilds —
+    # the existence-only check once kept a pre-super-level binary loaded
+    proc = subprocess.run(["make", "-C", _NATIVE_DIR],
+                          capture_output=True, text=True)
+    if proc.returncode != 0 and not os.path.exists(_LIB_PATH):
+        raise RuntimeError(
+            f"building the native circuit scheduler failed (needs make "
+            f"and a C++17 compiler):\n{proc.stdout}\n{proc.stderr}")
     lib = ctypes.CDLL(_LIB_PATH)
     lib.tfhe_circuit_new.restype = ctypes.c_void_p
     lib.tfhe_circuit_parse_bristol.restype = ctypes.c_void_p
@@ -65,6 +67,8 @@ def _load():
         getattr(lib, f).restype = ctypes.c_int32
     lib.tfhe_schedule.restype = ctypes.c_void_p
     lib.tfhe_schedule.argtypes = [ctypes.c_void_p]
+    lib.tfhe_schedule_capped.restype = ctypes.c_void_p
+    lib.tfhe_schedule_capped.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.tfhe_plan_error.restype = ctypes.c_char_p
     lib.tfhe_plan_error.argtypes = [ctypes.c_void_p]
     for f in ("tfhe_plan_n_levels", "tfhe_plan_n_gates", "tfhe_plan_n_slots",
@@ -184,8 +188,23 @@ def parse_bristol(text: str) -> Plan:
         lib.tfhe_circuit_free(c)
 
 
+def _super_level_cap() -> int:
+    """Rotation-lane budget per super-level (native list scheduler).
+
+    Default: the measured ~2048-lane throughput knee — ASAP levels'
+    ragged tails (a 7-gate level dispatches a 7-lane rotation whose
+    wall-clock matches a 2048-lane one) cost ~30% on the Bristol 64x64
+    bench at B=1; slack-priority packing tops narrow levels up with
+    deferred gates from wide ones, pushing the dispatch count toward
+    the critical-path depth.  ZTFHE_SUPER_LEVEL overrides; 0 restores
+    plain ASAP leveling (the round-4 reference behavior).  Read at
+    schedule time (the resulting Plan bakes it in).
+    """
+    return int(os.environ.get("ZTFHE_SUPER_LEVEL", "2048"))
+
+
 def _schedule_circuit_handle(lib, c) -> Plan:
-    p = lib.tfhe_schedule(c)
+    p = lib.tfhe_schedule_capped(c, _super_level_cap())
     plan = _plan_from_native(lib, p)
     lib.tfhe_plan_free(p)
     _check_no_unresolved_slots(plan)
@@ -218,6 +237,17 @@ def _pad_pow2(n: int) -> int:
     return p
 
 
+def _pad_bucket(n: int) -> int:
+    """Gate-lane padding bucket: pow2 up to 256, multiples of 128 above.
+
+    Pure pow2 padding costs a measured +21% lane waste on the Bristol
+    64x64 plan (1073-gate levels pad to 2048); multiple-of-128 buckets
+    cut that to +8% at ~13 distinct compile signatures.  Below 256 the
+    pow2 grid keeps the signature count tiny where waste is cheap.
+    """
+    return _pad_pow2(n) if n <= 256 else -(-n // 128) * 128
+
+
 def _pack_level(lvl: np.ndarray, trash: int) -> dict:
     """Pad one level's lanes to power-of-two widths (trash-slot lanes) so
     the jitted level step's compile is shared across levels with the same
@@ -226,7 +256,7 @@ def _pack_level(lvl: np.ndarray, trash: int) -> dict:
     gate lanes' outputs are never read)."""
     out = {}
     two = lvl[lvl[:, 0] < 100]
-    k = _pad_pow2(len(two)) if len(two) else 0
+    k = _pad_bucket(len(two)) if len(two) else 0
     ids = np.zeros(k, np.int32)
     s0 = np.zeros(k, np.int32)
     s1 = np.zeros(k, np.int32)
@@ -327,14 +357,14 @@ def _level_chunk_lanes() -> int:
     return int(os.environ.get("ZTFHE_LEVEL_CHUNK", "2048"))
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _run_level(arena, ck, two, mux, nots, copies, c0, c1):
-    """One level chunk as ONE jitted dispatch over the slot arena.
+def _level_body(arena, ck, two, mux, nots, copies, c0, c1):
+    """One level's arena update (shared by the per-level dispatch and the
+    scan-run body).
 
-    arena: int32 [n_slots+1, B, n0+1] (donated; last row is trash).
-    Lane groups are the padded index tuples from _pack_level.  Group
-    presence is a static shape property, so empty groups trace away and
-    the compile is keyed on the padded-width signature only.
+    arena: carrier [n_slots+1, B, n0+1] (last row is trash).  Lane
+    groups are the padded index tuples from _pack_level.  Group presence
+    is a static shape property, so empty groups trace away and the
+    compile is keyed on the padded-width signature only.
     """
     n0 = arena.shape[-1] - 1
     B = arena.shape[1]
@@ -364,15 +394,97 @@ def _run_level(arena, ck, two, mux, nots, copies, c0, c1):
     return arena
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _run_level(arena, ck, two, mux, nots, copies, c0, c1):
+    """One level chunk as ONE jitted dispatch over the slot arena."""
+    return _level_body(arena, ck, two, mux, nots, copies, c0, c1)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _run_levels_scan(arena, ck, two, nots, copies, c0, c1):
+    """A RUN of consecutive equal-width levels as ONE dispatch.
+
+    The Bristol 64x64 tail is ~30 narrow levels; dispatched one by one,
+    each pays the remote-dispatch floor (~28 ms measured on the axon
+    tunnel) on a rotation far below the throughput knee — the measured
+    ~30% B=1 gap.  Levels whose padded group widths agree stack on a
+    leading L axis and run as ONE ``lax.scan`` dispatch (the level
+    index arrays are the xs; the arena is the carry), so a whole
+    equal-width run pays the dispatch floor once.  Compile is keyed on
+    the (L, widths, B) signature — the bucket grid (_pad_bucket) keeps
+    the signature count small.  MUX levels stay on the per-level path
+    (rare; they would double the scan body for every run).
+    """
+    def body(ar, xs):
+        t, n, cp, z0, z1 = xs
+        mux = (jnp.zeros((0,), jnp.int32),) * 4
+        return _level_body(ar, ck, t, mux, n, cp, z0, z1), None
+
+    arena, _ = jax.lax.scan(body, arena, (two, nots, copies, c0, c1))
+    return arena
+
+
+_FREE_CAP = 32    # not/copy lanes a scan-run level may carry (padded width)
+_CONST_CAP = 16   # const lanes likewise
+
+
+def _coalesce_runs(units: list[dict]) -> list[list[dict]]:
+    """Group consecutive dispatch units into scan-runs.
+
+    Units join a run when they have NO mux lanes, EQUAL two-gate widths,
+    and free-op groups within the fixed scan caps (padded there).  Runs
+    of length >= 2 dispatch via _run_levels_scan; singletons keep the
+    per-level path.  Correctness: scanned levels execute in the same
+    order with the same arena semantics — only the dispatch granularity
+    changes.
+    """
+    runs: list[list[dict]] = []
+    for g in units:
+        ok = (g["mux"][0].shape[0] == 0
+              and g["not"][0].shape[0] <= _FREE_CAP
+              and g["copy"][0].shape[0] <= _FREE_CAP
+              and g["c0"][0].shape[0] <= _CONST_CAP
+              and g["c1"][0].shape[0] <= _CONST_CAP)
+        if (ok and runs
+                and runs[-1][0]["two"][0].shape[0] == g["two"][0].shape[0]
+                and runs[-1][0].get("_scan_ok")):
+            runs[-1].append(dict(g, _scan_ok=True))
+        else:
+            runs.append([dict(g, _scan_ok=ok)])
+    return runs
+
+
+def _stack_run(run: list[dict], trash: int):
+    """Stack a run's units into [L, width] xs arrays (frees padded to the
+    scan caps: pad lanes read slot 0 and write the trash row)."""
+    def pad_to(a, k, fill):
+        out = np.full(k, fill, np.int32)
+        out[: len(a)] = a
+        return out
+
+    two = tuple(jnp.asarray(np.stack([u["two"][i] for u in run]))
+                for i in range(4))
+    frees = {}
+    for name, cap in (("not", _FREE_CAP), ("copy", _FREE_CAP)):
+        src = np.stack([pad_to(u[name][0], cap, 0) for u in run])
+        out = np.stack([pad_to(u[name][1], cap, trash) for u in run])
+        frees[name] = (jnp.asarray(src), jnp.asarray(out))
+    for name in ("c0", "c1"):
+        out = np.stack([pad_to(u[name][0], _CONST_CAP, trash) for u in run])
+        frees[name] = (jnp.asarray(out),)
+    return two, frees["not"], frees["copy"], frees["c0"], frees["c1"]
+
+
 def evaluate(plan: Plan, input_cts, ck: CloudKey):
     """Evaluate a scheduled circuit over encrypted inputs.
 
-    input_cts: int32 [n_inputs, n0+1] in plan input order, or
-    [n_inputs, B, n0+1] to run the SAME plan over a batch of B client
-    input sets (the serving mode: every level's gates fuse across the
-    whole batch, so per-client cost rides the batched-bootstrap
-    throughput curve instead of the circuit's own width).
-    Returns int32 [n_outputs, n0+1] (or [n_outputs, B, n0+1]).
+    input_cts: carrier [n_inputs, n0+1] in plan input order (int32 on
+    32-bit sets, int64 on 64-bit), or [n_inputs, B, n0+1] to run the
+    SAME plan over a batch of B client input sets (the serving mode:
+    every level's gates fuse across the whole batch, so per-client cost
+    rides the batched-bootstrap throughput curve instead of the
+    circuit's own width).
+    Returns carrier [n_outputs, n0+1] (or [n_outputs, B, n0+1]).
 
     Each level runs as a handful of jitted dispatches (_run_level): its
     two-input gates as apply_gates batches, MUX lanes as batched
@@ -385,27 +497,40 @@ def evaluate(plan: Plan, input_cts, ck: CloudKey):
     execution (the round-4 fix that took the Bristol 64x64 multiplier
     from ~10 s/level eager to ms-scale).
     """
+    from zig_tfhe_tpu.utils.torus import carrier_dtype
+
     n0 = ck.params.n0
     input_cts = jnp.asarray(input_cts)
     batched = input_cts.ndim == 3
     B = input_cts.shape[1] if batched else 1
     if not batched:
         input_cts = input_cts[:, None]
-    # arena [n_slots+1, B, n0+1]; slot n_slots is the trash row
-    arena = jnp.zeros((plan.n_slots + 1, B, n0 + 1), jnp.int32)
+    # arena [n_slots+1, B, n0+1]; slot n_slots is the trash row.  The
+    # carrier dtype follows the parameter set (int64 on 64-bit-torus
+    # sets) — an int32 arena would silently downcast 64-bit inputs at
+    # .at[].set() and die mid-circuit with blind_rotate's width error
+    # (ADVICE r4 #1); gates/mux/constant are already width-general.
+    arena = jnp.zeros((plan.n_slots + 1, B, n0 + 1),
+                      carrier_dtype(ck.params.torus_bits))
     trash = plan.n_slots
     arena = arena.at[jnp.asarray(plan.input_slots)].set(input_cts)
 
-    for lvl in plan.levels:
-        for g in _chunk_level(_pack_level(lvl, trash), B):
-            arena = _run_level(
-                arena, ck,
-                tuple(jnp.asarray(a) for a in g["two"]),
-                tuple(jnp.asarray(a) for a in g["mux"]),
-                tuple(jnp.asarray(a) for a in g["not"]),
-                tuple(jnp.asarray(a) for a in g["copy"]),
-                tuple(jnp.asarray(a) for a in g["c0"]),
-                tuple(jnp.asarray(a) for a in g["c1"]))
+    units = [g for lvl in plan.levels
+             for g in _chunk_level(_pack_level(lvl, trash), B)]
+    for run in _coalesce_runs(units):
+        if len(run) >= 2:
+            two, nots, copies, c0, c1 = _stack_run(run, trash)
+            arena = _run_levels_scan(arena, ck, two, nots, copies, c0, c1)
+            continue
+        g = run[0]
+        arena = _run_level(
+            arena, ck,
+            tuple(jnp.asarray(a) for a in g["two"]),
+            tuple(jnp.asarray(a) for a in g["mux"]),
+            tuple(jnp.asarray(a) for a in g["not"]),
+            tuple(jnp.asarray(a) for a in g["copy"]),
+            tuple(jnp.asarray(a) for a in g["c0"]),
+            tuple(jnp.asarray(a) for a in g["c1"]))
 
     outs = arena[jnp.asarray(plan.output_slots)]
     return outs if batched else outs[:, 0]

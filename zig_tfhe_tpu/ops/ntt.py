@@ -466,13 +466,20 @@ def default_drop_bits(params: SecurityParams, group: int = 1,
     if params.N < 1024:
         return 0
     if params.split_ring:
-        # 64-bit torus on the 74.8-bit five-prime pool: the worst-case
-        # group-1 bound 2*(la+lb)*N*(Bg/2)*2^(63-drop) = 2^(84-drop) at
-        # bg8/(2,2) needs drop >= 12 to fit (2^72 + 2 CRT margin bits);
-        # rounding amplitude 2^(bgbit-1)*2^12 = 2^19 is 2^-45 of the
-        # 64-bit torus — noise-wise negligible against the 2^60 decrypt
-        # margin (docs/TORUS64.md §4 bound check).
-        return 12
+        # 64-bit torus: drop = 32 so the whole scan body runs on int32
+        # hi planes (ops/split_ring.py hi-plane scan — every per-step
+        # delta is then a multiple of 2^32 and the accumulator's low
+        # word is scan-invariant; the round-4 trace charged ~51% of
+        # split-engine step time to emulated-int64 elementwise work).
+        # Plan: the key bound 2^31 puts the Hoeffding tau at ~2^50
+        # (group 2, bg8/(3,2)) -> a FOUR-prime plan vs five at the old
+        # drop=12 (~20% fewer matmul passes).  Noise: key-rounding
+        # residuals sum to sigma ~ sqrt(T)*(Bg/2)*2^31/sqrt(3) per step,
+        # ~2^-15 of the torus over the 384-step t64 scan — negligible
+        # against its 2^-9.4 key-switch floor; the deterministic worst
+        # case stays ~2^-8 even on the alpha=0 tiny split set, inside
+        # every margin (gates stay decrypt-exact, asserted in tests).
+        return 32
     # The rounding error per external product scales with the digit
     # magnitude Bg/2 = 2^(bgbit-1): keep (Bg/2 * 2^drop) at the validated
     # boolean-set level (bgbit=6 -> drop 6/7).  Uint sets with large Bg

@@ -39,6 +39,8 @@ noise-headroom demand, not for throughput).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -47,6 +49,7 @@ from zig_tfhe_tpu.ops import ntt as _ntt
 from zig_tfhe_tpu.ops.blind_rotate import modswitch, _decompose_to_rows
 from zig_tfhe_tpu.ops.poly import negacyclic_rotate
 from zig_tfhe_tpu.params import SecurityParams
+from zig_tfhe_tpu.utils.torus import shift_right_logical, to_i32
 
 
 def split(x):
@@ -164,8 +167,9 @@ def rotate_combine_multi_split(us, ts, plan: _ntt.NTTPlan):
     2^31; the y-product x1 y2 + y1 x2 <= 2 * 31884^2 = 2.03e9; the apply
     x u_e + psi1 * barrett(y u_o) <= 31884 * 34650 + 31501 * 31884 =
     2.11e9 — all int32-safe with one inner barrett on the y-side
-    products.  The <= 2^g - 1 reduced subset terms sum to < 2^18 before
-    one final barrett per output plane.
+    products.  The <= 2^g - 1 reduced subset terms sum to at most
+    (2^g - 1) * (p/2 + 384) <= 15 * 31884 ~ 2^18.9 at g=4 (~2^17.9 at
+    the g<=3 configs) before one final barrett per output plane.
     """
     g = len(ts)
     Nh = plan.N
@@ -245,6 +249,94 @@ def gen_bootstrapping_key_ntt_split(key, values, sk_poly,
     return folded
 
 
+# ---------------------------------------------------------------------------
+# Hi-plane (pure-int32) scan: the 64-bit scan body without int64 emulation
+# ---------------------------------------------------------------------------
+#
+# The round-4 device trace attributed ~51% of split-engine step time to
+# int64 ELEMENTWISE work (decompose / CRT combine / accumulator update) —
+# the axon TPU backend emulates every s64 elementwise op as a pair-of-int32
+# carry chain.  Observation: with the BSK rounded by drop >= 32 bits, every
+# per-step delta is delta_true * 2^drop — a multiple of 2^32 — so the
+# accumulator's LOW 32 bits never change across the scan.  When additionally
+# every decomposition shift and offset bit sits at position >= 32 (true for
+# both in-tree split gadgets: bg8 x (3,2) -> lowest touched bit 39, bg8 x
+# (2,2) -> 47), the entire scan body is a function of the hi-32 planes only:
+#
+#   * decompose: the 64-bit (acc + offset) >> s at s >= 32 equals the
+#     32-bit (acc_hi + (offset >> 32)) >> (s - 32) EXACTLY (the offset has
+#     no bits below 32, so the low word contributes no carry);
+#   * CRT combine: only delta mod 2^32 survives the << drop, so the
+#     centered-exact CRT lift runs at width 32 (int32 muls — and the
+#     drop >= 32 key bound shrinks the Hoeffding plan from five CRT primes
+#     to FOUR: ~20% fewer matmul passes);
+#   * accumulate: acc_hi += delta32 << (drop - 32), an int32 wrapping add.
+#
+# The scan carry is int32 [B, 2, 2, Nh]; the low word is re-attached once
+# after the scan.  Bit-exact vs the generic int64 path at equal drop
+# (asserted by tests/test_split_ring.py); ZTFHE_SPLIT_HI32=0 forces the
+# generic path.  The noise price of drop=32 itself is negligible — key-
+# rounding residuals accumulate to sigma ~2^-15 of the torus at
+# SECURITY_128_BIT_T64 vs its 2^-9.4 key-switch floor (ops/ntt.py:
+# default_drop_bits derivation).
+
+
+def _hi32_offsets(params: SecurityParams, e: int, levels):
+    """The full-width decomposition offsets _decompose_to_rows uses
+    (center=True semantics of ops/decomposition.py:gadget_decompose),
+    per component: (off_a, off_b) as Python ints mod 2^w."""
+    from zig_tfhe_tpu.ops.decomposition import gadget_offset
+
+    w = params.torus_bits
+    la, lb = levels
+
+    def off_for(lv):
+        if e == params.bgbit:
+            off = params.decomposition_offset
+            if lv == params.L and params.L * e < w:
+                off = (off + (1 << (w - params.L * e - 1))) % (1 << w)
+            return off
+        return gadget_offset(e, w // e, w)
+
+    return off_for(la), off_for(lb)
+
+
+def _hi32_viable(params: SecurityParams, drop_bits: int, e: int,
+                 levels) -> bool:
+    """True when the scan can run entirely on int32 hi planes."""
+    if params.torus_bits != 64 or drop_bits < 32:
+        return False
+    if os.environ.get("ZTFHE_SPLIT_HI32", "") in ("0", "false"):
+        return False
+    la, lb = levels
+    if params.torus_bits - max(la, lb) * e < 32:
+        return False        # a digit shift would read below bit 32
+    off_a, off_b = _hi32_offsets(params, e, levels)
+    # an offset bit below 32 would make the low word carry into the hi
+    # plane (the engine-override branch at w//e levels has such bits)
+    return off_a % (1 << 32) == 0 and off_b % (1 << 32) == 0
+
+
+def _rows_hi32(acc_hi, params: SecurityParams, e: int, levels):
+    """Hi-plane gadget decomposition: int32 [B, 2, 2, Nh] -> row-stacked
+    digits int32 [B, 2R, Nh] ((r, q_in) row order, matching
+    _decompose_to_rows + the fold_key_split layout).  Digit-exact vs the
+    64-bit decomposition under the _hi32_viable conditions."""
+    la, lb = levels
+    off_a, off_b = _hi32_offsets(params, e, levels)
+    mask = jnp.int32((1 << e) - 1)
+    half = jnp.int32(1 << (e - 1))
+
+    def digs(x, off, lv):
+        tmp = x + jnp.int32(to_i32(off >> 32))
+        return [(shift_right_logical(tmp, 32 - (i + 1) * e) & mask) - half
+                for i in range(lv)]
+
+    rows = digs(acc_hi[:, 0], off_a, la) + digs(acc_hi[:, 1], off_b, lb)
+    r = jnp.stack(rows, axis=1)                  # [B, R, 2, Nh]
+    return r.reshape(r.shape[0], 2 * (la + lb), r.shape[-1])
+
+
 def blind_rotate_split(tlwe_batch, testvec, bsk_split,
                        params: SecurityParams, drop_bits: int,
                        unroll: int = 1, group: int = 1, levels=None,
@@ -295,47 +387,74 @@ def blind_rotate_split(tlwe_batch, testvec, bsk_split,
     acc_full = negacyclic_rotate(testvec, b_tilda)       # [B, 2, N]
     acc = split(acc_full)                                # [B, 2, 2, Nh]
 
-    a_cols = jnp.swapaxes(tlwe_batch[..., :n0], 0, 1)    # [n0, B]
+    hi32 = _hi32_viable(params, drop_bits, e, levels)
+    acc_lo = None
+    if hi32:
+        # low word is scan-invariant (every delta is a multiple of 2^32);
+        # carry only the hi-32 planes, as int32
+        acc_lo = acc & jnp.int64(0xFFFFFFFF)             # [0, 2^32), int64
+        acc = jax.lax.shift_right_arithmetic(
+            acc, jnp.int64(32)).astype(jnp.int32)        # [B, 2, 2, Nh] i32
+
+    # modswitch hoisted out of the scan: with hi32 the step body then
+    # touches no int64 value at all
+    t_cols = modswitch(jnp.swapaxes(tlwe_batch[..., :n0], 0, 1),
+                       params)                           # [n0, B] int32
 
     def fwd(acc):
-        rows = _decompose_to_rows(acc.reshape(B, 2, N), params, levels,
-                                  bgbit=e)               # [B, R, N]
-        rows = rows.reshape(B, n_rows * 2, Nh)           # (r, q_in) rows
+        if hi32:
+            rows = _rows_hi32(acc, params, e, levels)    # [B, 2R, Nh]
+        else:
+            rows = _decompose_to_rows(acc.reshape(B, 2, N), params, levels,
+                                      bgbit=e)           # [B, R, N]
+            rows = rows.reshape(B, n_rows * 2, Nh)       # (r, q_in) rows
         return _ntt.ntt_forward(rows, plan, e_limbs, dbound)
 
     def finish(acc, v):
+        if hi32:
+            delta = _ntt.ntt_inverse_to_crt(v, plan, 32)  # conv mod 2^32
+            if drop_bits > 32:
+                delta = jax.lax.shift_left(delta, jnp.int32(drop_bits - 32))
+            return acc + delta
         delta = _ntt.ntt_inverse_to_crt(v, plan, w)      # int64
         if drop_bits:
             delta = jax.lax.shift_left(delta, jnp.asarray(drop_bits,
                                                           delta.dtype))
         return acc + delta
 
+    def reattach(acc):
+        if hi32:
+            acc = jax.lax.shift_left(acc.astype(jnp.int64),
+                                     jnp.int64(32)) + acc_lo
+        return unsplit(acc)                              # [B, 2, N]
+
     if group == 1:
         def step(acc, xs):
-            bsk_i, a_col = xs              # [P, 2R, 4, Nh], [B]
-            t = modswitch(a_col, params)   # [B] in [0, 2N]
+            bsk_i, t = xs                  # [P, 2R, 4, Nh], [B] in [0, 2N]
             u = _ntt.pointwise_extprod(fwd(acc), bsk_i, plan)
             v = rotate_minus1_split(u, t, plan)          # [B, 2, 2, Nh]
             return finish(acc, v), None
 
-        acc, _ = jax.lax.scan(step, acc, (bsk_split, a_cols), unroll=unroll)
-        return unsplit(acc)                              # [B, 2, N]
+        acc, _ = jax.lax.scan(step, acc, (bsk_split, t_cols), unroll=unroll)
+        return reattach(acc)
 
     G = bsk_split.shape[0]
-    if a_cols.shape[0] < group * G:                      # ragged n0: pad a=0
-        a_cols = jnp.concatenate(
-            [a_cols, jnp.zeros((group * G - n0, B), a_cols.dtype)])
-    a_grps = a_cols.reshape(G, group, B)
+    if t_cols.shape[0] < group * G:                      # ragged n0 padding
+        # t=0 == modswitch(a=0) (the identity rotation), matching the
+        # pre-hoist behavior; the padded BSK slots are TRGSW(0) no-ops
+        t_cols = jnp.concatenate(
+            [t_cols, jnp.zeros((group * G - n0, B), t_cols.dtype)])
+    t_grps = t_cols.reshape(G, group, B)
 
     def step_multi(acc, xs):
-        bsk_g, a_grp = xs          # [2^g-1, P, 2R, 4, Nh], [g, B]
-        ts = [modswitch(a_grp[j], params) for j in range(group)]
+        bsk_g, t_grp = xs          # [2^g-1, P, 2R, 4, Nh], [g, B]
+        ts = [t_grp[j] for j in range(group)]
         d_hat = fwd(acc)
         us = [_ntt.pointwise_extprod(d_hat, bsk_g[m], plan)
               for m in range((1 << group) - 1)]
         v = rotate_combine_multi_split(us, ts, plan)
         return finish(acc, v), None
 
-    acc, _ = jax.lax.scan(step_multi, acc, (bsk_split, a_grps),
+    acc, _ = jax.lax.scan(step_multi, acc, (bsk_split, t_grps),
                           unroll=unroll)
-    return unsplit(acc)
+    return reattach(acc)

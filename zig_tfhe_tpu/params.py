@@ -263,8 +263,10 @@ TEST_TINY64 = _sp("tiny64", 0, "INSECURE tiny 64-bit-torus test-only parameters"
 # docs/TORUS64.md §4).  NOT SECURE (n0=8).  Margins: modswitch phase error
 # <= (n0+1)/(4N) = 9/8192, gadget truncation 2^(64-L*bgbit) = 2^48
 # statistical amplitude ~sqrt(N/2)*2^47 ~ 2^52 (2^-12 of the torus), BSK
-# rounding at the engine's default drop=12 a deterministic |conv| <=
-# R*N*(Bg/2)*2^11 = 2^32 (2^-32 relative), KS truncation
+# rounding at the engine's default drop=32 (the hi-plane-scan threshold)
+# a deterministic |conv| <= R*N*(Bg/2)*2^31 ~ 2^52 (2^-12 relative per
+# step, ~2^-8 worst-case over the 4-step scan; statistically ~2^-17), KS
+# truncation
 # 2^(64-1-basebit*iks_t) with n1=2048 -> ~2^-14 relative — all far inside
 # the 1/16 gate margin.  Requires jax_enable_x64.
 TEST_TINY_SPLIT = _sp("tiny_split", 0,
@@ -284,8 +286,9 @@ TEST_TINY_SPLIT = _sp("tiny_split", 0,
 # KS sqrt(2048*12*1.5)*2^-17 = 2^-9.4, modswitch sqrt(768/12)/4096 =
 # 2^-9.2, a-side gadget truncation (key-amplified: rho_a enters as
 # s * rho_a, a sqrt(N/2) x sqrt(steps) amplification) 2^-25 * 18.5 *
-# 19.6 = 2^-16.5, b-side 2^-13.5, BSK accumulation 2^-32 -> total sigma
-# ~2^-8.7 vs the 1/16 gate margin = ~26 sigma.  Both precision gadgets
+# 19.6 = 2^-16.5, b-side 2^-13.5, BSK accumulation ~2^-15 (drop=32,
+# the hi-plane-scan threshold; ops/ntt.py:default_drop_bits) -> total
+# sigma ~2^-8.7 vs the 1/16 gate margin = ~26 sigma.  Both precision gadgets
 # here are measurement-tuned (docs/TORUS64.md §8): the first cut ran
 # basebit4/iks_t6 KS (sigma_KS = 2^-8.0 — ON the m=64 LUT half-bin;
 # measured accuracy 0.52) and an L=2 / (2,2) gadget whose key-amplified
@@ -308,6 +311,25 @@ SECURITY_128_BIT_T64 = _sp(
 # in-tree estimator (landed later the same round) retuned and pinned it.
 DRAFT_SECURITY_128_BIT_T64 = SECURITY_128_BIT_T64
 
+# Estimator-compliant 32-bit boolean set (VERDICT r4 #4).  The inherited
+# reference constants (params.zig:350-378, = SECURITY_128_BIT) score
+# 126.4 gate bits on lv1 under the in-tree calibrated gate model — 1.6
+# bits short of their name.  This set keeps every shape and the lv0
+# instance (n=700 @ 2^-15.6 -> 136.9 gate bits / 136.3 dual) and raises
+# ONLY the lv1 noise to 2^-24.8 (-> 130.4 gate bits primal / 130.2
+# dual; core-SVP classical 100.2): alpha1 enters the gate noise budget
+# solely through the BSK rows' encryption noise, a measured ~0.9% of
+# the output variance at the group-3 engine gadget (margin/sigma 6.59
+# -> 6.56) — the honest claim costs nothing operationally.  128bit
+# itself stays bit-identical to the reference (ALL_PARAMS is the parity
+# surface); benchmark rows state which set they ran on.
+SECURITY_128_BIT_V2 = _sp(
+    "128bit_v2", 128,
+    "128-bit boolean parameters, estimator-pinned (gate model 136.9/"
+    "130.4 bits, docs/SECURITY.md; reference-parity shapes, lv1 noise "
+    "raised 2^-25.6 -> 2^-24.8)",
+    700, 2.0e-5, 2 ** -24.8, 10, 6, 3, 2, 9)
+
 # Tiny multi-bit (Uint-style) test set: N=256 supports message modulus up to
 # 16 with modswitch error (n0+1)/(4N) = 9/1024 < 1/(2*16); bgbit=11 forces
 # the 2-limb digit path the real Uint sets use.  NOT SECURE.
@@ -324,7 +346,8 @@ ALL_PARAMS = (
 
 PARAMS_BY_NAME = {p.name: p for p in ALL_PARAMS
                   + (TEST_TINY, TEST_TINY_UINT, TEST_TINY64,
-                     TEST_TINY_SPLIT, SECURITY_128_BIT_T64)}
+                     TEST_TINY_SPLIT, SECURITY_128_BIT_T64,
+                     SECURITY_128_BIT_V2)}
 PARAMS_BY_NAME["draft128_t64"] = SECURITY_128_BIT_T64  # round-4 spike name
 
 

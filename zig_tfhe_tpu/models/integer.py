@@ -291,7 +291,15 @@ def _pbs_mv_groups(rows, name_groups, ck: CloudKey):
     G = rows.shape[0]
     K = len(name_groups[0])
     assert all(len(g) == K for g in name_groups), name_groups
-    if not _use_mv():
+    # ||q||_1 budget (models/lut.py:mid_norm1_budget — the 64-bit sets'
+    # gadget cannot absorb the CIM17 amplification of steep tables; the
+    # t64 integer layer's first real-noise run measured 0.33 through
+    # them): any over-budget table demotes the whole call to dedicated
+    # per-lane rotations
+    budget = L.mid_norm1_budget(ck)
+    mv_ok = all(_factored(ck.params, n)[2] <= budget
+                for g in name_groups for n in g)
+    if not _use_mv() or not mv_ok:
         flat_names = [n for g in name_groups for n in g]
         rep = jnp.repeat(rows, K, axis=0)          # [G*K, ..., n0+1]
         out = _pbs_rows(rep, flat_names, ck)

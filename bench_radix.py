@@ -57,7 +57,10 @@ def main():
     t0 = time.time()
     sk = K.SecretKey.generate(jax.random.key(0), params)
     ck = K.CloudKey.generate(jax.random.key(1), sk, params)
-    pksk = gen_packing_ksk(jax.random.key(2), sk.key_lv1, params)
+    # uint and 64-bit cloud keys embed the packing key by default now —
+    # reuse it instead of building a second 200+ MB bank
+    pksk = (ck.pksk if ck.pksk is not None
+            else gen_packing_ksk(jax.random.key(2), sk.key_lv1, params))
     np.asarray(jax.tree_util.tree_leaves(ck)[1].ravel()[:1])
     print(f"# keygen+pksk: {time.time()-t0:.1f}s", file=sys.stderr)
 

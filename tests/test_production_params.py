@@ -237,6 +237,26 @@ def test_uint4_multivalue_lut_real_noise():
 
 
 @slow
+def test_128bit_v2_nand_truth_table_real_noise():
+    """The estimator-compliant V2 set (lv1 noise 2^-24.8, 130.4 gate
+    bits — VERDICT r4 #4) through the same default pipeline: the raised
+    BSK noise must still decrypt exactly."""
+    params = P.SECURITY_128_BIT_V2
+    sk = K.SecretKey.generate(jax.random.key(60), params)
+    ck = K.CloudKey.generate(jax.random.key(61), sk, params)
+    assert ck.bsk_group == 3         # same boolean defaults as 128bit
+    bits_a = jnp.asarray(np.array([0, 0, 1, 1], bool))
+    bits_b = jnp.asarray(np.array([0, 1, 0, 1], bool))
+    cta = tlwe.encrypt_bool(jax.random.key(62), bits_a,
+                            params.tlwe_lv0.alpha, sk.key_lv0)
+    ctb = tlwe.encrypt_bool(jax.random.key(63), bits_b,
+                            params.tlwe_lv0.alpha, sk.key_lv0)
+    out = G.gate("xor", cta, ctb, ck)
+    assert list(np.asarray(tlwe.decrypt_bool(out, sk.key_lv0))) == \
+        [False, True, True, False]
+
+
+@slow
 def test_128bit_nand_truth_table_real_noise():
     """The bench configuration itself (128-bit, per-set default group and
     engine gadget) at real noise on CPU: decrypts must be exact."""

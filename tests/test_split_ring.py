@@ -356,6 +356,24 @@ def test_hi32_scan_bit_exact_vs_generic(sk, ck):
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
 
 
+def test_tv_lo_zero_fast_start_bit_exact(sk, ck):
+    """The gate path's tv_lo_zero fast start (int32 hi-plane initial
+    rotation, ops/split_ring.py) must be BIT-exact vs the generic start
+    whenever the testvec's low words are zero — true for the +-1/8 gate
+    testvec (2^61 at the 64-bit torus, key.py:gen_testvec)."""
+    from zig_tfhe_tpu.ops.split_ring import blind_rotate_split
+
+    tv = jnp.asarray(ck.testvec)
+    assert not np.any(np.asarray(tv) & 0xFFFFFFFF)
+    ct = tlwe.encrypt_message(jax.random.key(33), jnp.arange(6), 16, 0.0,
+                              sk.key_lv0, width=64)
+    kw = dict(group=ck.bsk_group, levels=ck.bsk_levels, bgbit=ck.bsk_bgbit)
+    a1 = blind_rotate_split(ct, tv, ck.bsk_ntt, PS, ck.bsk_ntt_drop,
+                            tv_lo_zero=True, **kw)
+    a2 = blind_rotate_split(ct, tv, ck.bsk_ntt, PS, ck.bsk_ntt_drop, **kw)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
 def test_packing_key_built_on_64bit_sets(sk, ck):
     """Round 4 REJECTED packing-key builds on 64-bit sets; round 5 ships
     the width-64 packing key switch (the exact m >= 64 radix door,

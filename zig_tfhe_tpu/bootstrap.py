@@ -54,20 +54,23 @@ def default_bootstrap() -> BootstrapStrategy:
 
 def bootstrap(tlwe_batch, ck: CloudKey):
     """Full gate bootstrap: [B, n0+1] -> refreshed [B, n0+1]."""
-    tr = blind_rotate(tlwe_batch, ck.testvec, ck, ck.params)
+    tr = blind_rotate(tlwe_batch, ck.testvec, ck, ck.params,
+                      tv_lo_zero=True)
     lv1 = _trlwe.sample_extract(tr, 0)
     return identity_key_switch(lv1, ck.ksk1, ck.params)
 
 
 def bootstrap_to_lv1(tlwe_batch, ck: CloudKey):
     """Blind rotate + extract, NO key switch: [B, n0+1] -> [B, N+1] (lv1)."""
-    tr = blind_rotate(tlwe_batch, ck.testvec, ck, ck.params)
+    tr = blind_rotate(tlwe_batch, ck.testvec, ck, ck.params,
+                      tv_lo_zero=True)
     return _trlwe.sample_extract(tr, 0)
 
 
 def bootstrap_without_key_switch_truncated(tlwe_batch, ck: CloudKey):
     """Reference-parity hybrid (vanilla.zig:58-69): lv1 mask truncated to n0."""
-    tr = blind_rotate(tlwe_batch, ck.testvec, ck, ck.params)
+    tr = blind_rotate(tlwe_batch, ck.testvec, ck, ck.params,
+                      tv_lo_zero=True)
     return _trlwe.sample_extract_lv0_shaped(tr, ck.params.n0, 0)
 
 

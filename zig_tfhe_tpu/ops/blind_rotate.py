@@ -151,7 +151,8 @@ def _external_product_pallas(bsk_i, ct, params: SecurityParams):
 
 
 def blind_rotate(tlwe_batch, testvec, ck, params: SecurityParams,
-                 unroll: int | None = None, engine: str | None = None):
+                 unroll: int | None = None, engine: str | None = None,
+                 tv_lo_zero: bool = False):
     """Blind rotation of a batch of TLWE lv0 ciphertexts.
 
     tlwe_batch: int32 [B, n0+1]
@@ -163,6 +164,12 @@ def blind_rotate(tlwe_batch, testvec, ck, params: SecurityParams,
     Semantics match blindRotate / blindRotateWithTestvec
     (trgsw.zig:290-400): rotate the testvec by -b (mod X^N+1), then fold in
     each LWE coefficient with a CMux against BSK[i].
+
+    tv_lo_zero (STATIC): caller asserts every testvec coefficient's low
+    32 bits are zero — the split engine's hi-plane scan then skips the
+    int64 initial rotation (ops/split_ring.py).  Set only by the gate
+    bootstrap entry points (the +-1/8 testvec); ignored off the split
+    path.
     """
     from zig_tfhe_tpu.utils.torus import carrier_dtype
 
@@ -183,7 +190,8 @@ def blind_rotate(tlwe_batch, testvec, ck, params: SecurityParams,
         tv = testvec
         if tv.ndim == len(lead) + 2:           # per-lane testvecs
             tv = tv.reshape((-1,) + tv.shape[-2:])
-        out = blind_rotate(flat, tv, ck, params, unroll=unroll, engine=engine)
+        out = blind_rotate(flat, tv, ck, params, unroll=unroll, engine=engine,
+                           tv_lo_zero=tv_lo_zero)
         return out.reshape(lead + out.shape[-2:])
     explicit = engine is not None or bool(os.environ.get("ZTFHE_ENGINE"))
     engine = engine or default_engine()
@@ -206,7 +214,8 @@ def blind_rotate(tlwe_batch, testvec, ck, params: SecurityParams,
         return blind_rotate_ntt(tlwe_batch, testvec, ck.bsk_ntt, params,
                                 ck.bsk_ntt_drop, unroll=unroll,
                                 group=ck.bsk_group, levels=ck.bsk_levels,
-                                bgbit=getattr(ck, "bsk_bgbit", None))
+                                bgbit=getattr(ck, "bsk_bgbit", None),
+                                tv_lo_zero=tv_lo_zero)
     if ck.bsk_ext_limbs is None:
         raise ValueError(
             f"engine '{engine}' requested but CloudKey lacks bsk_ext_limbs "

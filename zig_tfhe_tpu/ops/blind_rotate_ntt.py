@@ -88,7 +88,8 @@ def rotate_via_ntt(polys, t, plan, width: int = 32):
 
 def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
                      drop_bits: int, unroll: int = 1, group: int = 1,
-                     levels=None, bgbit: int | None = None):
+                     levels=None, bgbit: int | None = None,
+                     tv_lo_zero: bool = False):
     """tlwe_batch int32 [B, n0+1]; testvec int32 [2,N] or [B,2,N];
     bsk_ntt int16 [n0, P, la+lb, 2, N] (group=1) or
     [G, 2^g-1, P, la+lb, 2, N] (multi-bit, G = ceil(n0/g)).
@@ -108,7 +109,8 @@ def blind_rotate_ntt(tlwe_batch, testvec, bsk_ntt, params: SecurityParams,
         from zig_tfhe_tpu.ops.split_ring import blind_rotate_split
         return blind_rotate_split(tlwe_batch, testvec, bsk_ntt, params,
                                   drop_bits, unroll=unroll, group=group,
-                                  levels=levels, bgbit=bgbit)
+                                  levels=levels, bgbit=bgbit,
+                                  tv_lo_zero=tv_lo_zero)
     e = params.bgbit if bgbit is None else bgbit
     if levels is None:
         levels = (bsk_ntt.shape[2] if group == 1 else bsk_ntt.shape[3]) // 2

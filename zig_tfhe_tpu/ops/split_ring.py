@@ -340,12 +340,23 @@ def _rows_hi32(acc_hi, params: SecurityParams, e: int, levels):
 def blind_rotate_split(tlwe_batch, testvec, bsk_split,
                        params: SecurityParams, drop_bits: int,
                        unroll: int = 1, group: int = 1, levels=None,
-                       bgbit: int | None = None):
+                       bgbit: int | None = None,
+                       tv_lo_zero: bool = False):
     """Blind rotation over the split ring (N > 1024, 64-bit torus).
 
     tlwe_batch: int64 [B, n0+1]; testvec: int64 [2, N] or [B, 2, N];
     bsk_split: int16 [n0, P, 2R, 4, Nh] (group=1) or
     [G, 2^g-1, P, 2R, 4, Nh] (multi-bit).  Returns int64 [B, 2, N].
+
+    tv_lo_zero is a CALLER CONTRACT that every testvec coefficient's
+    low 32 bits are zero (true for the gate path: the boolean encoding
+    +-1/8 = +-2^61 sits entirely in the hi word, key.py:gen_testvec).
+    With the hi-plane scan it skips the int64 initial rotation — the
+    per-gate [B, 2, 2N]-gather runs on int32 hi planes (half the bytes)
+    and the scan-invariant low word is the constant 0.  Traced values
+    cannot be inspected, so the flag is static; a violating caller gets
+    silently wrong low output bits (gates never read them, and only
+    gate-path entry points set the flag).
 
     Per step: decompose (coefficient-wise — parity layout free), forward
     NTT of 2R half-rows, the folded pointwise contraction per subset,
@@ -383,18 +394,27 @@ def blind_rotate_split(tlwe_batch, testvec, bsk_split,
     b_tilda = jnp.int32(2 * N) - modswitch(b, params)    # [B], [0, 2N]
     if testvec.ndim == 2:
         testvec = testvec[None]
-    testvec = jnp.broadcast_to(testvec, (B, 2, N))
-    acc_full = negacyclic_rotate(testvec, b_tilda)       # [B, 2, N]
-    acc = split(acc_full)                                # [B, 2, 2, Nh]
 
     hi32 = _hi32_viable(params, drop_bits, e, levels)
     acc_lo = None
-    if hi32:
-        # low word is scan-invariant (every delta is a multiple of 2^32);
-        # carry only the hi-32 planes, as int32
-        acc_lo = acc & jnp.int64(0xFFFFFFFF)             # [0, 2^32), int64
-        acc = jax.lax.shift_right_arithmetic(
-            acc, jnp.int64(32)).astype(jnp.int32)        # [B, 2, 2, Nh] i32
+    if hi32 and tv_lo_zero:
+        # gate-path fast start: the low word is identically zero, so the
+        # once-per-gate initial rotation gathers int32 hi planes only
+        tv_hi = jax.lax.shift_right_arithmetic(
+            testvec, jnp.int64(32)).astype(jnp.int32)
+        tv_hi = jnp.broadcast_to(tv_hi, (B, 2, N))
+        acc = split(negacyclic_rotate(tv_hi, b_tilda))   # [B, 2, 2, Nh] i32
+        acc_lo = jnp.zeros((B, 2, 2, Nh), jnp.int64)
+    else:
+        testvec = jnp.broadcast_to(testvec, (B, 2, N))
+        acc_full = negacyclic_rotate(testvec, b_tilda)   # [B, 2, N]
+        acc = split(acc_full)                            # [B, 2, 2, Nh]
+        if hi32:
+            # low word is scan-invariant (every delta is a multiple of
+            # 2^32); carry only the hi-32 planes, as int32
+            acc_lo = acc & jnp.int64(0xFFFFFFFF)         # [0, 2^32), int64
+            acc = jax.lax.shift_right_arithmetic(
+                acc, jnp.int64(32)).astype(jnp.int32)    # [B, 2, 2, Nh] i32
 
     # modswitch hoisted out of the scan: with hi32 the step body then
     # touches no int64 value at all

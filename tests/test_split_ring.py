@@ -276,6 +276,22 @@ def test_integer_layer_split(sk, ck):
     assert decrypt_radix((x ^ y).digits, sk.key_lv0) == 45 ^ 23
 
 
+def test_signed_integer_layer_split(sk, ck):
+    """FheInt (signed radix) on the 64-bit split set: add/compare/abs
+    exact at alpha=0 — the signed layer rides the same width-general
+    radix machinery as FheUint, but its sign handling (top-digit LUTs)
+    has its own tables worth pinning at this width."""
+    from zig_tfhe_tpu.models.integer import FheInt
+
+    x = FheInt.encrypt(jax.random.key(71), -13, 2, sk, ck, alpha=0.0)
+    y = FheInt.encrypt(jax.random.key(72), 9, 2, sk, ck, alpha=0.0)
+    assert x.digits.dtype == jnp.int64
+    assert (x + y).decrypt(sk) == -4
+    assert (x - y).decrypt(sk) == -22
+    assert (x < y).decrypt(sk) == 1
+    assert x.abs().decrypt(sk) == 13
+
+
 def test_split_cloud_key_serialization_roundtrip(tmp_path, sk, ck):
     """The 6-axis multi-bit split BSK and 64-bit KSK survive save/load
     and the loaded key still evaluates gates exactly."""

@@ -23,7 +23,7 @@ from zig_tfhe_tpu.utils.security import (estimate_dual_lwe,  # noqa: E402
 
 def main():
     as_json = "--json" in sys.argv
-    sets = P.ALL_PARAMS + (P.SECURITY_128_BIT_T64,)
+    sets = P.ALL_PARAMS + (P.SECURITY_128_BIT_T64, P.SECURITY_128_BIT_V2)
     rows = []
     for p in sets:
         ep = estimate_params(p)

@@ -45,6 +45,8 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "1"))
     pname = os.environ.get("BENCH_PARAMS", "128bit")
     params = P.PARAMS_BY_NAME[pname]
+    if params.torus_bits == 64:
+        jax.config.update("jax_enable_x64", True)
 
     text = bristol_multiplier(w)
     t0 = time.time()
@@ -67,7 +69,8 @@ def main():
             bits[i, j] = (int(a_vals[j]) >> i) & 1
             bits[w + i, j] = (int(b_vals[j]) >> i) & 1
     cts = tlwe.encrypt_bool(jax.random.key(2), jnp.asarray(bits),
-                            params.tlwe_lv0.alpha, sk.key_lv0)
+                            params.tlwe_lv0.alpha, sk.key_lv0,
+                            width=params.torus_bits)
     if B == 1:
         cts = cts[:, 0]
 

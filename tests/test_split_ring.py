@@ -305,6 +305,11 @@ def test_split_cloud_key_serialization_roundtrip(tmp_path, sk, ck):
     assert ck2.bsk_ntt.shape == ck.bsk_ntt.shape
     np.testing.assert_array_equal(np.asarray(ck2.bsk_ntt),
                                   np.asarray(ck.bsk_ntt))
+    # the int64 packing key + its (8, 3) width-64 gadget contract must
+    # survive the roundtrip (a wrong-gadget load decodes garbage)
+    assert ck2.pksk.dtype == jnp.int64
+    np.testing.assert_array_equal(np.asarray(ck2.pksk), np.asarray(ck.pksk))
+    assert tuple(ck2.pksk_gadget) == (8, 3)
     a = tlwe.encrypt_bool(jax.random.key(90), jnp.asarray([True, False]),
                           0.0, sk.key_lv0, width=64)
     b = tlwe.encrypt_bool(jax.random.key(91), jnp.asarray([True, True]),

@@ -297,7 +297,7 @@ def _pack_level(lvl: np.ndarray, trash: int) -> dict:
 _EMPTY_I32 = np.zeros(0, np.int32)
 
 
-def _chunk_level(g: dict, B: int) -> list[dict]:
+def _chunk_level(g: dict, B: int, params=None) -> list[dict]:
     """Split one packed level into knee-sized dispatch chunks.
 
     Gates and MUXes within a level are independent, so any partition is
@@ -307,7 +307,7 @@ def _chunk_level(g: dict, B: int) -> list[dict]:
     batch B — every blind rotation then runs at the measured
     peak-throughput batch instead of one past-the-knee giant.
     """
-    chunk = _level_chunk_lanes()
+    chunk = _level_chunk_lanes(params)
     if not chunk:
         return [g]
     chunk_k = _pad_pow2(max(1, chunk // B))
@@ -341,20 +341,29 @@ def _chunk_level(g: dict, B: int) -> list[dict]:
     return chunks
 
 
-def _level_chunk_lanes() -> int:
+def _level_chunk_lanes(params=None) -> int:
     """Blind-rotation lanes per dispatch (env knob ZTFHE_LEVEL_CHUNK,
     read when the plan's levels are packed; 0 disables chunking).
 
-    The gate path's measured throughput knee is ~2048 lanes (ROADMAP
-    round-3 sweep: 2048 -> 6008 BR/s but 3072 -> 4850 and falling);
-    wide circuit levels (k * B lanes — a 4097-gate level pads to 8192,
-    x B clients) would otherwise run one giant rotation deep past the
-    knee: the Bristol 64x64 bench measured B=8 SLOWER in aggregate than
-    B=1 (2,356 vs 3,261 gates/s) before chunking.  Chunks dispatch as
-    separate _run_level calls so each compiled graph stays one-rotation
-    sized and the compile cache is shared across chunks and levels.
+    The 32-bit gate path's measured throughput knee is ~2048 lanes
+    (ROADMAP round-3 sweep: 2048 -> 6008 BR/s but 3072 -> 4850 and
+    falling); wide circuit levels (k * B lanes — a 4097-gate level pads
+    to 8192, x B clients) would otherwise run one giant rotation deep
+    past the knee: the Bristol 64x64 bench measured B=8 SLOWER in
+    aggregate than B=1 (2,356 vs 3,261 gates/s) before chunking.  The
+    SPLIT engine's knee is ~512 lanes (B sweep: 512 -> 1230 gates/s,
+    1024 -> 1054, 2048 -> 717), and chunking the t64 Bristol run to it
+    measured +47% (812 -> 1,195.5 gates/s exact) — so the default
+    follows the parameter set's engine.  Chunks dispatch as separate
+    _run_level calls so each compiled graph stays one-rotation sized
+    and the compile cache is shared across chunks and levels.
     """
-    return int(os.environ.get("ZTFHE_LEVEL_CHUNK", "2048"))
+    env = os.environ.get("ZTFHE_LEVEL_CHUNK")
+    if env is not None:
+        return int(env)
+    if params is not None and params.split_ring:
+        return 512
+    return 2048
 
 
 def _level_body(arena, ck, two, mux, nots, copies, c0, c1):
@@ -516,7 +525,7 @@ def evaluate(plan: Plan, input_cts, ck: CloudKey):
     arena = arena.at[jnp.asarray(plan.input_slots)].set(input_cts)
 
     units = [g for lvl in plan.levels
-             for g in _chunk_level(_pack_level(lvl, trash), B)]
+             for g in _chunk_level(_pack_level(lvl, trash), B, ck.params)]
     for run in _coalesce_runs(units):
         if len(run) >= 2:
             two, nots, copies, c0, c1 = _stack_run(run, trash)

@@ -81,27 +81,32 @@ def _linear_combo(ca, cb, bias, a, b, n0: int):
 _KNEE = 2048  # measured throughput knee (ROADMAP round-3 batch sweep)
 
 
-def _pad_policy(B: int) -> int:
+_KNEE_SPLIT = 512  # split-engine knee (round-5 B sweep: 512 -> 1230
+                   # gates/s, 1024 -> 1054, 2048 -> 717)
+
+
+def _pad_policy(B: int, knee: int = _KNEE) -> int:
     """Padded batch size for a gate bootstrap of B lanes.
 
     <= the knee: next power of two (min 8 — tiny batches are scan-bound,
-    the pad is free), with 1536 kept as-is (measured within 1% of the
-    knee).  Above the knee: pad to the next knee multiple only when the
-    pad is small (<= knee/4 lanes) — large batches off the knee run at
-    ~80-90% (2560 -> 5336, 3072 -> 4850), so a >25% pad would cost more
-    than the cliff it avoids.
+    the pad is free), with 1536 kept as-is on the 2048-knee 32-bit path
+    (measured within 1% of the knee).  Above the knee: pad to the next
+    knee multiple only when the pad is small (<= knee/4 lanes) — large
+    batches off the knee run at ~80-90% (2560 -> 5336, 3072 -> 4850),
+    so a >25% pad would cost more than the cliff it avoids.  The knee
+    follows the engine (the split engine's is 512).
     """
     if B <= 8:
         return 8
-    if B <= _KNEE:
+    if B <= knee:
         b = 8
         while b < B:
             b *= 2
-        if b == _KNEE and B <= 3 * _KNEE // 4:
-            return 3 * _KNEE // 4                     # 1536: measured good
+        if knee == _KNEE and b == knee and B <= 3 * knee // 4:
+            return 3 * knee // 4                      # 1536: measured good
         return b
-    m = -(-B // _KNEE) * _KNEE
-    return m if m - B <= _KNEE // 4 else B
+    m = -(-B // knee) * knee
+    return m if m - B <= knee // 4 else B
 
 
 def _use_pad() -> bool:
@@ -115,7 +120,8 @@ def _padded_bootstrap(combo, ck: CloudKey, to_lv1: bool = False):
     batch = combo.shape[:-1]
     B = int(np.prod(batch)) if batch else 1
     flat = combo.reshape(B, combo.shape[-1])
-    Bp = _pad_policy(B) if _use_pad() else B
+    knee = _KNEE_SPLIT if ck.params.split_ring else _KNEE
+    Bp = _pad_policy(B, knee) if _use_pad() else B
     if Bp != B:
         flat = jnp.concatenate(
             [flat, jnp.zeros((Bp - B, flat.shape[-1]), flat.dtype)])

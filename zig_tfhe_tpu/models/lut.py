@@ -521,6 +521,38 @@ def _use_interleave() -> bool:
     return os.environ.get("ZTFHE_NO_INTERLEAVE", "") not in ("1", "true")
 
 
+def _rotation_knee(params: SecurityParams) -> int:
+    """Measured per-engine blind-rotation throughput knee, in lanes
+    (ROADMAP sweeps: 2048 for the 32-bit path, 512 for the split
+    engine — 512 -> 1230 gates/s, 1024 -> 1054, 2048 -> 717)."""
+    return 512 if params.split_ring else 2048
+
+
+def _chunked_blind_rotate(ct, tv, ck: CloudKey):
+    """blind_rotate with the flat batch split into knee-sized dispatches.
+
+    The tree-PBS mid layer's dedicated lanes multiply out to D*B
+    rotations (32 tables x B at m=256) — one giant dispatch runs deep
+    past the engine knee (58% efficiency at 2048 split lanes).  The
+    tail pads to the chunk so every dispatch shares one compile
+    signature (pad lanes rotate lane 0, sliced away).
+    """
+    from zig_tfhe_tpu.ops.blind_rotate import blind_rotate
+
+    params = ck.params
+    total = ct.shape[0]
+    chunk = _rotation_knee(params)
+    if total <= chunk:
+        return blind_rotate(ct, tv, ck, params)
+    pad = (-total) % chunk
+    if pad:
+        ct = jnp.concatenate([ct, jnp.broadcast_to(ct[:1], (pad,) + ct.shape[1:])])
+        tv = jnp.concatenate([tv, jnp.broadcast_to(tv[:1], (pad,) + tv.shape[1:])])
+    parts = [blind_rotate(ct[i:i + chunk], tv[i:i + chunk], ck, params)
+             for i in range(0, total + pad, chunk)]
+    return jnp.concatenate(parts)[:total]
+
+
 def mid_norm1_budget(ck: CloudKey) -> float:
     """Max ||q||_1 a factored (CIM17) mid-layer table may carry in
     tree_pbs before its lane falls back to a dedicated blind rotation.
@@ -661,9 +693,9 @@ def tree_pbs(ct_in, ct_sel, tvs, n_blocks: int, ck: CloudKey, pksk,
         tv_ded = jnp.asarray(np.stack([tvs_flat[i] for i in ded_idx]))
         tv_rep = jnp.broadcast_to(tv_ded[:, None], (D, B, 2, N))
         ct_rep = jnp.broadcast_to(ct_in[None], (D,) + ct_in.shape)
-        ded_out = blind_rotate(ct_rep.reshape(D * B, -1),
-                               tv_rep.reshape(D * B, 2, N), ck,
-                               params).reshape(D, B, 2, N)
+        ded_out = _chunked_blind_rotate(
+            ct_rep.reshape(D * B, -1), tv_rep.reshape(D * B, 2, N),
+            ck).reshape(D, B, 2, N)
     pos = {i: k for k, i in enumerate(ded_idx)}
     lanes = [apply_factored(acc, factored[i][0], factored[i][1])
              if use_fact[i] else ded_out[pos[i]]
@@ -769,9 +801,9 @@ def bootstrap_multi_lut(ct_batch, luts, message_modulus: int, ck: CloudKey):
                          else jnp.asarray(luts[i])) for i in ded_idx])
         tv_rep = jnp.broadcast_to(tv[:, None], (D, B, 2, N))
         ct_rep = jnp.broadcast_to(ct_batch[None], (D,) + ct_batch.shape)
-        ded_out = blind_rotate(ct_rep.reshape(D * B, -1),
-                               tv_rep.reshape(D * B, 2, N), ck,
-                               params).reshape(D, B, 2, N)
+        ded_out = _chunked_blind_rotate(
+            ct_rep.reshape(D * B, -1), tv_rep.reshape(D * B, 2, N),
+            ck).reshape(D, B, 2, N)
     pos = {i: k for k, i in enumerate(ded_idx)}
     outs = jnp.stack([apply_factored(acc, factored[i][0], factored[i][1])
                       if use_fact[i] else ded_out[pos[i]]

@@ -209,7 +209,13 @@ def _pad_to_bucket(x, B: int | None = None):
 
 
 def _bootstrap_lut_bucketed(flat, tv, ck: CloudKey):
-    """bootstrap_lut with the flattened batch padded to a bucket size."""
+    """bootstrap_lut with the flattened batch padded to a bucket size.
+
+    Above the engine's rotation knee (models/lut.py:_rotation_knee —
+    512 lanes on the split engine) the padded batch dispatches in
+    knee-sized chunks: one giant rotation past the knee runs at ~58-86%
+    efficiency (the round-5 B sweep), and the pow2 bucket is always a
+    multiple of the knee so every chunk shares one compile signature."""
     B = flat.shape[0]
     Bp = _bucket(B)
     if Bp != B:
@@ -217,6 +223,12 @@ def _bootstrap_lut_bucketed(flat, tv, ck: CloudKey):
         if tv.ndim == 3:            # per-lane testvecs ride the batch axis
             tv = jnp.concatenate(
                 [tv, jnp.broadcast_to(tv[:1], (Bp - B,) + tv.shape[1:])])
+    knee = L._rotation_knee(ck.params)
+    if Bp > knee:
+        outs = [L.bootstrap_lut(flat[i:i + knee],
+                                tv[i:i + knee] if tv.ndim == 3 else tv, ck)
+                for i in range(0, Bp, knee)]
+        return jnp.concatenate(outs)[:B]
     return L.bootstrap_lut(flat, tv, ck)[:B]
 
 

@@ -326,3 +326,30 @@ def test_chunked_levels_match_unchunked(tiny, tiny_sk, tiny_ck, monkeypatch):
     for j in range(B):
         prod = sum(int(got[i, j]) << i for i in range(8))
         assert prod == vals[0, j] * vals[1, j], j
+
+
+def test_engine_aware_knee_defaults(monkeypatch):
+    """The dispatch knees follow the engine: 2048 rotation lanes on the
+    32-bit path, 512 on the split engine (round-5 B sweeps); env
+    overrides win."""
+    from zig_tfhe_tpu import params as P
+    from zig_tfhe_tpu.models import lut as L
+    from zig_tfhe_tpu.models.gates import _pad_policy
+    from zig_tfhe_tpu.models.scheduler import _level_chunk_lanes
+
+    monkeypatch.delenv("ZTFHE_LEVEL_CHUNK", raising=False)
+    assert _level_chunk_lanes(P.SECURITY_128_BIT) == 2048
+    assert _level_chunk_lanes(P.SECURITY_128_BIT_T64) == 512
+    assert _level_chunk_lanes(None) == 2048
+    monkeypatch.setenv("ZTFHE_LEVEL_CHUNK", "64")
+    assert _level_chunk_lanes(P.SECURITY_128_BIT_T64) == 64
+    assert L._rotation_knee(P.SECURITY_128_BIT) == 2048
+    assert L._rotation_knee(P.SECURITY_128_BIT_T64) == 512
+    # pad policy: 1536 special-case only on the 2048-knee path
+    assert _pad_policy(1100) == 1536
+    # above the 512 knee: next knee multiple when the pad is small
+    assert _pad_policy(1100, knee=512) == 1100  # pad 436 > knee/4: keep
+    assert _pad_policy(1500, knee=512) == 1536  # pad 36 <= 128: round up
+    assert _pad_policy(400, knee=512) == 512
+    assert _pad_policy(600, knee=512) == 600  # pad 424 > 128: keep
+    assert _pad_policy(9, knee=512) == 16

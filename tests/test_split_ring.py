@@ -292,6 +292,23 @@ def test_signed_integer_layer_split(sk, ck):
     assert x.abs().decrypt(sk) == 13
 
 
+def test_seeded_ciphertext_64bit(sk, ck):
+    """Seeded (compressed) ciphertexts at the 64-bit width: the expanded
+    form must equal a direct encryption from the same key bit-for-bit,
+    and decrypt through the split gate pipeline."""
+    bits = jnp.asarray([True, False, True])
+    kk = jax.random.key(44)
+    seed, b = tlwe.encrypt_bool_seeded(kk, bits, 0.0, sk.key_lv0, width=64)
+    assert b.dtype == jnp.int64
+    full = tlwe.expand_seeded(seed, b, PS.n0, width=64)
+    direct = tlwe.encrypt_bool(kk, bits, 0.0, sk.key_lv0, width=64)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(direct))
+    other = tlwe.encrypt_bool(jax.random.key(45), jnp.ones(3, bool), 0.0,
+                              sk.key_lv0, width=64)
+    dec = np.asarray(tlwe.decrypt_bool(G.and_(full, other, ck), sk.key_lv0))
+    np.testing.assert_array_equal(dec, [True, False, True])
+
+
 def test_split_cloud_key_serialization_roundtrip(tmp_path, sk, ck):
     """The 6-axis multi-bit split BSK and 64-bit KSK survive save/load
     and the loaded key still evaluates gates exactly."""

@@ -60,7 +60,7 @@ def encrypt_torus(key, mu, alpha: float, sk, width: int = 32):
     return jnp.concatenate([a, b[..., None]], axis=-1)
 
 
-def encrypt_torus_seeded(key, mu, alpha: float, sk):
+def encrypt_torus_seeded(key, mu, alpha: float, sk, width: int = 32):
     """Seeded (compressed) encryption: returns (mask_seed, b) with b int32
     [...] — the wire form is (n+1)x smaller than the expanded ciphertext.
     ``expand_seeded(mask_seed, b, n)`` reconstructs EXACTLY the ciphertext
@@ -74,22 +74,22 @@ def encrypt_torus_seeded(key, mu, alpha: float, sk):
     anyone recompute the Gaussian noise and solve ``b - noise - mu =
     <a, s>`` for the secret key.  The classic seeded-LWE bandwidth trick;
     no reference analog (its seeding is nondeterministic, utils.zig:16-22,
-    so it cannot compress)."""
-    mu = jnp.asarray(mu, jnp.int32)
+    so it cannot compress).  width=64 for the 64-bit-torus sets."""
+    mu = jnp.asarray(mu, carrier_dtype(width))
     n = sk.shape[-1]
     ka, kn = jax.random.split(key)
-    a = _rng.uniform_torus(ka, mu.shape + (n,))
-    noise = _rng.gaussian_torus(kn, mu.shape, alpha)
+    a = _rng.uniform_torus(ka, mu.shape + (n,), width)
+    noise = _rng.gaussian_torus(kn, mu.shape, alpha, width)
     b = _inner_product_binary(a, sk) + noise + mu
     return ka, b
 
 
-def expand_seeded(mask_seed, b, n: int):
-    """(mask_seed, b) -> full ciphertext int32 [..., n+1] (see
+def expand_seeded(mask_seed, b, n: int, width: int = 32):
+    """(mask_seed, b) -> full ciphertext carrier [..., n+1] (see
     encrypt_torus_seeded; ``mask_seed`` is the published half of the
     encryption key split, NOT the encryption key itself)."""
-    b = jnp.asarray(b, jnp.int32)
-    a = _rng.uniform_torus(mask_seed, b.shape + (n,))
+    b = jnp.asarray(b, carrier_dtype(width))
+    a = _rng.uniform_torus(mask_seed, b.shape + (n,), width)
     return jnp.concatenate([a, b[..., None]], axis=-1)
 
 
@@ -98,9 +98,9 @@ def encrypt_bool(key, bits, alpha: float, sk, width: int = 32):
     return encrypt_torus(key, _bool_mu(bits, width), alpha, sk, width)
 
 
-def encrypt_bool_seeded(key, bits, alpha: float, sk):
+def encrypt_bool_seeded(key, bits, alpha: float, sk, width: int = 32):
     """Seeded-form boolean encryption (see encrypt_torus_seeded)."""
-    return encrypt_torus_seeded(key, _bool_mu(bits), alpha, sk)
+    return encrypt_torus_seeded(key, _bool_mu(bits, width), alpha, sk, width)
 
 
 def _bool_mu(bits, width: int = 32):

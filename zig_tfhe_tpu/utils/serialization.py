@@ -208,7 +208,8 @@ def load_seeded_ciphertext(path, expand: bool = True):
     params = _params_from_doc(m)
     if not expand:
         return (mask_seed, b), params
-    return _tlwe.expand_seeded(mask_seed, b, params.n0), params
+    return _tlwe.expand_seeded(mask_seed, b, params.n0,
+                               params.torus_bits), params
 
 
 def save_public_key(path, pk: PR.PublicKeyLv0,

@@ -353,3 +353,27 @@ def test_engine_aware_knee_defaults(monkeypatch):
     assert _pad_policy(400, knee=512) == 512
     assert _pad_policy(600, knee=512) == 600  # pad 424 > 128: keep
     assert _pad_policy(9, knee=512) == 16
+
+
+def test_evaluate_full_adder_split64():
+    """The arena follows the set's carrier dtype (ADVICE r4): a 64-bit
+    split-ring circuit evaluates end-to-end with exact decrypts — before
+    the fix the int32 arena silently downcast the int64 inputs and the
+    first level died in blind_rotate's width check."""
+    from zig_tfhe_tpu import key as K
+    from zig_tfhe_tpu import params as P
+
+    ps = P.TEST_TINY_SPLIT
+    sk = K.SecretKey.generate(jax.random.key(7), ps)
+    ck = K.CloudKey.generate(jax.random.key(8), sk, ps)
+    plan = _full_adder_circuit().schedule()
+    for a, b, cin in [(0, 0, 0), (1, 0, 1), (1, 1, 1)]:
+        bits = jnp.asarray([bool(a), bool(b), bool(cin)])
+        cts = tlwe.encrypt_bool(jax.random.key(a * 4 + b * 2 + cin), bits,
+                                0.0, sk.key_lv0, width=64)
+        assert cts.dtype == jnp.int64
+        out = S.evaluate(plan, cts, ck)
+        assert out.dtype == jnp.int64
+        dec = np.asarray(tlwe.decrypt_bool(out, sk.key_lv0)).astype(int)
+        assert dec[0] == (a + b + cin) % 2, (a, b, cin)
+        assert dec[1] == (a + b + cin) // 2, (a, b, cin)

@@ -13,4 +13,6 @@ echo "== 64-bit LUT envelope ==";    BENCH_PARAMS=128bit_t64 BENCH_MS=4,8,16,32,
 echo "== SECURE integer mul (128bit_t64) ==";  BENCH_PARAMS=128bit_t64 BENCH_BATCH=64 python bench_integer.py
 echo "== SECURE integer add (128bit_t64) ==";  BENCH_PARAMS=128bit_t64 BENCH_BATCH=64 BENCH_OP=add python bench_integer.py
 echo "== SECURE radix LUT m=64/256 (128bit_t64) ==";  BENCH_PARAMS=128bit_t64 BENCH_BATCH=64 python bench_radix.py
+echo "== SECURE circuit (Bristol 64x64, 128bit_t64) ==";  BENCH_PARAMS=128bit_t64 python bench_circuit.py
+echo "== gates (128bit_v2, estimator-clean) ==";  BENCH_PARAMS=128bit_v2 python bench.py
 echo "== multichip (8-dev virtual CPU mesh) ==";  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu BENCH_PARAMS=tiny python bench_multichip.py

@@ -94,8 +94,12 @@ def main():
     t0 = time.time()
     sk = K.SecretKey.generate(jax.random.key(0), params)
     group = os.environ.get("BENCH_GROUP")      # default: per-set (2)
+    drop = os.environ.get("BENCH_DROP")        # e.g. 37: the gates-only
+    # 3-prime plan (docs/ROADMAP.md round-5 #2 — trades the m<=32 LUT
+    # envelope for fewer matmul passes; opt-in key, never the default)
     ck = K.CloudKey.generate(jax.random.key(1), sk, params,
-                             group=int(group) if group else None)
+                             group=int(group) if group else None,
+                             ntt_drop=int(drop) if drop else None)
     jax.block_until_ready(ck.bsk_ntt)
     print(f"[split64] keygen {time.time() - t0:.1f}s "
           f"bsk {ck.bsk_ntt.shape} {ck.bsk_ntt.nbytes / 1e6:.0f} MB",
@@ -145,6 +149,8 @@ def main():
         "ms_per_step": round(ms_step, 3),
         "batch": B,
         "params": name,
+        "group": ck.bsk_group,
+        "ntt_drop": ck.bsk_ntt_drop,
         "vs_32bit_projection": round(gps / 1600.0, 2),
     }))
 
